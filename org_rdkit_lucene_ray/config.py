@@ -1,0 +1,96 @@
+"""Typed engine configuration.
+
+Reference analogs:
+- ``FingerprintSettings`` (immutable typed settings,
+  ``fingerprint/FingerprintSettings.java:50-245``) -> :class:`AnalyzerConfig`.
+- ``IndexWriterConfigFactory`` (``DefaultIndexWriterConfigFactory.java:39-67``)
+  -> :class:`IndexConfig` (segment sizing, block size for block-max, codec).
+- The index/query analyzer-compatibility constraint
+  (``ChemicalIndex.java:148-151``, ``FingerprintType.isCompatible:578-586``)
+  is enforced by hashing :class:`AnalyzerConfig` into the segment manifest and
+  refusing queries under a mismatched config (see state/segment.py).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+from dataclasses import dataclass, field, asdict
+
+
+@dataclass(frozen=True)
+class BM25Params:
+    """BM25 scoring parameters (Lucene-style idf).
+
+    score(q, d) = sum_t idf(t) * tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl))
+    idf(t)      = ln(1 + (N - df + 0.5) / (df + 0.5))
+
+    Accumulation contract (rank-identity with the oracle): per-document
+    contributions are added in ascending term order, in float64, and the final
+    score is rounded to float32. Mirrors the fixed-summation-order requirement
+    called out in SURVEY.md §7.4(2).
+    """
+
+    k1: float = 1.2
+    b: float = 0.75
+
+
+@dataclass(frozen=True)
+class AnalyzerConfig:
+    """Tokenizer settings; hashed into segment manifests.
+
+    Reference analog: the 9-member ``FingerprintType`` enum + settings
+    (``fingerprint/FingerprintType.java:42-434``). The reference keeps
+    *asymmetric* index-time vs query-time settings (Avalon structure vs query
+    bit flags, ``LuceneBenchmark.java:589-599``); we keep two config slots in
+    the manifest (``index_analyzer`` / ``query_analyzer``) with a
+    compatibility check.
+    """
+
+    name: str = "standard"          # registry key, see functions/analyze.py
+    lowercase: bool = True
+    token_pattern: str = "[a-z0-9]+"  # applied AFTER lowercasing
+    stopwords: tuple[str, ...] = ()   # "english" preset available via registry
+    min_token_len: int = 1
+    max_token_len: int = 64
+
+    def fingerprint(self) -> str:
+        """Stable hash used for index/query compatibility checks."""
+        payload = json.dumps(asdict(self), sort_keys=True).encode()
+        return hashlib.sha256(payload).hexdigest()[:16]
+
+
+@dataclass(frozen=True)
+class IndexConfig:
+    """Physical index layout knobs.
+
+    ``docs_per_segment`` is the doc-id range width of one segment — this IS
+    the head-term salting mechanism (SURVEY §7.1(6)): every posting list is
+    split by doc-id range into per-segment chunks, so the widest possible
+    groupby-term group is bounded by ``docs_per_segment`` regardless of a
+    term's global df. Chunks are doc-id-disjoint and ordered, so concatenation
+    preserves sorted posting lists.
+    """
+
+    docs_per_segment: int = 1 << 20   # 1M docs per segment at scale
+    term_buckets: int = 32            # groupby salt: (segment, hash(term)%B) groups
+    block_size: int = 128             # postings per block-max block (Lucene BMW-style)
+    bm25: BM25Params = field(default_factory=BM25Params)
+    index_analyzer: AnalyzerConfig = field(default_factory=AnalyzerConfig)
+    query_analyzer: AnalyzerConfig = field(default_factory=AnalyzerConfig)
+    # extra sub-salt inside a segment when a single (segment, term) group is
+    # still too large; 1 = off. Group width bound = docs_per_segment / sub_salt.
+    sub_salt: int = 1
+
+    def manifest_dict(self) -> dict:
+        return {
+            "docs_per_segment": self.docs_per_segment,
+            "term_buckets": self.term_buckets,
+            "block_size": self.block_size,
+            "bm25": asdict(self.bm25),
+            "index_analyzer": asdict(self.index_analyzer),
+            "index_analyzer_fp": self.index_analyzer.fingerprint(),
+            "query_analyzer": asdict(self.query_analyzer),
+            "query_analyzer_fp": self.query_analyzer.fingerprint(),
+            "sub_salt": self.sub_salt,
+        }

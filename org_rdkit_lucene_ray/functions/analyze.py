@@ -1,0 +1,171 @@
+"""Analyzer (tokenizer) registry — text -> (term, tf) — vectorized.
+
+Reference analogs:
+- ``AnalyzerFactory`` extension point (``AnalyzerFactory.java:37-39``,
+  ``StandardAnalyzerFactory.java:39-51``) -> :data:`REGISTRY`.
+- fingerprinting, the reference's "tokenize" (SMILES -> bit vector,
+  ``DefaultFingerprintFactory.createFingerprint:172-224``; 9 pluggable types,
+  ``fingerprint/FingerprintType.java:44-434``) -> pluggable analyzers here.
+- postings emission (one index term per set bit,
+  ``ChemicalIndex.java:822-825``) -> :func:`postings_from_batch` producing
+  the flat ``(term, doc_id, tf, dl)`` table.
+- query canonicalization (``ChemicalIndex.java:582``) -> :func:`analyze_text`
+  applied to query strings — query and index paths share this exact code,
+  which is what makes rank-identity possible (SURVEY M9).
+
+Three faithful implementations of the SAME tokenization are kept in sync:
+1. :func:`tokenize_column` — pyarrow.compute (re2), the hot distributed path;
+2. :func:`analyze_text` — plain Python (oracle + per-query path);
+3. :func:`sql_tokens_expr` — a DuckDB SQL expression used by the driver's
+   oracle queries. Unit tests assert 1 == 2 and (via the driver) 2 == 3.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from org_rdkit_lucene_ray.config import AnalyzerConfig
+
+# A small English stopword list (fixed; part of the analyzer fingerprint).
+ENGLISH_STOPWORDS: tuple[str, ...] = (
+    "a", "an", "and", "are", "as", "at", "be", "but", "by", "for", "if",
+    "in", "into", "is", "it", "no", "not", "of", "on", "or", "such", "that",
+    "the", "their", "then", "there", "these", "they", "this", "to", "was",
+    "will", "with",
+)
+
+REGISTRY: dict[str, AnalyzerConfig] = {
+    # mirrors the reference's type enum: one registry key per analyzer flavor
+    "standard": AnalyzerConfig(name="standard"),
+    "standard_en_stop": AnalyzerConfig(name="standard_en_stop", stopwords=ENGLISH_STOPWORDS),
+    "whitespace": AnalyzerConfig(name="whitespace", lowercase=False, token_pattern=r"[^\s]+"),
+    "keyword": AnalyzerConfig(name="keyword", lowercase=False, token_pattern=r".+"),
+}
+
+
+def get_analyzer(name: str) -> AnalyzerConfig:
+    try:
+        return REGISTRY[name]
+    except KeyError:  # ChemicalIndex.java:148-151 analog: unknown/mismatched analyzer
+        raise ValueError(f"unknown analyzer {name!r}; known: {sorted(REGISTRY)}") from None
+
+
+# ---------------------------------------------------------------- python path
+_PY_RE_CACHE: dict[tuple, re.Pattern] = {}
+
+
+def _py_pattern(cfg: AnalyzerConfig) -> re.Pattern:
+    key = (cfg.token_pattern,)
+    pat = _PY_RE_CACHE.get(key)
+    if pat is None:
+        pat = _PY_RE_CACHE[key] = re.compile(cfg.token_pattern)
+    return pat
+
+
+def analyze_text(text: str, cfg: AnalyzerConfig) -> list[str]:
+    """Tokenize one string. Duplicates preserved, order preserved."""
+    if text is None:
+        return []
+    if cfg.lowercase:
+        text = text.lower()
+    toks = _py_pattern(cfg).findall(text)
+    stop = set(cfg.stopwords)
+    return [
+        t for t in toks
+        if cfg.min_token_len <= len(t) <= cfg.max_token_len and t not in stop
+    ]
+
+
+# ----------------------------------------------------------------- arrow path
+def tokenize_column(texts: pa.Array | pa.ChunkedArray, cfg: AnalyzerConfig) -> pa.ListArray:
+    """Vectorized tokenize of a string column -> list<string> of terms."""
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    s = pc.utf8_lower(texts) if cfg.lowercase else texts
+    # Split on the complement of the token pattern. For the standard analyzer
+    # token_pattern is a char class, so its complement is the separator class.
+    if cfg.token_pattern == "[a-z0-9]+":
+        sep = "[^a-z0-9]+"
+    elif cfg.token_pattern == r"[^\s]+":
+        sep = r"\s+"
+    else:
+        # generic fallback: python path per row (slow; only 'keyword' etc.)
+        pylists = [analyze_text(t, cfg) for t in s.to_pylist()]
+        return pa.array(pylists, type=pa.list_(pa.string()))
+    toks = pc.split_pattern_regex(s, pattern=sep)
+    flat = pc.list_flatten(toks)
+    parents = pc.list_parent_indices(toks)
+    keep = pc.not_equal(flat, "")
+    if cfg.min_token_len > 1:
+        keep = pc.and_(keep, pc.greater_equal(pc.utf8_length(flat), cfg.min_token_len))
+    if cfg.max_token_len:
+        keep = pc.and_(keep, pc.less_equal(pc.utf8_length(flat), cfg.max_token_len))
+    if cfg.stopwords:
+        keep = pc.and_(keep, pc.invert(pc.is_in(flat, value_set=pa.array(cfg.stopwords))))
+    flat = flat.filter(keep)
+    parents = parents.filter(keep)
+    # rebuild list array from (parent, token) pairs; parents are sorted
+    counts = np.zeros(len(texts), dtype=np.int64)
+    pnp = parents.to_numpy(zero_copy_only=False)
+    if len(pnp):
+        uniq, cnt = np.unique(pnp, return_counts=True)
+        counts[uniq] = cnt
+    offsets = np.concatenate([[0], np.cumsum(counts)])
+    return pa.ListArray.from_arrays(pa.array(offsets, type=pa.int32()), flat)
+
+
+def postings_from_batch(
+    doc_ids: pa.Array | np.ndarray,
+    texts: pa.Array | pa.ChunkedArray,
+    cfg: AnalyzerConfig,
+) -> tuple[pa.Table, pa.Table]:
+    """One Arrow batch -> (postings, doclens).
+
+    postings: ``term:string, doc_id:int64, tf:int32, dl:int32`` — ``dl`` (doc
+    token count) rides along with every posting so downstream block-max
+    encoding never needs a doc-length join (SURVEY §7.1(5) design note).
+    doclens: ``doc_id:int64, dl:int32`` (one row per doc, incl. empty docs).
+
+    Fully vectorized: re2 split + arrow group_by; no Python per row.
+    """
+    if isinstance(doc_ids, np.ndarray):
+        doc_ids = pa.array(doc_ids, type=pa.int64())
+    toks = tokenize_column(texts, cfg)
+    flat = pc.list_flatten(toks)
+    parents = pc.list_parent_indices(toks)
+    dl = pc.cast(pc.list_value_length(toks), pa.int32())
+    doclens = pa.table({"doc_id": pc.cast(doc_ids, pa.int64()), "dl": dl})
+    pairs = pa.table({
+        "doc_id": pc.take(doc_ids, parents),
+        "term": flat,
+        "dl": pc.take(dl, parents),
+    })
+    grouped = pairs.group_by(["doc_id", "term", "dl"]).aggregate([("term", "count")])
+    postings = pa.table({
+        "term": grouped["term"],
+        "doc_id": pc.cast(grouped["doc_id"], pa.int64()),
+        "tf": pc.cast(grouped["term_count"], pa.int32()),
+        "dl": grouped["dl"],
+    })
+    return postings, doclens
+
+
+# ------------------------------------------------------------------- sql path
+def sql_tokens_expr(col: str, cfg: AnalyzerConfig | None = None) -> str:
+    """DuckDB expression producing the SAME token list as :func:`analyze_text`.
+
+    Used to build the driver's oracle SQL so the SQL tokenizer can never
+    drift from the engine tokenizer.
+    """
+    cfg = cfg or REGISTRY["standard"]
+    if cfg.token_pattern != "[a-z0-9]+" or not cfg.lowercase:
+        raise ValueError("sql path only mirrors the 'standard' analyzer family")
+    expr = f"list_filter(string_split_regex(lower({col}), '[^a-z0-9]+'), x -> x <> '')"
+    if cfg.stopwords:
+        stoplist = ", ".join(f"'{w}'" for w in cfg.stopwords)
+        expr = f"list_filter({expr}, x -> x NOT IN ({stoplist}))"
+    return expr

@@ -1,0 +1,532 @@
+"""Distributed inverted-index build (the ``-index`` entry point rebuilt).
+
+Reference lifecycle being re-expressed (SURVEY §3.1,
+``LuceneBenchmark.index() :574-623`` -> ``ChemicalIndex.addSDFFileToIndex``):
+single-threaded SDF loop -> canonicalize -> fingerprint -> addDocument.
+Here the same computation is three Ray Data phases over Parquet pages:
+
+Phase DEDUP (J6, upsert/delete-by-PK analog ``ChemicalIndex.java:801``):
+    slim column-pruned read (url, warc_ts) -> ``groupby("url")`` ->
+    losers table (every row but the max-(warc_ts, doc_id) one per url),
+    sorted by doc_id and written to Parquet. Workers anti-join against it
+    with row-group predicate pushdown — the loser set never rides the
+    driver (SURVEY §2.4 J6: "broadcast small sides; at scale, pushdown").
+
+Phase A (tokenize; the expensive, checkpointed pass):
+    a Dataset of fragment descriptors -> ``map_batches(FragmentTokenizer)``
+    actor pool. Each fragment: row-group-streamed pruned read ->
+    ``extract_text(html)`` (byte-identity invariant verified against the
+    shipped ``text`` column) -> vectorized tokenize -> postings
+    ``(term, doc_id, tf, dl)`` + forward-index Parquet, written atomically,
+    manifest row committed last (resume = skip committed fragments).
+    doc_id = fragment base (prefix sum over path-sorted fragments) + row
+    offset — deterministic across runs and resumes (SURVEY §7.4(1)).
+
+Phase B (the wide step — groupby-term shuffle with explicit skew handling):
+    read postings -> add ``segment_id = doc_id // docs_per_segment`` and
+    ``bucket = stable_hash(term) % term_buckets`` ->
+    ``groupby(["segment_id", "bucket"])`` -> encode every term's chunk in
+    the group (delta+varint + block-max) -> one atomically-renamed Parquet
+    chunk file per group. Skew: a term's postings are pre-split by doc-id
+    range (segment), so the largest possible group is bounded by
+    ``docs_per_segment`` postings no matter how hot the head term is —
+    salting-by-docID-range per SURVEY §7.1(6); sub-lists stay sorted and
+    concatenable. Resume = completed (segment,bucket) chunks are filtered
+    out BEFORE the shuffle.
+
+Phase C: global df table — per-batch partial counts -> tiny
+    ``groupby("term")`` -> ``df`` Parquet (A4 corpus statistics).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import ray.data as rd
+
+from org_rdkit_lucene_ray.config import IndexConfig
+from org_rdkit_lucene_ray.functions.analyze import postings_from_batch
+from org_rdkit_lucene_ray.functions.codec import encode_posting_list
+from org_rdkit_lucene_ray.functions.html import extract_text
+from org_rdkit_lucene_ray.state import checkpoint as ckpt
+from org_rdkit_lucene_ray.state.segment import (
+    SEGMENT_SCHEMA,
+    atomic_write_json,
+    atomic_write_table,
+    gen_name,
+    segment_chunk_path,
+    set_current_generation,
+)
+
+
+def _default_concurrency(n_units: int) -> int:
+    """Actor-pool size: min(work units, cluster CPUs). Sized so the pool does
+    not starve the read/write stages (ray_guide 'Stateful stages')."""
+    import ray
+
+    cpus = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
+    return max(1, min(n_units, cpus))
+
+
+def stable_term_hash(terms) -> np.ndarray:
+    """Deterministic (cross-process, cross-run) uint64 hash of a string array.
+
+    pandas' siphash with its fixed default key — vectorized in cython."""
+    arr = np.asarray(pa.array(terms).to_pylist() if isinstance(terms, (pa.Array, pa.ChunkedArray)) else terms, dtype=object)
+    return pd.util.hash_array(arr, categorize=False)
+
+
+# --------------------------------------------------------------------- plan
+def plan_fragments(input_paths: str | list[str]) -> list[dict]:
+    """Fragment descriptors with deterministic doc-id bases.
+
+    Fragments are ordered by path (the canonical ordering pinned into the
+    manifest, SURVEY §7.4(1)); bases are the prefix sum of Parquet footer
+    row counts. Footer reads are metadata-only and cheap; at very large
+    fragment counts this loop itself becomes a small Ray map over paths."""
+    if isinstance(input_paths, str):
+        root = input_paths
+        paths = sorted(
+            os.path.join(root, f) for f in os.listdir(root) if f.endswith(".parquet")
+        )
+    else:
+        paths = sorted(input_paths)
+    if not paths:
+        raise FileNotFoundError(f"no parquet fragments under {input_paths}")
+    frags, base = [], 0
+    for i, p in enumerate(paths):
+        rows = pq.read_metadata(p).num_rows
+        frags.append({"fragment_id": i, "path": p, "base": base, "rows": rows})
+        base += rows
+    return frags
+
+
+# -------------------------------------------------------------------- dedup
+class _SlimReader:
+    """Column-pruned (url, warc_ts) read with deterministic doc ids."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out = []
+        for row in batch.to_pylist():
+            t = pq.read_table(row["path"], columns=["url", "warc_ts"])
+            n = t.num_rows
+            out.append(pa.table({
+                "url": t["url"],
+                "warc_ts_us": pc.cast(t["warc_ts"], pa.int64()),
+                "doc_id": pa.array(row["base"] + np.arange(n, dtype=np.int64)),
+            }))
+        return pa.concat_tables(out)
+
+
+def _losers_of_group(group: pa.Table) -> pa.Table:
+    """All doc_ids of a url group except the winner (max warc_ts, then max
+    doc_id — last write wins, J6)."""
+    if group.num_rows <= 1:
+        return pa.table({"doc_id": pa.array([], pa.int64())})
+    ts = group["warc_ts_us"].to_numpy()
+    ids = group["doc_id"].to_numpy()
+    win = np.lexsort((ids, ts))[-1]
+    keep = np.ones(len(ids), dtype=bool)
+    keep[win] = False
+    return pa.table({"doc_id": pa.array(np.sort(ids[keep]))})
+
+
+def compute_dup_losers(fragments: list[dict], work_dir: str) -> str:
+    """DEDUP phase -> directory of doc_id Parquet files, globally sorted."""
+    losers_dir = os.path.join(work_dir, "losers")
+    done = os.path.join(losers_dir, "_SUCCESS")
+    if os.path.exists(done):
+        return losers_dir
+    ds = rd.from_items(fragments, override_num_blocks=len(fragments))
+    losers = (
+        ds.map_batches(_SlimReader, batch_format="pyarrow", batch_size=None,
+                       concurrency=_default_concurrency(len(fragments)))
+        .groupby("url")
+        .map_groups(_losers_of_group, batch_format="pyarrow")
+        .sort("doc_id")
+    )
+    losers.write_parquet(losers_dir)
+    with open(done, "w") as f:
+        f.write("ok")
+    return losers_dir
+
+
+def _read_losers_in_range(losers_dir: str | None, lo: int, hi: int) -> np.ndarray:
+    if not losers_dir or not os.path.isdir(losers_dir):
+        return np.zeros(0, dtype=np.int64)
+    flt = [("doc_id", ">=", lo), ("doc_id", "<", hi)]
+    tabs = []
+    for f in os.listdir(losers_dir):
+        if f.endswith(".parquet"):
+            tabs.append(pq.read_table(os.path.join(losers_dir, f), filters=flt))
+    if not tabs:
+        return np.zeros(0, dtype=np.int64)
+    out = pa.concat_tables(tabs)
+    return np.sort(out["doc_id"].to_numpy()) if out.num_rows else np.zeros(0, dtype=np.int64)
+
+
+# ------------------------------------------------------------------ phase A
+class FragmentTokenizer:
+    """Actor-pool stage: one __call__ processes one fragment descriptor.
+
+    Reference analog T1: heavyweight per-worker state (RDKit native-lib
+    activation, ``bin/RDKit.activate:114-189``) is built once per actor in
+    ``__init__`` — here the analyzer config and compiled regex state.
+    Per-record error tolerance mirrors M12 (``ChemicalIndex.java:280-292``):
+    extraction mismatches are counted per fragment, not fatal.
+    """
+
+    def __init__(self, work_dir: str, fwd_dir: str, cfg: IndexConfig,
+                 losers_dir: str | None, use_html: bool, text_column: str,
+                 url_column: str | None, ts_column: str | None,
+                 lang_column: str | None, id_column: str | None,
+                 verify_extraction: bool):
+        self.work_dir = work_dir
+        self.fwd_dir = fwd_dir
+        self.cfg = cfg
+        self.analyzer = cfg.index_analyzer
+        self.losers_dir = losers_dir
+        self.use_html = use_html
+        self.text_column = text_column
+        self.url_column = url_column
+        self.ts_column = ts_column
+        self.lang_column = lang_column
+        self.id_column = id_column
+        self.verify_extraction = verify_extraction
+
+    def _columns(self) -> list[str]:
+        cols = []
+        if self.use_html:
+            cols.append("html")
+        if not self.use_html or self.verify_extraction:
+            cols.append(self.text_column)
+        for c in (self.url_column, self.ts_column, self.lang_column, self.id_column):
+            if c:
+                cols.append(c)
+        return list(dict.fromkeys(cols))
+
+    def _process_fragment(self, frag: dict) -> dict:
+        fid, path, base, rows = (
+            int(frag["fragment_id"]), frag["path"], int(frag["base"]), int(frag["rows"])
+        )
+        existing = ckpt.load_fragment_manifest(self.work_dir, fid)
+        if existing is not None:
+            existing["resumed_skip"] = True
+            return existing
+
+        sw = ckpt.Stopwatch()
+        losers = _read_losers_in_range(self.losers_dir, base, base + rows)
+        pf = pq.ParquetFile(path)
+        post_parts, fwd_parts = [], []
+        offset = 0
+        mismatches = 0
+        for rg in range(pf.num_row_groups):
+            t = pf.read_row_group(rg, columns=self._columns())
+            n = t.num_rows
+            if self.id_column:
+                doc_ids = t[self.id_column].to_numpy().astype(np.int64)
+            else:
+                doc_ids = base + offset + np.arange(n, dtype=np.int64)
+            offset += n
+            if self.use_html:
+                text = extract_text(t["html"].combine_chunks())
+                if self.verify_extraction and self.text_column in t.column_names:
+                    golden = t[self.text_column].combine_chunks()
+                    mismatches += int(
+                        pc.sum(pc.cast(pc.not_equal(text, golden), pa.int64())).as_py() or 0
+                    )
+            else:
+                text = t[self.text_column].combine_chunks()
+            if losers.size:
+                keep = ~np.isin(doc_ids, losers, assume_unique=False)
+                if not keep.all():
+                    idx = np.flatnonzero(keep)
+                    doc_ids = doc_ids[idx]
+                    text = text.take(pa.array(idx))
+                    t = t.take(pa.array(idx))
+            postings, doclens = postings_from_batch(doc_ids, text, self.analyzer)
+            post_parts.append(postings)
+            fwd_cols = {"doc_id": pa.array(doc_ids, pa.int64()), "dl": doclens["dl"]}
+            if self.url_column:
+                fwd_cols["url"] = t[self.url_column].combine_chunks()
+            else:
+                fwd_cols["url"] = pc.binary_join_element_wise(
+                    pa.array(["doc://"] * len(doc_ids)),
+                    pc.cast(pa.array(doc_ids), pa.string()), "")
+            if self.ts_column:
+                fwd_cols["warc_ts"] = t[self.ts_column].combine_chunks()
+            if self.lang_column:
+                fwd_cols["lang"] = t[self.lang_column].combine_chunks()
+            fwd_parts.append(pa.table(fwd_cols))
+
+        postings_tbl = pa.concat_tables(post_parts) if post_parts else None
+        fwd_tbl = pa.concat_tables(fwd_parts)
+        nbytes = 0
+        post_path = os.path.join(self.work_dir, "postings", f"frag-{fid:06d}.parquet")
+        if postings_tbl is not None and postings_tbl.num_rows:
+            nbytes += atomic_write_table(postings_tbl, post_path, compression="zstd")
+        nbytes += atomic_write_table(fwd_tbl, os.path.join(self.fwd_dir, f"frag-{fid:06d}.parquet"))
+        row = {
+            "input_fragment": path,
+            "base": base,
+            "input_rows": rows,
+            "docs": int(fwd_tbl.num_rows),
+            "postings": int(postings_tbl.num_rows if postings_tbl is not None else 0),
+            "sum_dl": int(pc.sum(fwd_tbl["dl"]).as_py() or 0),
+            "dedup_dropped": int(rows - fwd_tbl.num_rows),
+            "extract_mismatches": mismatches,
+            "bytes": int(nbytes),
+            "seconds": sw.secs(),
+        }
+        return ckpt.commit_fragment_manifest(self.work_dir, fid, row)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        rows = [self._process_fragment(f) for f in batch.to_pylist()]
+        keys = ["fragment_id", "input_fragment", "base", "input_rows", "docs",
+                "postings", "sum_dl", "dedup_dropped", "extract_mismatches",
+                "bytes", "seconds", "docs_per_sec", "postings_per_sec"]
+        return pa.table({k: [r.get(k) for r in rows] for k in keys})
+
+
+# ------------------------------------------------------------------ phase B
+def _existing_chunks(gdir: str) -> set[tuple[int, int]]:
+    out = set()
+    seg_root = os.path.join(gdir, "segments")
+    if not os.path.isdir(seg_root):
+        return out
+    for seg in os.listdir(seg_root):
+        if not seg.startswith("seg="):
+            continue
+        sid = int(seg.split("=")[1])
+        for f in os.listdir(os.path.join(seg_root, seg)):
+            if f.startswith("bucket-") and f.endswith(".parquet"):
+                out.add((sid, int(f[len("bucket-"):-len(".parquet")])))
+    return out
+
+
+class _EncodeGroup:
+    """Encode every term chunk of one (segment_id, bucket) group and write
+    the chunk file atomically. Stateless task fn (config rides the closure)."""
+
+    def __init__(self, gdir: str, cfg: IndexConfig, avgdl: float):
+        self.gdir = gdir
+        self.cfg = cfg
+        self.avgdl = avgdl
+
+    def __call__(self, group: pa.Table) -> pa.Table:
+        sid = int(group["segment_id"][0].as_py())
+        bucket = int(group["bucket"][0].as_py())
+        order = pc.sort_indices(group, sort_keys=[("term", "ascending"), ("doc_id", "ascending")])
+        g = group.take(order)
+        terms = np.asarray(g["term"].to_pylist(), dtype=object)
+        docs = g["doc_id"].to_numpy()
+        tfs = g["tf"].to_numpy()
+        dls = g["dl"].to_numpy()
+        # term boundaries over the sorted block
+        uniq, starts = np.unique(terms, return_index=True)
+        starts = np.sort(starts)
+        bounds = np.concatenate([starts, [len(terms)]])
+        rows = {k: [] for k in ("term", "df_chunk", "doc_bytes", "tf_bytes",
+                                "dl_bytes", "bm_first_doc", "bm_last_doc", "bm_max_tfn")}
+        for i in range(len(starts)):
+            s, e = bounds[i], bounds[i + 1]
+            enc = encode_posting_list(
+                docs[s:e], tfs[s:e], dls[s:e],
+                avgdl=self.avgdl, bm25=self.cfg.bm25, block_size=self.cfg.block_size,
+            )
+            rows["term"].append(terms[s])
+            rows["df_chunk"].append(enc["df_chunk"])
+            rows["doc_bytes"].append(enc["doc_bytes"])
+            rows["tf_bytes"].append(enc["tf_bytes"])
+            rows["dl_bytes"].append(enc["dl_bytes"])
+            rows["bm_first_doc"].append(enc["bm_first_doc"])
+            rows["bm_last_doc"].append(enc["bm_last_doc"])
+            rows["bm_max_tfn"].append(enc["bm_max_tfn"])
+        chunk = pa.table(
+            {"term": pa.array(rows["term"], pa.string()),
+             "df_chunk": pa.array(rows["df_chunk"], pa.int32()),
+             "doc_bytes": pa.array(rows["doc_bytes"], pa.binary()),
+             "tf_bytes": pa.array(rows["tf_bytes"], pa.binary()),
+             "dl_bytes": pa.array(rows["dl_bytes"], pa.binary()),
+             "bm_first_doc": pa.array([np.asarray(x) for x in rows["bm_first_doc"]], pa.list_(pa.int64())),
+             "bm_last_doc": pa.array([np.asarray(x) for x in rows["bm_last_doc"]], pa.list_(pa.int64())),
+             "bm_max_tfn": pa.array([np.asarray(x) for x in rows["bm_max_tfn"]], pa.list_(pa.float32()))},
+        ).cast(SEGMENT_SCHEMA)
+        # chunk files are sorted by term -> row-group stats allow term pruning
+        path = segment_chunk_path(self.gdir, sid, bucket)
+        nbytes = atomic_write_table(chunk, path, row_group_size=8192)
+        return pa.table({
+            "segment_id": pa.array([sid], pa.int32()),
+            "bucket": pa.array([bucket], pa.int32()),
+            "terms": pa.array([chunk.num_rows], pa.int64()),
+            "postings": pa.array([int(docs.size)], pa.int64()),
+            "bytes_compressed": pa.array([nbytes], pa.int64()),
+        })
+
+
+def encode_segments(work_dir: str, gdir: str, cfg: IndexConfig, avgdl: float) -> list[dict]:
+    """Phase B driver: postings -> groupby(segment,bucket) -> chunk files."""
+    post_dir = os.path.join(work_dir, "postings")
+    done = _existing_chunks(gdir)
+
+    B = cfg.term_buckets
+    D = cfg.docs_per_segment
+
+    def add_keys(t: pa.Table) -> pa.Table:
+        seg = pa.array((t["doc_id"].to_numpy() // D).astype(np.int32))
+        bucket = pa.array((stable_term_hash(t["term"]) % B).astype(np.int32))
+        t = t.append_column("segment_id", seg).append_column("bucket", bucket)
+        if done:
+            segs = t["segment_id"].to_numpy().astype(np.int64)
+            bks = t["bucket"].to_numpy().astype(np.int64)
+            key = segs * (B + 1) + bks
+            done_keys = np.asarray([s * (B + 1) + b for s, b in done], dtype=np.int64)
+            keep = ~np.isin(key, done_keys)
+            t = t.filter(pa.array(keep))
+        return t
+
+    encoder = _EncodeGroup(gdir, cfg, avgdl)
+
+    def encode_group(group: pa.Table) -> pa.Table:
+        return encoder(group)
+
+    ds = rd.read_parquet(post_dir, columns=["term", "doc_id", "tf", "dl"])
+    enc = (
+        ds.map_batches(add_keys, batch_format="pyarrow")
+        .groupby(["segment_id", "bucket"])
+        .map_groups(encode_group, batch_format="pyarrow")
+    )
+    rows = enc.take_all()  # one row per (segment,bucket) — small
+    return rows
+
+
+# ------------------------------------------------------------------ phase C
+def build_df_table(gdir: str) -> int:
+    """Global (term, df) table from segment dictionaries — partial counts per
+    batch, then a tiny groupby-term shuffle (A4)."""
+    from ray.data.aggregate import Sum
+
+    seg_dir = os.path.join(gdir, "segments")
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by("term").aggregate([("df_chunk", "sum")])
+        return pa.table({"term": g["term"], "df_part": pc.cast(g["df_chunk_sum"], pa.int64())})
+
+    ds = (
+        rd.read_parquet(seg_dir, columns=["term", "df_chunk"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("term")
+        .aggregate(Sum("df_part", alias_name="df"))
+    )
+    out_dir = os.path.join(gdir, "df")
+    ds.write_parquet(out_dir)
+    return sum(
+        pq.read_metadata(os.path.join(out_dir, f)).num_rows
+        for f in os.listdir(out_dir) if f.endswith(".parquet")
+    )
+
+
+# -------------------------------------------------------------------- driver
+def build_index(
+    input_paths: str | list[str],
+    index_dir: str,
+    *,
+    cfg: IndexConfig | None = None,
+    work_dir: str | None = None,
+    use_html: bool | None = None,
+    text_column: str = "text",
+    url_column: str | None = "url",
+    ts_column: str | None = "warc_ts",
+    lang_column: str | None = "lang",
+    id_column: str | None = None,
+    dedup: bool = True,
+    verify_extraction: bool = True,
+    concurrency: int | tuple[int, int] | None = None,
+) -> dict:
+    """End-to-end build. Idempotent/resumable: re-running after a crash skips
+    committed fragments (Phase A) and committed chunk files (Phase B)."""
+    cfg = cfg or IndexConfig()
+    work_dir = work_dir or os.path.join(index_dir, "work")
+    os.makedirs(work_dir, exist_ok=True)
+
+    # pin the target generation so resumes land in the same directory
+    build_cfg_path = os.path.join(work_dir, "build_config.json")
+    if os.path.exists(build_cfg_path):
+        import json
+        with open(build_cfg_path) as f:
+            target_gen = json.load(f)["target_gen"]
+    else:
+        target_gen = gen_name(0)
+        atomic_write_json({"target_gen": target_gen, "config": cfg.manifest_dict()}, build_cfg_path)
+    gdir = os.path.join(index_dir, target_gen)
+    fwd_dir = os.path.join(gdir, "fwd")
+    os.makedirs(fwd_dir, exist_ok=True)
+
+    t0 = time.perf_counter()
+    fragments = plan_fragments(input_paths)
+    if use_html is None:
+        use_html = "html" in pq.read_schema(fragments[0]["path"]).names
+
+    losers_dir = compute_dup_losers(fragments, work_dir) if dedup else None
+    t_dedup = time.perf_counter()
+
+    frag_ds = rd.from_items(fragments, override_num_blocks=len(fragments))
+    mani_ds = frag_ds.map_batches(
+        FragmentTokenizer,
+        fn_constructor_kwargs=dict(
+            work_dir=work_dir, fwd_dir=fwd_dir, cfg=cfg, losers_dir=losers_dir,
+            use_html=use_html, text_column=text_column, url_column=url_column,
+            ts_column=ts_column, lang_column=lang_column, id_column=id_column,
+            verify_extraction=verify_extraction,
+        ),
+        batch_format="pyarrow",
+        batch_size=1,
+        concurrency=concurrency or _default_concurrency(len(fragments)),
+    )
+    frag_rows = mani_ds.take_all()  # one row per fragment — small
+    t_tokenize = time.perf_counter()
+
+    n_docs = sum(r["docs"] for r in frag_rows)
+    sum_dl = sum(r["sum_dl"] for r in frag_rows)
+    n_postings = sum(r["postings"] for r in frag_rows)
+    avgdl = (sum_dl / n_docs) if n_docs else 0.0
+
+    chunk_rows = encode_segments(work_dir, gdir, cfg, avgdl)
+    t_encode = time.perf_counter()
+    n_terms_global = build_df_table(gdir)
+    t_df = time.perf_counter()
+
+    manifest = {
+        "generation": target_gen,
+        "config": cfg.manifest_dict(),
+        "stats": {
+            "n_docs": n_docs,
+            "sum_dl": sum_dl,
+            "avgdl": avgdl,
+            "n_postings": n_postings,
+            "n_terms": n_terms_global,
+            "n_fragments": len(fragments),
+            "n_segments": len({r["segment_id"] for r in chunk_rows}),
+            "bytes_compressed": sum(r["bytes_compressed"] for r in chunk_rows),
+            "dedup_dropped": sum(r["dedup_dropped"] for r in frag_rows),
+            "extract_mismatches": sum(r["extract_mismatches"] for r in frag_rows),
+        },
+        "timings_sec": {
+            "dedup": t_dedup - t0,
+            "tokenize": t_tokenize - t_dedup,
+            "encode_shuffle": t_encode - t_tokenize,
+            "df_table": t_df - t_encode,
+            "total": t_df - t0,
+        },
+        "fragments": frag_rows,
+        "chunks": chunk_rows,
+    }
+    atomic_write_json(manifest, os.path.join(gdir, "manifest.json"))
+    set_current_generation(index_dir, target_gen)
+    return manifest

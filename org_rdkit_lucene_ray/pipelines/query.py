@@ -1,0 +1,438 @@
+"""BM25 top-k query pipeline: searcher actor pool + block-max WAND.
+
+Reference analogs:
+- ``IndexSearcher`` singleton (T3, ``ChemicalIndex.java:886-904``) ->
+  :class:`Searcher` held inside a ``map_batches`` actor pool
+  (:class:`SearcherStage`): segments are loaded ONCE per actor in
+  ``__init__``, every batch of queries reuses them.
+- bounded top-k PQ with "lower score loses; tie -> larger docID loses"
+  (``SubstructureHitQueue.java:98-118``) -> the heap in :meth:`Searcher.topk`.
+- ``TopScoreDocCollector`` (K2) -> exhaustive scorer; block-max WAND is the
+  pruning variant the north star mandates; both produce IDENTICAL results
+  (tested), and both are float-exact vs the oracle: per-doc contributions
+  are added in ascending term order in float64 and rounded once to float32.
+- hit -> stored-field join (J7, ``getPrimaryKeysForSearchHits:739-767``) ->
+  :meth:`Searcher.resolve_urls` — predicate-pushdown read of the forward
+  index for just the top-k doc ids (a broadcast-small-side join).
+
+Distribution model: one actor scores whole queries against all segment
+chunks it holds (query-parallel). On a multi-node cluster the same classes
+shard by segment: each actor loads a subset of segments, queries fan out,
+and per-segment top-k heaps merge with the same (score desc, doc_id asc)
+comparator via ``sort().limit(k)`` — doc-id ranges are disjoint per segment
+so partial heaps concatenate safely (SURVEY K2). See ``topk_sharded``.
+"""
+
+from __future__ import annotations
+
+import heapq
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import ray.data as rd
+
+from org_rdkit_lucene_ray.config import AnalyzerConfig, BM25Params
+from org_rdkit_lucene_ray.functions.analyze import analyze_text
+from org_rdkit_lucene_ray.functions.codec import varint_decode
+from org_rdkit_lucene_ray.state.segment import (
+    check_query_compat,
+    gen_dir,
+    list_chunk_files,
+    list_segment_ids,
+    read_manifest,
+)
+
+
+class _TermCursor:
+    """Decoded, concatenated posting list of one term + block-max metadata.
+
+    Doc ids are globally ascending because segments are doc-id-range
+    partitions visited in ascending segment order (SURVEY §2.9 ordering
+    invariant)."""
+
+    __slots__ = ("term", "docs", "tfs", "dls", "blk_first", "blk_last",
+                 "blk_maxtfn", "idf", "mult", "pos", "weights", "max_ub", "_k1", "_b", "_avgdl")
+
+    def __init__(self, term, docs, tfs, dls, blk_first, blk_last, blk_maxtfn,
+                 idf, mult, bm25: BM25Params, avgdl: float):
+        self.term = term
+        self.docs = docs
+        self.tfs = tfs
+        self.dls = dls
+        self.blk_first = blk_first
+        self.blk_last = blk_last
+        self.blk_maxtfn = blk_maxtfn
+        self.idf = idf
+        self.mult = mult
+        self.pos = 0
+        self.weights = None
+        self._k1, self._b, self._avgdl = bm25.k1, bm25.b, avgdl
+        # admissible per-term bound: idf*(k1+1)*max block tfn (already
+        # rounded UP to float32 at encode time), times the clause multiplier
+        self.max_ub = mult * idf * (bm25.k1 + 1.0) * float(blk_maxtfn.max())
+
+    # -- scoring -------------------------------------------------------------
+    def weight_vector(self) -> np.ndarray:
+        """Per-posting float64 BM25 weight — the SAME expression, op for op,
+        as OracleIndex.score_all, vectorized."""
+        if self.weights is None:
+            k1, b = self._k1, self._b
+            tf = self.tfs.astype(np.float64)
+            K = k1 * ((1.0 - b) + (b * self.dls.astype(np.float64)) / self._avgdl)
+            self.weights = self.idf * (tf * (k1 + 1.0)) / (tf + K)
+        return self.weights
+
+    def weight_at(self, pos: int) -> float:
+        k1, b = self._k1, self._b
+        tf = float(self.tfs[pos])
+        K = k1 * ((1.0 - b) + (b * float(self.dls[pos])) / self._avgdl)
+        return self.idf * (tf * (k1 + 1.0)) / (tf + K)
+
+    # -- traversal -----------------------------------------------------------
+    @property
+    def exhausted(self) -> bool:
+        return self.pos >= self.docs.size
+
+    @property
+    def doc(self) -> int:
+        return int(self.docs[self.pos])
+
+    def seek(self, target: int) -> None:
+        """Gallop to the first doc >= target."""
+        self.pos += int(np.searchsorted(self.docs[self.pos:], target, side="left"))
+
+    def advance(self) -> None:
+        self.pos += 1
+
+    def block_ub(self, doc: int) -> float:
+        """Upper bound of this clause's contribution at ``doc`` using the
+        block-max metadata of the block containing ``doc``."""
+        i = int(np.searchsorted(self.blk_last, doc, side="left"))
+        if i >= self.blk_maxtfn.size:
+            return 0.0
+        return self.mult * self.idf * (self._k1 + 1.0) * float(self.blk_maxtfn[i])
+
+
+class Searcher:
+    """Open one index generation and answer the reference's search surface."""
+
+    def __init__(self, index_dir: str, generation: str | None = None):
+        self.manifest = read_manifest(index_dir, generation)
+        self.gdir = gen_dir(index_dir, generation)
+        stats = self.manifest["stats"]
+        self.n_docs = int(stats["n_docs"])
+        self.avgdl = float(stats["avgdl"])
+        bm = self.manifest["config"]["bm25"]
+        self.bm25 = BM25Params(k1=bm["k1"], b=bm["b"])
+        qa = self.manifest["config"]["query_analyzer"]
+        qa = {k: tuple(v) if isinstance(v, list) else v for k, v in qa.items()}
+        self.query_cfg = AnalyzerConfig(**qa)
+        check_query_compat(self.manifest, self.query_cfg.fingerprint())
+
+        # segment dictionaries: term -> per-segment row locator. Loaded once
+        # per actor (T3). Chunk tables stay as Arrow (posting blobs decoded
+        # lazily per query).
+        self._segments: list[tuple[int, pa.Table, dict[str, int]]] = []
+        for sid in list_segment_ids(self.gdir):
+            tabs = [pq.read_table(f) for f in list_chunk_files(self.gdir, sid)]
+            if not tabs:
+                continue
+            tbl = pa.concat_tables(tabs).combine_chunks()
+            lookup = {t: i for i, t in enumerate(tbl["term"].to_pylist())}
+            self._segments.append((sid, tbl, lookup))
+        self._df_cache: dict[str, int] = {}
+
+    # ------------------------------------------------------------- stats/meta
+    def df(self, term: str) -> int:
+        d = self._df_cache.get(term)
+        if d is None:
+            d = sum(
+                tbl["df_chunk"][i].as_py()
+                for _, tbl, lk in self._segments
+                if (i := lk.get(term)) is not None
+            )
+            self._df_cache[term] = d
+        return d
+
+    def idf(self, term: str) -> float:
+        import math
+        df = self.df(term)
+        return math.log(1.0 + (self.n_docs - df + 0.5) / (df + 0.5))
+
+    # --------------------------------------------------------------- cursors
+    def _decode_term(self, term: str):
+        """Concatenate this term's chunks across segments (ascending sid)."""
+        docs_l, tfs_l, dls_l, bf_l, bl_l, bm_l = [], [], [], [], [], []
+        for _, tbl, lk in self._segments:
+            i = lk.get(term)
+            if i is None:
+                continue
+            n = tbl["df_chunk"][i].as_py()
+            deltas = varint_decode(np.frombuffer(tbl["doc_bytes"][i].as_buffer(), np.uint8), n)
+            docs_l.append(np.cumsum(deltas.astype(np.int64)))
+            tfs_l.append(varint_decode(np.frombuffer(tbl["tf_bytes"][i].as_buffer(), np.uint8), n).astype(np.int64))
+            dls_l.append(varint_decode(np.frombuffer(tbl["dl_bytes"][i].as_buffer(), np.uint8), n).astype(np.int64))
+            bf_l.append(np.asarray(tbl["bm_first_doc"][i].as_py(), dtype=np.int64))
+            bl_l.append(np.asarray(tbl["bm_last_doc"][i].as_py(), dtype=np.int64))
+            bm_l.append(np.asarray(tbl["bm_max_tfn"][i].as_py(), dtype=np.float32))
+        if not docs_l:
+            return None
+        return (np.concatenate(docs_l), np.concatenate(tfs_l), np.concatenate(dls_l),
+                np.concatenate(bf_l), np.concatenate(bl_l), np.concatenate(bm_l))
+
+    def _cursors(self, query: str):
+        """-> (occurrence term list sorted asc, {term: _TermCursor})."""
+        occurrences = sorted(analyze_text(query, self.query_cfg))
+        cursors: dict[str, _TermCursor] = {}
+        for t in occurrences:
+            if t in cursors:
+                continue
+            dec = self._decode_term(t)
+            if dec is None:
+                continue
+            mult = occurrences.count(t)
+            cursors[t] = _TermCursor(t, *dec, idf=self.idf(t), mult=mult,
+                                     bm25=self.bm25, avgdl=self.avgdl)
+        return occurrences, cursors
+
+    # ------------------------------------------------------------ exhaustive
+    def score_all(self, query: str) -> tuple[np.ndarray, np.ndarray]:
+        """Score every matching doc (TermQuery-OR over clauses).
+
+        float-exact vs the oracle: contributions concatenated in ascending
+        term-occurrence order, stable-sorted by doc, summed left-to-right per
+        doc (np.add.reduceat is sequential below its 128-element pairwise
+        threshold; queries have far fewer clauses than 128)."""
+        occurrences, cursors = self._cursors(query)
+        parts_d, parts_w = [], []
+        for t in occurrences:          # duplicates appear once per occurrence
+            c = cursors.get(t)
+            if c is None:
+                continue
+            parts_d.append(c.docs)
+            parts_w.append(c.weight_vector())
+        if not parts_d:
+            return np.zeros(0, np.int64), np.zeros(0, np.float32)
+        docs = np.concatenate(parts_d)
+        ws = np.concatenate(parts_w)
+        order = np.argsort(docs, kind="stable")
+        docs_s, ws_s = docs[order], ws[order]
+        starts = np.flatnonzero(np.concatenate([[True], docs_s[1:] != docs_s[:-1]]))
+        sums = np.add.reduceat(ws_s, starts)
+        return docs_s[starts], sums.astype(np.float32)
+
+    def topk_exhaustive(self, query: str, k: int) -> list[tuple[int, float]]:
+        docs, scores = self.score_all(query)
+        if docs.size == 0:
+            return []
+        order = np.lexsort((docs, -scores.astype(np.float64)))[:k]
+        return [(int(docs[i]), float(scores[i])) for i in order]
+
+    # ------------------------------------------------------------------ WAND
+    def topk_wand(self, query: str, k: int) -> list[tuple[int, float]]:
+        """Block-max WAND: identical results to exhaustive, fewer evaluations.
+
+        Pruning is admissible under the tie rule (tie -> larger docID loses;
+        docs stream in ascending id, so a candidate tying the heap minimum
+        always loses): skip when bound <= theta."""
+        occurrences, cursors = self._cursors(query)
+        if not cursors:
+            return []
+        heap: list[tuple[float, int]] = []   # (score, -doc_id): min-heap of keepers
+        clause_order = [t for t in occurrences if t in cursors]
+        live = list(cursors.values())
+        while True:
+            live = [c for c in live if not c.exhausted]
+            if not live:
+                break
+            live.sort(key=lambda c: c.doc)
+            theta = heap[0][0] if len(heap) == k else float("-inf")
+            acc, pivot = 0.0, -1
+            for i, c in enumerate(live):
+                acc += c.max_ub
+                if acc > theta:
+                    pivot = i
+                    break
+            if pivot < 0:
+                break                      # no clause set can beat theta
+            pivot_doc = live[pivot].doc
+            if live[0].doc == pivot_doc:
+                at_pivot = [c for c in live if not c.exhausted and c.doc == pivot_doc]
+                bub = sum(c.block_ub(pivot_doc) for c in at_pivot)
+                if len(heap) == k and bub <= theta:
+                    for c in at_pivot:
+                        c.advance()
+                    continue
+                score64 = 0.0
+                for t in clause_order:     # ascending term order, dups adjacent
+                    c = cursors[t]
+                    if not c.exhausted and c.doc == pivot_doc:
+                        score64 += c.weight_at(c.pos)
+                s32 = float(np.float32(score64))
+                entry = (s32, -pivot_doc)
+                if len(heap) < k:
+                    heapq.heappush(heap, entry)
+                elif entry > heap[0]:
+                    heapq.heapreplace(heap, entry)
+                for c in at_pivot:
+                    c.advance()
+            else:
+                for c in live[:pivot]:
+                    if c.doc < pivot_doc:
+                        c.seek(pivot_doc)
+        out = sorted(heap, key=lambda e: (-e[0], -e[1]))
+        return [(-d, s) for s, d in out]
+
+    def topk(self, query: str, k: int, mode: str = "wand") -> list[tuple[int, float]]:
+        if mode == "wand":
+            return self.topk_wand(query, k)
+        return self.topk_exhaustive(query, k)
+
+    # --------------------------------------------- reference-API search peers
+    def search_and(self, query: str) -> np.ndarray:
+        """J3: conjunctive containment (BooleanQuery MUST over terms,
+        ``ChemicalIndex.java:607-637``) — sorted posting intersection."""
+        terms = set(analyze_text(query, self.query_cfg))
+        if not terms:
+            return np.zeros(0, np.int64)
+        sets = []
+        for t in terms:
+            dec = self._decode_term(t)
+            if dec is None:
+                return np.zeros(0, np.int64)
+            sets.append(dec[0])
+        sets.sort(key=len)
+        out = sets[0]
+        for s in sets[1:]:
+            out = out[np.isin(out, s, assume_unique=True)]
+            if out.size == 0:
+                break
+        return out
+
+    def search_or(self, query: str) -> np.ndarray:
+        """J4: disjunctive union (BooleanQuery SHOULD, ``:538-554``)."""
+        terms = set(analyze_text(query, self.query_cfg))
+        parts = [d[0] for t in terms if (d := self._decode_term(t)) is not None]
+        if not parts:
+            return np.zeros(0, np.int64)
+        return np.unique(np.concatenate(parts))
+
+    def search_exact(self, text: str) -> np.ndarray:
+        """J2: exact-match after canonicalization. Canonical form = the token
+        multiset (the analyzer is our 'canonical SMILES',
+        ``ChemicalIndex.java:574-589``): doc matches iff it has exactly the
+        query's tf for every query term and the same total length."""
+        toks = analyze_text(text, self.query_cfg)
+        if not toks:
+            return np.zeros(0, np.int64)
+        from collections import Counter
+        want = Counter(toks)
+        dl_want = len(toks)
+        out = None
+        for t, tf_want in sorted(want.items()):
+            dec = self._decode_term(t)
+            if dec is None:
+                return np.zeros(0, np.int64)
+            docs, tfs, dls = dec[0], dec[1], dec[2]
+            m = (tfs == tf_want) & (dls == dl_want)
+            cand = docs[m]
+            out = cand if out is None else out[np.isin(out, cand, assume_unique=True)]
+            if out.size == 0:
+                return out
+        return out
+
+    def lookup_pk(self, url: str) -> pa.Table:
+        """J1: point lookup by primary key over the forward index
+        (``searchMoleculeByPK:505-519``) — predicate-pushdown scan."""
+        fwd = os.path.join(self.gdir, "fwd")
+        tabs = [
+            pq.read_table(os.path.join(fwd, f), filters=[("url", "==", url)])
+            for f in sorted(os.listdir(fwd)) if f.endswith(".parquet")
+        ]
+        return pa.concat_tables(tabs)
+
+    def resolve_urls(self, doc_ids: list[int]) -> dict[int, str]:
+        """J7: top-k doc ids -> urls via pushdown read of the forward index."""
+        if not doc_ids:
+            return {}
+        ids = sorted(set(int(d) for d in doc_ids))
+        fwd = os.path.join(self.gdir, "fwd")
+        out: dict[int, str] = {}
+        for f in sorted(os.listdir(fwd)):
+            if not f.endswith(".parquet"):
+                continue
+            t = pq.read_table(
+                os.path.join(fwd, f), columns=["doc_id", "url"],
+                filters=[("doc_id", ">=", ids[0]), ("doc_id", "<=", ids[-1])],
+            )
+            if t.num_rows:
+                m = pc.is_in(t["doc_id"], value_set=pa.array(ids, pa.int64()))
+                sel = t.filter(m)
+                out.update(zip(sel["doc_id"].to_pylist(), sel["url"].to_pylist()))
+        return out
+
+
+class SearcherStage:
+    """``map_batches`` actor: batch of queries in, top-k result rows out.
+
+    Output schema (FIXTURES.md §3): query_id:int32, rank:int32, doc_id:int64,
+    url:string, score:float32."""
+
+    def __init__(self, index_dir: str, mode: str = "wand", default_k: int = 10,
+                 resolve_urls: bool = True, generation: str | None = None):
+        self.searcher = Searcher(index_dir, generation)
+        self.mode = mode
+        self.default_k = default_k
+        self.resolve = resolve_urls
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        qids, ranks, docs, scores = [], [], [], []
+        ks = batch["k"].to_pylist() if "k" in batch.column_names else None
+        for i, (qid, q) in enumerate(zip(batch["query_id"].to_pylist(),
+                                         batch["query"].to_pylist())):
+            k = int(ks[i]) if ks else self.default_k
+            hits = self.searcher.topk(q, k, mode=self.mode)
+            for r, (d, s) in enumerate(hits):
+                qids.append(qid)
+                ranks.append(r)
+                docs.append(d)
+                scores.append(s)
+        urls = [None] * len(docs)
+        if self.resolve and docs:
+            lut = self.searcher.resolve_urls(docs)
+            urls = [lut.get(d) for d in docs]
+        return pa.table({
+            "query_id": pa.array(qids, pa.int32()),
+            "rank": pa.array(ranks, pa.int32()),
+            "doc_id": pa.array(docs, pa.int64()),
+            "url": pa.array(urls, pa.string()),
+            "score": pa.array(scores, pa.float32()),
+        })
+
+
+def run_queries(
+    index_dir: str,
+    queries: pa.Table | rd.Dataset,
+    *,
+    mode: str = "wand",
+    concurrency: int | tuple[int, int] | None = None,
+    resolve_urls: bool = True,
+) -> rd.Dataset:
+    """The ``-benchmark`` query workload rebuilt (SURVEY §3.2): queries table
+    -> searcher actor pool -> (query_id, rank, doc_id, url, score)."""
+    ds = rd.from_arrow(queries) if isinstance(queries, pa.Table) else queries
+    if concurrency is None:
+        import ray
+
+        concurrency = max(1, int(ray.cluster_resources().get("CPU", 4)) // 2) \
+            if ray.is_initialized() else 2
+    return ds.map_batches(
+        SearcherStage,
+        fn_constructor_kwargs=dict(index_dir=index_dir, mode=mode, resolve_urls=resolve_urls),
+        batch_format="pyarrow",
+        batch_size=8,
+        concurrency=concurrency,
+    )

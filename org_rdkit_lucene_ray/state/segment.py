@@ -1,0 +1,135 @@
+"""Segment + generation layout on disk.
+
+The explicit rebuild of Lucene's ``Directory``/segment black box
+(``ChemicalIndex.java:864-904``, SURVEY §1.4). Layout::
+
+    index_dir/
+      CURRENT                      # name of the live generation ("gen-000000")
+      gen-000000/
+        manifest.json              # global stats + config + lineage
+        segments/seg=SID/bucket-BBBBB.parquet   # encoded posting-list chunks
+        fwd/frag=PID.parquet       # forward index (doc_id,url,warc_ts,lang,dl)
+        df/part-*.parquet          # global (term, df) table
+      gen-000001/ ...              # produced by merges (log-structured)
+
+Immutable segments + an atomically swapped CURRENT pointer give
+readers/writers isolation without the reference's writer<->searcher locks
+(``ChemicalIndex.java:129-131``). A segment chunk file is one
+``(segment_id, term_bucket)`` groupby output, written temp-then-rename, so a
+crashed encode pass resumes by skipping buckets that already exist
+(SURVEY §7.4(7) resumable-output requirement).
+
+Segment table schema (one row = one term's posting-list chunk within one
+doc-id-range segment)::
+
+    term:string, df_chunk:int32, doc_bytes:binary, tf_bytes:binary,
+    dl_bytes:binary, bm_first_doc:list<int64>, bm_last_doc:list<int64>,
+    bm_max_tfn:list<float32>
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+SEGMENT_SCHEMA = pa.schema([
+    ("term", pa.string()),
+    ("df_chunk", pa.int32()),
+    ("doc_bytes", pa.binary()),
+    ("tf_bytes", pa.binary()),
+    ("dl_bytes", pa.binary()),
+    ("bm_first_doc", pa.list_(pa.int64())),
+    ("bm_last_doc", pa.list_(pa.int64())),
+    ("bm_max_tfn", pa.list_(pa.float32())),
+])
+
+
+def atomic_write_table(table: pa.Table, path: str, **pq_kw) -> int:
+    """Write a Parquet file atomically (temp in same dir + rename).
+
+    Rename within one directory is atomic on POSIX; on object stores the
+    equivalent is a conditional put — the commit point is identical."""
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    tmp = os.path.join(os.path.dirname(path), f".tmp-{uuid.uuid4().hex}")
+    pq.write_table(table, tmp, **pq_kw)
+    size = os.path.getsize(tmp)
+    os.replace(tmp, path)
+    return size
+
+
+def atomic_write_json(obj: dict, path: str) -> None:
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    tmp = os.path.join(os.path.dirname(path), f".tmp-{uuid.uuid4().hex}")
+    with open(tmp, "w") as f:
+        json.dump(obj, f, indent=1, sort_keys=True,
+                  default=lambda o: o.item() if hasattr(o, "item") else str(o))
+    os.replace(tmp, path)
+
+
+# ----------------------------------------------------------------- generation
+def gen_name(i: int) -> str:
+    return f"gen-{i:06d}"
+
+
+def current_generation(index_dir: str) -> str | None:
+    cur = os.path.join(index_dir, "CURRENT")
+    if not os.path.exists(cur):
+        return None
+    with open(cur) as f:
+        return f.read().strip()
+
+
+def set_current_generation(index_dir: str, gen: str) -> None:
+    """Atomic generation pointer swap (Lucene commit-point analog)."""
+    os.makedirs(index_dir, exist_ok=True)
+    tmp = os.path.join(index_dir, f".tmp-{uuid.uuid4().hex}")
+    with open(tmp, "w") as f:
+        f.write(gen)
+    os.replace(tmp, os.path.join(index_dir, "CURRENT"))
+
+
+def gen_dir(index_dir: str, gen: str | None = None) -> str:
+    gen = gen or current_generation(index_dir)
+    if gen is None:
+        raise FileNotFoundError(f"no CURRENT generation in {index_dir}")
+    return os.path.join(index_dir, gen)
+
+
+def read_manifest(index_dir: str, gen: str | None = None) -> dict:
+    with open(os.path.join(gen_dir(index_dir, gen), "manifest.json")) as f:
+        return json.load(f)
+
+
+def check_query_compat(manifest: dict, query_analyzer_fp: str) -> None:
+    """Refuse queries from a mismatched analyzer — the reference's
+    ``FingerprintType.isCompatible`` guard (``FingerprintType.java:578-586``,
+    documented constraint ``ChemicalIndex.java:148-151``)."""
+    want = manifest["config"]["query_analyzer_fp"]
+    if want != query_analyzer_fp:
+        raise ValueError(
+            f"query analyzer fingerprint {query_analyzer_fp} does not match "
+            f"index manifest {want}; rebuild or use the indexed analyzer"
+        )
+
+
+def segment_chunk_path(gdir: str, segment_id: int, bucket: int) -> str:
+    return os.path.join(gdir, "segments", f"seg={segment_id:06d}", f"bucket-{bucket:05d}.parquet")
+
+
+def list_segment_ids(gdir: str) -> list[int]:
+    seg_root = os.path.join(gdir, "segments")
+    out = []
+    if os.path.isdir(seg_root):
+        for name in sorted(os.listdir(seg_root)):
+            if name.startswith("seg="):
+                out.append(int(name.split("=")[1]))
+    return out
+
+
+def list_chunk_files(gdir: str, segment_id: int) -> list[str]:
+    d = os.path.join(gdir, "segments", f"seg={segment_id:06d}")
+    return [os.path.join(d, f) for f in sorted(os.listdir(d)) if f.endswith(".parquet")]

@@ -1,0 +1,116 @@
+"""End-to-end: distributed build + query vs the single-process oracle.
+
+The conformance layer the reference never shipped (SURVEY §5): rank-identical
+top-k doc ids AND bitwise-equal float32 BM25 scores, plus WAND == exhaustive.
+"""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from org_rdkit_lucene_ray.pipelines.query import Searcher, run_queries
+from org_rdkit_lucene_ray.synth import gen_queries
+
+
+@pytest.fixture(scope="module")
+def searcher(built_index):
+    idx, _ = built_index
+    return Searcher(idx)
+
+
+def test_build_manifest_stats(built_index, oracle_index):
+    _, manifest = built_index
+    s = manifest["stats"]
+    assert s["n_docs"] == oracle_index.n_docs
+    assert s["avgdl"] == pytest.approx(oracle_index.avgdl, rel=1e-12)
+    assert s["extract_mismatches"] == 0
+    assert s["dedup_dropped"] > 0          # synth plants url dups
+    assert s["n_segments"] >= 2            # docs_per_segment=256 over ~1k docs
+    # per-fragment lineage + metrics present (north rule)
+    for row in manifest["fragments"]:
+        assert row["docs"] > 0 and row["seconds"] > 0
+        assert "docs_per_sec" in row and "postings_per_sec" in row
+
+
+def test_df_and_doclen_match_oracle(built_index, searcher, oracle_index):
+    for term in ["baba", "cece", "zezezeze", "dodi", "notaterm"]:
+        assert searcher.df(term) == oracle_index.df(term), term
+
+
+def test_score_all_bitwise_equal_oracle(searcher, oracle_index):
+    queries = gen_queries().to_pylist()
+    for q in queries:
+        docs, scores = searcher.score_all(q["query"])
+        want = oracle_index.score_all(q["query"])
+        assert len(docs) == len(want), q["query"]
+        got = dict(zip(docs.tolist(), scores.tolist()))
+        for d, s in want.items():
+            assert np.float32(got[d]) == s, (q["query"], d)
+
+
+def test_topk_rank_identical_wand_and_exhaustive(searcher, oracle_index):
+    queries = gen_queries().to_pylist()
+    n_nonempty = 0
+    for q in queries:
+        k = int(q["k"])
+        want = [(d, float(s)) for d, s in oracle_index.topk(q["query"], k)]
+        ex = searcher.topk_exhaustive(q["query"], k)
+        wd = searcher.topk_wand(q["query"], k)
+        assert ex == want, f"exhaustive mismatch: {q['query']}"
+        assert wd == want, f"wand mismatch: {q['query']}"
+        n_nonempty += bool(want)
+    assert n_nonempty > len(queries) * 0.7
+
+
+def test_tie_break_comparator(searcher, oracle_index):
+    """score desc, doc_id asc (SubstructureHitQueue.java:113-118)."""
+    q = "baba"
+    hits = searcher.topk(q, 50)
+    keys = [(-s, d) for d, s in hits]
+    assert keys == sorted(keys)
+
+
+def test_boolean_and_or_exact(searcher, oracle_index):
+    for q in ["baba cece", "didi baba", "zezezeze", "baba notaterm"]:
+        assert searcher.search_and(q).tolist() == oracle_index.search_and(q), ("AND", q)
+        assert searcher.search_or(q).tolist() == oracle_index.search_or(q), ("OR", q)
+
+
+def test_exact_match_search(searcher, oracle_index):
+    some_doc = next(iter(oracle_index._texts.values()))
+    got = searcher.search_exact(some_doc).tolist()
+    want = oracle_index.search_exact(some_doc)
+    assert got == want and len(got) >= 1
+
+
+def test_point_lookup_and_url_resolution(searcher, built_index, oracle_index):
+    doc_id = next(iter(oracle_index._texts))
+    lut = searcher.resolve_urls([doc_id])
+    assert doc_id in lut and lut[doc_id].startswith("https://")
+    row = searcher.lookup_pk(lut[doc_id])
+    assert row.num_rows == 1 and row["doc_id"][0].as_py() == doc_id
+
+
+def test_run_queries_dataset(ray_session, built_index, oracle_index):
+    idx, _ = built_index
+    queries = gen_queries()
+    out = run_queries(idx, queries, mode="wand", concurrency=2).to_pandas()
+    assert set(out.columns) == {"query_id", "rank", "doc_id", "url", "score"}
+    # spot-check one query against the oracle
+    q = queries.to_pylist()[0]
+    sub = out[out.query_id == q["query_id"]].sort_values("rank")
+    want = oracle_index.topk(q["query"], int(q["k"]))
+    assert sub.doc_id.tolist() == [d for d, _ in want]
+    assert [np.float32(s) for s in sub.score] == [s for _, s in want]
+    assert sub.url.notna().all()
+
+
+def test_query_analyzer_compat_guard(built_index):
+    from org_rdkit_lucene_ray.state.segment import check_query_compat, read_manifest
+
+    idx, _ = built_index
+    manifest = read_manifest(idx)
+    with pytest.raises(ValueError):
+        check_query_compat(manifest, "not-the-right-fp")

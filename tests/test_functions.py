@@ -1,0 +1,130 @@
+"""Unit tests: extractor, analyzer, codec (SURVEY §5 unit-test list)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from org_rdkit_lucene_ray.config import AnalyzerConfig, BM25Params
+from org_rdkit_lucene_ray.functions import html as H
+from org_rdkit_lucene_ray.functions.analyze import (
+    REGISTRY,
+    analyze_text,
+    postings_from_batch,
+    tokenize_column,
+)
+from org_rdkit_lucene_ray.functions.codec import (
+    decode_posting_list,
+    encode_posting_list,
+    tf_norm,
+    varint_decode,
+    varint_encode,
+)
+from org_rdkit_lucene_ray.synth import gen_pages
+
+
+# ------------------------------------------------------------------- extract
+def test_extract_text_byte_identity_on_synth():
+    t = gen_pages(300, seed=7)
+    got = H.extract_text(t["html"]).to_pylist()
+    assert got == t["text"].to_pylist()
+
+
+def test_extract_text_units():
+    html = pa.array([
+        b"<p>Hello <b>World</b></p>",
+        b"<!-- hidden -->visible",
+        b"<script>var x = '<p>';</script>shown",
+        b"<style>p{}</style>a &amp; b &lt;c&gt;",
+        b"  spaced\n\n\tout  ",
+    ])
+    assert H.extract_text(html).to_pylist() == [
+        "Hello World",
+        "visible",
+        "shown",
+        "a & b <c>",
+        "spaced out",
+    ]
+
+
+def test_is_empty_after_trimming_and_truncate():
+    arr = pa.array(["  ", "x", None, "\t\n"])
+    assert H.is_empty_after_trimming(arr).to_pylist() == [True, False, True, True]
+    assert H.truncate_string(pa.array(["abcdef"]), 3).to_pylist() == ["abc"]
+
+
+# ------------------------------------------------------------------ analyzer
+def test_analyzer_python_vs_arrow_identical():
+    t = gen_pages(200, seed=3)
+    for name in ("standard", "standard_en_stop", "whitespace"):
+        cfg = REGISTRY[name]
+        arrow = tokenize_column(t["text"].combine_chunks(), cfg).to_pylist()
+        python = [analyze_text(s, cfg) for s in t["text"].to_pylist()]
+        assert arrow == python, name
+
+
+def test_analyzer_edge_cases():
+    cfg = REGISTRY["standard"]
+    assert analyze_text("", cfg) == []
+    assert analyze_text("...!!!", cfg) == []
+    assert analyze_text("A-b_c 42", cfg) == ["a", "b", "c", "42"]
+    stop = REGISTRY["standard_en_stop"]
+    assert analyze_text("the quick fox", stop) == ["quick", "fox"]
+
+
+def test_postings_from_batch_invariants():
+    texts = pa.array(["a b a c", "b b b", "", "c"])
+    postings, doclens = postings_from_batch(np.arange(4), texts, REGISTRY["standard"])
+    p = {(r["term"], r["doc_id"]): (r["tf"], r["dl"]) for r in postings.to_pylist()}
+    assert p[("a", 0)] == (2, 4)
+    assert p[("b", 0)] == (1, 4)
+    assert p[("b", 1)] == (3, 3)
+    assert p[("c", 3)] == (1, 1)
+    assert doclens.to_pydict() == {"doc_id": [0, 1, 2, 3], "dl": [4, 3, 0, 1]}
+
+
+# --------------------------------------------------------------------- codec
+def test_varint_roundtrip_property():
+    rng = np.random.default_rng(0)
+    for _ in range(20):
+        n = int(rng.integers(0, 2000))
+        magnitude = int(rng.integers(1, 63))
+        v = rng.integers(0, 2**magnitude, size=n).astype(np.uint64)
+        assert (varint_decode(varint_encode(v), n) == v).all()
+    big = np.array([0, 1, 2**64 - 1, 2**63, 127, 128], dtype=np.uint64)
+    assert (varint_decode(varint_encode(big)) == big).all()
+
+
+def test_posting_list_roundtrip_and_blockmax():
+    rng = np.random.default_rng(1)
+    bm25 = BM25Params()
+    for n in (1, 5, 128, 129, 1000):
+        docs = np.cumsum(rng.integers(1, 100, size=n)).astype(np.int64)
+        tfs = rng.integers(1, 30, size=n).astype(np.int64)
+        dls = rng.integers(5, 500, size=n).astype(np.int64)
+        row = encode_posting_list(docs, tfs, dls, avgdl=100.0, bm25=bm25, block_size=128)
+        d, t, l = decode_posting_list(row)
+        assert (d == docs).all() and (t == tfs).all() and (l == dls).all()
+        # block-max is an admissible upper bound and tight per block
+        tfn = tf_norm(tfs, dls, 100.0, bm25)
+        nb = len(row["bm_max_tfn"])
+        for b in range(nb):
+            blk = tfn[b * 128:(b + 1) * 128]
+            assert float(row["bm_max_tfn"][b]) >= blk.max()
+            assert float(row["bm_max_tfn"][b]) <= blk.max() * (1 + 1e-6)
+            assert row["bm_first_doc"][b] == docs[b * 128]
+            assert row["bm_last_doc"][b] == docs[min((b + 1) * 128, n) - 1]
+
+
+def test_encode_rejects_unsorted():
+    with pytest.raises(ValueError):
+        encode_posting_list(
+            np.array([3, 2]), np.array([1, 1]), np.array([1, 1]),
+            avgdl=1.0, bm25=BM25Params(), block_size=8,
+        )
+
+
+def test_analyzer_config_fingerprint_changes():
+    a = AnalyzerConfig()
+    b = AnalyzerConfig(stopwords=("the",))
+    assert a.fingerprint() != b.fingerprint()
+    assert a.fingerprint() == AnalyzerConfig().fingerprint()
