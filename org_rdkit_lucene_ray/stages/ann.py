@@ -1,0 +1,218 @@
+"""Similarity search over an embedding column (list<float>).
+
+Brute-force cosine top-k as the exact baseline (numpy matmul per batch
+against a ``ray.put``-broadcast query matrix) and an IVF-bucketed variant as
+the scale path (coarse k-means centroids -> cluster assignment groupby ->
+probe only the nearest ``nprobe`` clusters).
+
+The two-phase shape mirrors the reference's screen-then-verify substructure
+plan (``ChemicalIndex.java:657-727``): IVF probing is the approximate screen,
+exact cosine on the probed subset is the verify.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray
+import ray.data as rd
+
+from org_rdkit_lucene_ray.stages.dedup import auto_concurrency
+
+
+def _emb_matrix(batch: pa.Table, col: str = "embedding") -> np.ndarray:
+    """list<float> column -> (n, d) float64 matrix, zero-copy flat values."""
+    arr = batch[col].combine_chunks()
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    flat = arr.values.to_numpy(zero_copy_only=False).astype(np.float64)
+    n = len(arr)
+    return flat.reshape(n, -1)
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(m, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return m / norms
+
+
+class BruteForceCosine:
+    """Actor stage: per batch, cosine of all rows vs the broadcast query
+    matrix; emits per-batch partial top-k rows (query_id, vec_id, sim).
+
+    The query matrix is ``ray.put`` ONCE on the driver and fetched in
+    ``__init__`` — never re-shipped per batch."""
+
+    def __init__(self, query_ref, k: int, id_col: str = "vec_id",
+                 emb_col: str = "embedding", threshold: float | None = None):
+        q = ray.get(query_ref) if not isinstance(query_ref, dict) else query_ref
+        self.qids = np.asarray(q["qids"], dtype=np.int64)
+        self.Q = _normalize(np.asarray(q["vectors"], dtype=np.float64))
+        self.k = k
+        self.id_col = id_col
+        self.emb_col = emb_col
+        self.threshold = threshold
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        E = _normalize(_emb_matrix(batch, self.emb_col))
+        ids = batch[self.id_col].to_numpy()
+        sims = E @ self.Q.T                      # (n, nq)
+        out_q, out_v, out_s = [], [], []
+        for qi in range(self.Q.shape[0]):
+            s = sims[:, qi]
+            if self.threshold is not None:
+                keep = np.flatnonzero(s >= self.threshold)
+            else:
+                k = min(self.k, s.size)
+                # partial top-k per batch; ties resolved later by (sim desc, id asc)
+                keep = np.argpartition(-s, k - 1)[:k] if k < s.size else np.arange(s.size)
+            out_q.append(np.full(keep.size, self.qids[qi], dtype=np.int64))
+            out_v.append(ids[keep])
+            out_s.append(s[keep])
+        return pa.table({
+            "query_id": pa.array(np.concatenate(out_q), pa.int64()),
+            "vec_id": pa.array(np.concatenate(out_v), pa.int64()),
+            "sim": pa.array(np.concatenate(out_s), pa.float64()),
+        })
+
+
+def _topk_group(group: pa.Table, k: int) -> pa.Table:
+    sims = group["sim"].to_numpy()
+    ids = group["vec_id"].to_numpy()
+    order = np.lexsort((ids, -sims))[:k]
+    return pa.table({
+        "query_id": group["query_id"].take(pa.array(order)),
+        "vec_id": pa.array(ids[order], pa.int64()),
+        "rank": pa.array(np.arange(order.size, dtype=np.int32)),
+        "sim": pa.array(np.round(sims[order], 6), pa.float64()),
+    })
+
+
+def load_query_vectors(embeddings_path: str, vec_ids: list[int]) -> dict:
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(embeddings_path, filters=[("vec_id", "in", vec_ids)])
+    order = {v: i for i, v in enumerate(t["vec_id"].to_pylist())}
+    mat = _emb_matrix(t)
+    idx = [order[v] for v in vec_ids]
+    return {"qids": np.asarray(vec_ids, dtype=np.int64), "vectors": mat[idx]}
+
+
+def brute_force_topk(ds: rd.Dataset, queries: dict, k: int = 10,
+                     concurrency: int | None = None) -> rd.Dataset:
+    """Exact cosine top-k: map_batches partial top-k -> tiny groupby(query)
+    final merge (same partial+final shape as the BM25 per-segment heaps)."""
+    ref = ray.put(queries)
+    partial = ds.map_batches(
+        BruteForceCosine,
+        fn_constructor_kwargs=dict(query_ref=ref, k=k),
+        batch_format="pyarrow", concurrency=concurrency or auto_concurrency(),
+    )
+    return partial.groupby("query_id").map_groups(
+        lambda g: _topk_group(g, k), batch_format="pyarrow"
+    )
+
+
+def cosine_threshold_search(ds: rd.Dataset, queries: dict, threshold: float,
+                            concurrency: int | None = None) -> rd.Dataset:
+    """All (query, vector) pairs with cosine >= threshold (SQL-checkable:
+    DuckDB ``list_cosine_similarity``); sim rounded to 6 dp."""
+    ref = ray.put(queries)
+    out = ds.map_batches(
+        BruteForceCosine,
+        fn_constructor_kwargs=dict(query_ref=ref, k=0, threshold=threshold),
+        batch_format="pyarrow", concurrency=concurrency or auto_concurrency(),
+    )
+    return out.map_batches(
+        lambda t: t.set_column(t.schema.get_field_index("sim"), "sim",
+                               pa.array(np.round(t["sim"].to_numpy(), 6))),
+        batch_format="pyarrow",
+    )
+
+
+# ----------------------------------------------------------------------- IVF
+class IVFIndex:
+    """Coarse-quantized ANN: k-means centroids (trained on a seeded sample),
+    per-batch cluster assignment, probe top-``nprobe`` clusters at query time.
+
+    At 100 TB scale the assignment output would be written hash-partitioned
+    by cluster so probes read only matching partitions; here the probe filter
+    runs inside map_batches (same dataflow, single-node layout)."""
+
+    def __init__(self, nlist: int = 16, iters: int = 10, seed: int = 5):
+        self.nlist = nlist
+        self.iters = iters
+        self.seed = seed
+        self.centroids: np.ndarray | None = None
+
+    def train(self, sample: np.ndarray) -> "IVFIndex":
+        rng = np.random.default_rng(self.seed)
+        X = _normalize(np.asarray(sample, dtype=np.float64))
+        idx = rng.choice(len(X), size=min(self.nlist, len(X)), replace=False)
+        C = X[idx].copy()
+        for _ in range(self.iters):
+            assign = np.argmax(X @ C.T, axis=1)
+            for c in range(C.shape[0]):
+                m = assign == c
+                if m.any():
+                    C[c] = _normalize(X[m].mean(axis=0, keepdims=True))[0]
+        self.centroids = C
+        return self
+
+    def assign_batch(self, batch: pa.Table, emb_col: str = "embedding") -> pa.Table:
+        E = _normalize(_emb_matrix(batch, emb_col))
+        assign = np.argmax(E @ self.centroids.T, axis=1).astype(np.int32)
+        return batch.append_column("cluster", pa.array(assign))
+
+    def probe_clusters(self, qvec: np.ndarray, nprobe: int) -> np.ndarray:
+        sims = _normalize(qvec.reshape(1, -1)) @ self.centroids.T
+        return np.argsort(-sims[0])[:nprobe].astype(np.int32)
+
+
+def ivf_topk(ds: rd.Dataset, queries: dict, k: int = 10, nlist: int = 16,
+             nprobe: int = 4, train_sample: int = 2048, seed: int = 5,
+             concurrency: int | None = None) -> rd.Dataset:
+    """IVF screen -> exact-cosine verify (two-phase, SS-search analog)."""
+    sample_tbl = pa.concat_tables(
+        [b for b in ds.limit(train_sample).iter_batches(batch_format="pyarrow")]
+    )
+    ivf = IVFIndex(nlist=nlist, seed=seed).train(_emb_matrix(sample_tbl))
+    probes = {
+        int(q): set(ivf.probe_clusters(v, nprobe).tolist())
+        for q, v in zip(queries["qids"], np.asarray(queries["vectors"], dtype=np.float64))
+    }
+    ref = ray.put({"queries": queries, "ivf_centroids": ivf.centroids, "probes": probes})
+
+    class ProbeScorer:
+        def __init__(self):
+            state = ray.get(ref)
+            self.qids = np.asarray(state["queries"]["qids"], dtype=np.int64)
+            self.Q = _normalize(np.asarray(state["queries"]["vectors"], dtype=np.float64))
+            self.C = state["ivf_centroids"]
+            self.probes = state["probes"]
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            E = _normalize(_emb_matrix(batch))
+            ids = batch["vec_id"].to_numpy()
+            assign = np.argmax(E @ self.C.T, axis=1)
+            sims = E @ self.Q.T
+            out_q, out_v, out_s = [], [], []
+            for qi, qid in enumerate(self.qids):
+                mask = np.isin(assign, list(self.probes[int(qid)]))
+                keep = np.flatnonzero(mask)
+                if keep.size > k:
+                    keep = keep[np.argpartition(-sims[keep, qi], k - 1)[:k]]
+                out_q.append(np.full(keep.size, qid, dtype=np.int64))
+                out_v.append(ids[keep])
+                out_s.append(sims[keep, qi])
+            return pa.table({
+                "query_id": pa.array(np.concatenate(out_q), pa.int64()),
+                "vec_id": pa.array(np.concatenate(out_v), pa.int64()),
+                "sim": pa.array(np.concatenate(out_s), pa.float64()),
+            })
+
+    partial = ds.map_batches(ProbeScorer, batch_format="pyarrow",
+                             concurrency=concurrency or auto_concurrency())
+    return partial.groupby("query_id").map_groups(
+        lambda g: _topk_group(g, k), batch_format="pyarrow"
+    )

@@ -1,0 +1,361 @@
+"""Deduplication stages: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+The reference's only dedup is exact upsert-by-PK (J6,
+``ChemicalIndex.java:801``) — handled in the build pipeline. These stages add
+the near-dup family a 100 TB training-data pipeline needs (task brief):
+
+- exact content dedup: md5(text) -> hash-partitioned groupby -> keep min id
+- MinHash + LSH: shingle -> minhash signature -> band buckets -> groupby ->
+  candidate pairs -> exact-Jaccard verify
+- SimHash: 64-bit weighted sign hash + 16-bit band buckets (Hamming<=3 safe)
+- n-gram Jaccard: exact all-pairs similarity on a bounded slice (the oracle
+  for the approximate methods)
+
+Scale notes are inline: signatures/bands flow through ``groupby`` shuffles;
+only verified-candidate handling assumes "near-dup pairs << corpus", the
+standard LSH operating regime. Candidate counts are logged, never silently
+capped.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import logging
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+
+from org_rdkit_lucene_ray.functions.analyze import REGISTRY, tokenize_column
+
+logger = logging.getLogger(__name__)
+
+_MERSENNE = (1 << 61) - 1
+
+
+def auto_concurrency(cap: int = 8) -> int:
+    """Actor-pool size leaving headroom for up/downstream stages: an actor
+    pool sized to the WHOLE cluster starves the shuffle tasks behind it
+    (observed deadlock on a 4-CPU local cluster with concurrency=4)."""
+    import ray
+
+    cpus = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
+    return max(1, min(cap, cpus - 2))
+
+
+# --------------------------------------------------------------- exact dedup
+def exact_dedup_groups(docs: rd.Dataset, *, text_col: str = "text",
+                       id_col: str = "doc_id") -> rd.Dataset:
+    """Exact content dedup -> one row per distinct content:
+    ``(doc_id = min id of the group, n_copies)``.
+
+    Shape: map_batches(md5 fingerprint — the content hash shuffles, never the
+    full text) -> groupby(hash) partial-friendly Min/Count aggregate. The
+    groupby key is the 16-byte digest, so at 100 TB the shuffle payload is
+    ~32 B/row regardless of document size."""
+    from ray.data.aggregate import Count, Min
+
+    def fingerprint(t: pa.Table) -> pa.Table:
+        fps = [hashlib.md5(x.encode("utf-8")).hexdigest() if x is not None else ""
+               for x in t[text_col].to_pylist()]
+        return pa.table({"fp": pa.array(fps, pa.string()),
+                         id_col: pc.cast(t[id_col], pa.int64())})
+
+    agg = (
+        docs.map_batches(fingerprint, batch_format="pyarrow")
+        .groupby("fp")
+        .aggregate(Min(id_col, alias_name="keep_id"),
+                   Count(alias_name="n_copies"))
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table({
+            id_col: pc.cast(t["keep_id"], pa.int64()),
+            "n_copies": pc.cast(t["n_copies"], pa.int64()),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def _fnv1a_tokens(tokens: list[str]) -> np.ndarray:
+    out = np.empty(len(tokens), dtype=np.uint64)
+    B = np.uint64(1099511628211)
+    with np.errstate(over="ignore"):     # FNV wraps mod 2^64 by design
+        for i, tok in enumerate(tokens):
+            h = np.uint64(14695981039346656037)
+            for byte in tok.encode("utf-8"):
+                h = (h ^ np.uint64(byte)) * B
+            out[i] = h
+    return out
+
+
+def _shingle_hashes(tokens: list[str], shingle: int) -> np.ndarray:
+    """Distinct hashed word-``shingle``-grams of one doc (uint64)."""
+    if not tokens:
+        return np.zeros(0, dtype=np.uint64)
+    th = _fnv1a_tokens(tokens)
+    if len(th) < shingle:
+        grams = th.reshape(1, -1)
+    else:
+        grams = np.lib.stride_tricks.sliding_window_view(th, min(shingle, len(th)))
+    B = np.uint64(1099511628211)
+    acc = np.full(grams.shape[0], 14695981039346656037, dtype=np.uint64)
+    for k in range(grams.shape[1]):
+        acc = (acc * B) ^ grams[:, k]
+    return np.unique(acc)
+
+
+class MinHashStage:
+    """Actor stage: docs batch -> LSH band rows (doc_id, band, band_hash).
+
+    Permutation parameters are generated ONCE per actor in ``__init__``
+    (seeded -> identical across actors/runs). Signature minima are computed
+    with sorted-parent ``np.minimum.reduceat`` — vectorized across the whole
+    batch, no per-shingle Python."""
+
+    def __init__(self, num_perm: int = 64, bands: int = 16, shingle: int = 3,
+                 text_col: str = "text", id_col: str = "doc_id", seed: int = 13):
+        assert num_perm % bands == 0
+        rng = np.random.default_rng(seed)
+        self.a = rng.integers(1, _MERSENNE, size=num_perm, dtype=np.uint64)
+        self.b = rng.integers(0, _MERSENNE, size=num_perm, dtype=np.uint64)
+        self.num_perm = num_perm
+        self.bands = bands
+        self.rows_per_band = num_perm // bands
+        self.shingle = shingle
+        self.text_col = text_col
+        self.id_col = id_col
+        self.cfg = REGISTRY["standard"]
+
+    def signatures(self, texts: pa.Array) -> np.ndarray:
+        """-> (n_docs, num_perm) uint64 signature matrix."""
+        toks = tokenize_column(texts, self.cfg)
+        docs = toks.to_pylist()
+        flat_parts, parents_parts = [], []
+        for i, doc in enumerate(docs):
+            sh = _shingle_hashes(doc, self.shingle)
+            if sh.size:
+                flat_parts.append(sh)
+                parents_parts.append(np.full(sh.size, i, dtype=np.int64))
+        n = len(docs)
+        sig = np.full((n, self.num_perm), np.iinfo(np.uint64).max, dtype=np.uint64)
+        if not flat_parts:
+            return sig
+        flat = np.concatenate(flat_parts)
+        parents = np.concatenate(parents_parts)           # already sorted
+        starts = np.flatnonzero(np.concatenate([[True], parents[1:] != parents[:-1]]))
+        present = parents[starts]
+        x = (flat % np.uint64(_MERSENNE)).astype(np.uint64)
+        for p in range(self.num_perm):
+            hp = (self.a[p] * x + self.b[p]) % np.uint64(_MERSENNE)
+            sig[present, p] = np.minimum.reduceat(hp, starts)
+        return sig
+
+    def band_rows(self, ids: np.ndarray, sig: np.ndarray) -> pa.Table:
+        n = sig.shape[0]
+        r = self.rows_per_band
+        B = np.uint64(1099511628211)
+        band_ids, band_hashes, doc_ids = [], [], []
+        for band in range(self.bands):
+            chunk = sig[:, band * r:(band + 1) * r]
+            acc = np.full(n, 14695981039346656037, dtype=np.uint64)
+            for k in range(r):
+                acc = (acc * B) ^ chunk[:, k]
+            band_ids.append(np.full(n, band, dtype=np.int32))
+            band_hashes.append(acc.astype(np.int64))
+            doc_ids.append(ids)
+        return pa.table({
+            "band": pa.array(np.concatenate(band_ids), pa.int32()),
+            "band_hash": pa.array(np.concatenate(band_hashes), pa.int64()),
+            "doc_id": pa.array(np.concatenate(doc_ids), pa.int64()),
+        })
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch[self.id_col].to_numpy()
+        sig = self.signatures(batch[self.text_col].combine_chunks())
+        # docs with NO shingles (empty / non-tokenizable text) keep the all-max
+        # sentinel signature; emitting band rows for them would bucket every
+        # such doc together and "verify" at Jaccard 1.0 (empty∩empty). Skip.
+        nonempty = ~(sig == np.iinfo(np.uint64).max).all(axis=1)
+        return self.band_rows(ids[nonempty], sig[nonempty])
+
+
+def _pairs_of_group(group: pa.Table) -> pa.Table:
+    ids = np.unique(group["doc_id"].to_numpy())
+    if ids.size < 2:
+        return pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())})
+    ii, jj = np.triu_indices(ids.size, k=1)
+    return pa.table({"a": pa.array(ids[ii]), "b": pa.array(ids[jj])})
+
+
+def exact_jaccard(tokens_a: list[str], tokens_b: list[str], shingle: int = 3) -> float:
+    sa = set(_shingle_hashes(tokens_a, shingle).tolist())
+    sb = set(_shingle_hashes(tokens_b, shingle).tolist())
+    if not sa and not sb:
+        return 1.0
+    return len(sa & sb) / len(sa | sb)
+
+
+def minhash_dup_pairs(
+    docs: rd.Dataset,
+    *,
+    threshold: float = 0.8,
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    concurrency: int | None = None,
+) -> pa.Table:
+    """Full MinHash-LSH near-dup pipeline -> verified pairs
+    ``(a, b, jaccard)`` with a < b, jaccard >= threshold.
+
+    Shape: map_batches(signatures) -> groupby(band, band_hash) -> candidate
+    pairs -> exact-Jaccard verify against the (pushdown-read) texts of just
+    the candidate doc ids — a broadcast-small-side join. Candidate volume is
+    logged (no silent caps)."""
+    band_ds = docs.map_batches(
+        MinHashStage,
+        fn_constructor_kwargs=dict(num_perm=num_perm, bands=bands, shingle=shingle,
+                                   text_col=text_col, id_col=id_col),
+        batch_format="pyarrow", concurrency=concurrency or auto_concurrency(),
+    )
+    cand = (
+        band_ds.groupby(["band", "band_hash"])
+        .map_groups(_pairs_of_group, batch_format="pyarrow")
+    ).take_all()
+    pairs = sorted({(r["a"], r["b"]) for r in cand})
+    logger.info("minhash-lsh: %d candidate pairs after band dedup", len(pairs))
+    if not pairs:
+        return pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
+                         "jaccard": pa.array([], pa.float64())})
+    need = sorted({d for p in pairs for d in p})
+    tok_map: dict[int, list[str]] = {}
+    sub = docs.map_batches(
+        lambda t: t.filter(pc.is_in(t[id_col], value_set=pa.array(need, pa.int64()))),
+        batch_format="pyarrow",
+    ).select_columns([id_col, text_col]).take_all()
+    cfg = REGISTRY["standard"]
+    from org_rdkit_lucene_ray.functions.analyze import analyze_text
+    for row in sub:
+        tok_map[row[id_col]] = analyze_text(row[text_col], cfg)
+    out_a, out_b, out_j = [], [], []
+    for a, b in pairs:
+        j = exact_jaccard(tok_map.get(a, []), tok_map.get(b, []), shingle)
+        if j >= threshold:
+            out_a.append(a)
+            out_b.append(b)
+            out_j.append(round(j, 6))
+    return pa.table({"a": pa.array(out_a, pa.int64()), "b": pa.array(out_b, pa.int64()),
+                     "jaccard": pa.array(out_j, pa.float64())})
+
+
+# ------------------------------------------------------------------- simhash
+class SimHashStage:
+    """64-bit SimHash per doc (token-instance weighted), vectorized via
+    unpackbits + reduceat. Appends ``simhash:int64``."""
+
+    def __init__(self, text_col: str = "text"):
+        self.text_col = text_col
+        self.cfg = REGISTRY["standard"]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        toks = tokenize_column(batch[self.text_col].combine_chunks(), self.cfg)
+        docs = toks.to_pylist()
+        out = np.zeros(batch.num_rows, dtype=np.uint64)
+        for i, doc in enumerate(docs):
+            if not doc:
+                continue
+            h = _fnv1a_tokens(doc)
+            bits = np.unpackbits(h.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little")
+            votes = bits.astype(np.int64).sum(axis=0) * 2 - len(doc)
+            word = np.packbits((votes > 0).astype(np.uint8), bitorder="little")
+            out[i] = word.view(np.uint64)[0]
+        return batch.append_column("simhash", pa.array(out.astype(np.int64), pa.int64()))
+
+
+def simhash_dup_pairs(docs: rd.Dataset, *, max_hamming: int = 3,
+                      text_col: str = "text", id_col: str = "doc_id",
+                      concurrency: int | None = None) -> pa.Table:
+    """SimHash near-dup pairs: 4 x 16-bit band buckets (pigeonhole-complete
+    for Hamming distance <= 3) -> groupby bucket -> verify Hamming."""
+    sig = docs.map_batches(
+        SimHashStage, fn_constructor_kwargs=dict(text_col=text_col),
+        batch_format="pyarrow", concurrency=concurrency or auto_concurrency(),
+    ).select_columns([id_col, "simhash"])
+
+    def to_bands(t: pa.Table) -> pa.Table:
+        h = t["simhash"].to_numpy().astype(np.uint64)
+        ids = t[id_col].to_numpy()
+        parts = []
+        for band in range(4):
+            key = ((h >> np.uint64(16 * band)) & np.uint64(0xFFFF)).astype(np.int64)
+            parts.append(pa.table({
+                "band": pa.array(np.full(len(ids), band, dtype=np.int32)),
+                "band_hash": pa.array(key),
+                "doc_id": pa.array(ids, pa.int64()),
+                "simhash": t["simhash"],
+            }))
+        return pa.concat_tables(parts)
+
+    cand = (
+        sig.map_batches(to_bands, batch_format="pyarrow")
+        .groupby(["band", "band_hash"])
+        .map_groups(_pairs_of_group, batch_format="pyarrow")
+    ).take_all()
+    pairs = sorted({(r["a"], r["b"]) for r in cand})
+    logger.info("simhash: %d candidate pairs", len(pairs))
+    if not pairs:
+        return pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
+                         "hamming": pa.array([], pa.int32())})
+    need = sorted({d for p in pairs for d in p})
+    lut_rows = sig.map_batches(
+        lambda t: t.filter(pc.is_in(t[id_col], value_set=pa.array(need, pa.int64()))),
+        batch_format="pyarrow",
+    ).take_all()
+    lut = {r[id_col]: np.uint64(r["simhash"]) for r in lut_rows}
+    out_a, out_b, out_h = [], [], []
+    for a, b in pairs:
+        d = int(bin(int(lut[a]) ^ int(lut[b])).count("1"))
+        if d <= max_hamming:
+            out_a.append(a)
+            out_b.append(b)
+            out_h.append(d)
+    return pa.table({"a": pa.array(out_a, pa.int64()), "b": pa.array(out_b, pa.int64()),
+                     "hamming": pa.array(out_h, pa.int32())})
+
+
+# ------------------------------------------------------- exact jaccard oracle
+def jaccard_pairs_exact(docs_tbl: pa.Table, *, threshold: float,
+                        text_col: str = "text", id_col: str = "doc_id",
+                        use_shingles: bool = False, shingle: int = 3) -> pa.Table:
+    """Exact all-pairs Jaccard over a BOUNDED slice via a dense incidence
+    matrix (vocab x docs boolean matmul — one numpy op, no pair loop).
+    With ``use_shingles=False`` the sets are distinct tokens (the
+    SQL-expressible variant the driver oracle checks)."""
+    cfg = REGISTRY["standard"]
+    toks = tokenize_column(docs_tbl[text_col].combine_chunks(), cfg).to_pylist()
+    ids = docs_tbl[id_col].to_numpy()
+    sets = [
+        set(_shingle_hashes(d, shingle).tolist()) if use_shingles else set(d)
+        for d in toks
+    ]
+    vocab = {v: i for i, v in enumerate(sorted(set().union(*sets)))} if sets else {}
+    inc = np.zeros((len(sets), len(vocab)), dtype=np.float32)
+    for i, s in enumerate(sets):
+        for v in s:
+            inc[i, vocab[v]] = 1.0
+    inter = inc @ inc.T
+    sizes = inc.sum(axis=1)
+    union = sizes[:, None] + sizes[None, :] - inter
+    with np.errstate(invalid="ignore", divide="ignore"):
+        jac = np.where(union > 0, inter / union, 1.0)
+    ii, jj = np.triu_indices(len(sets), k=1)
+    keep = jac[ii, jj] >= threshold
+    order = np.lexsort((ids[jj][keep], ids[ii][keep]))
+    return pa.table({
+        "a": pa.array(ids[ii][keep][order], pa.int64()),
+        "b": pa.array(ids[jj][keep][order], pa.int64()),
+        "jaccard": pa.array(np.round(jac[ii, jj][keep][order].astype(np.float64), 6)),
+    })

@@ -1,0 +1,137 @@
+"""Multimodal (image/audio/video) column plumbing over Ray Data.
+
+Opaque ``binary`` payload columns ride next to typed metadata columns
+(mime, width/height or sample-rate, byte length). The Ray-side plumbing —
+schema contract, actor-pool stage signature, bounded batch sizes for large
+payloads, output layout — is real and tested; the *codec* itself is stubbed
+(this container ships no image/audio libraries) behind either a clearly
+marked :class:`NotImplementedError` (``decoder="real"``) or a deterministic
+fake (``decoder="fake"``) whose output shape matches a real decoder's.
+
+Reference analog: the reference treats molecules as opaque native handles
+decoded by a per-worker library loaded once (T1, ``bin/RDKit.activate``);
+here the per-actor decoder plays that role.
+
+Scale notes: payloads can be MBs each, so stages here default to small
+``batch_size`` (64) and ``batch_format="pyarrow"`` (payload bytes stay in
+the object store, zero-copy, until sliced); never collect payloads to the
+driver.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+
+MEDIA_SCHEMA = pa.schema([
+    ("media_id", pa.int64()),
+    ("mime", pa.string()),
+    ("payload", pa.binary()),
+    ("n_bytes", pa.int64()),
+])
+
+#: embedding width produced by the (stub) image featurizer
+FEATURE_DIM = 32
+
+
+def attach_payload(batch: pa.Table, *, source_col: str = "text",
+                   id_col: str = "doc_id", mime: str = "image/fake") -> pa.Table:
+    """Wrap a source column into the MEDIA_SCHEMA contract (test/demo helper:
+    real corpora arrive with the binary column already populated)."""
+    payload = pc.cast(batch[source_col], pa.binary())
+    return pa.table({
+        "media_id": pc.cast(batch[id_col], pa.int64()),
+        "mime": pa.array([mime] * batch.num_rows, pa.string()),
+        "payload": payload,
+        "n_bytes": pc.cast(pc.binary_length(payload), pa.int64()),
+    })
+
+
+def _fake_decode(payload: bytes, dim: int) -> np.ndarray:
+    """Deterministic stand-in for a real image decode + embed: sha256-seeded
+    unit-norm vector. Stable across processes/runs."""
+    digest = hashlib.sha256(payload).digest()
+    seed = int.from_bytes(digest[:8], "little")
+    rng = np.random.default_rng(seed)
+    v = rng.standard_normal(dim).astype(np.float32)
+    n = float(np.linalg.norm(v))
+    return v / n if n else v
+
+
+class MediaFeatureStage:
+    """Actor-pool stage: MEDIA_SCHEMA batch -> features batch.
+
+    ``__init__`` loads the decoder ONCE per actor (the real implementation
+    would import/initialize the codec + model here); ``__call__`` decodes and
+    embeds a batch. Output: ``media_id:int64, n_bytes:int64,
+    feature:list<float32>[FEATURE_DIM]``.
+    """
+
+    def __init__(self, decoder: str = "fake", dim: int = FEATURE_DIM):
+        if decoder == "real":
+            raise NotImplementedError(
+                "real image/audio codecs are not available in this environment; "
+                "plug a decode+embed callable here (loaded once per actor)"
+            )
+        self.dim = dim
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch["payload"].to_pylist()
+        feats = np.stack([_fake_decode(p or b"", self.dim) for p in payloads]) \
+            if payloads else np.zeros((0, self.dim), np.float32)
+        return pa.table({
+            "media_id": pc.cast(batch["media_id"], pa.int64()),
+            "n_bytes": pc.cast(batch["n_bytes"], pa.int64()),
+            "feature": pa.FixedSizeListArray.from_arrays(
+                pa.array(feats.reshape(-1), pa.float32()), self.dim),
+        })
+
+
+class FrameSampleStage:
+    """Actor-pool stage: video-shaped payload -> K evenly spaced "frames"
+    (byte slices standing in for decoded frames; a real decoder replaces
+    ``_slice_frames`` only — the fan-out plumbing is the deliverable).
+
+    Output: one row per sampled frame: ``media_id, frame_idx:int32,
+    frame:binary`` — a flat_map-shaped expansion done inside map_batches.
+    """
+
+    def __init__(self, n_frames: int = 4, decoder: str = "fake"):
+        if decoder == "real":
+            raise NotImplementedError("no video codec in this environment")
+        self.n_frames = n_frames
+
+    def _slice_frames(self, payload: bytes) -> list[bytes]:
+        if not payload:
+            return []
+        k = min(self.n_frames, len(payload))
+        pos = np.linspace(0, len(payload), num=k + 1, dtype=np.int64)
+        return [payload[pos[i]:pos[i + 1]] for i in range(k)]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, idxs, frames = [], [], []
+        for mid, payload in zip(batch["media_id"].to_pylist(),
+                                batch["payload"].to_pylist()):
+            for i, fr in enumerate(self._slice_frames(payload or b"")):
+                ids.append(mid)
+                idxs.append(i)
+                frames.append(fr)
+        return pa.table({
+            "media_id": pa.array(ids, pa.int64()),
+            "frame_idx": pa.array(idxs, pa.int32()),
+            "frame": pa.array(frames, pa.binary()),
+        })
+
+
+def media_features(media: rd.Dataset, *, concurrency: int | tuple[int, int] = 2,
+                   batch_size: int = 64) -> rd.Dataset:
+    """MEDIA_SCHEMA dataset -> per-item feature vectors (actor pool; small
+    batches because payloads are large)."""
+    return media.map_batches(
+        MediaFeatureStage, batch_format="pyarrow",
+        batch_size=batch_size, concurrency=concurrency,
+    )

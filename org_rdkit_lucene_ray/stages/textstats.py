@@ -1,0 +1,189 @@
+"""Text-analysis stages for large-scale training-data pipelines.
+
+Per-batch, vectorized (pyarrow.compute / numpy) transforms over a documents
+table (``doc_id, text, lang, ...``): token counting, quality scoring,
+document fingerprinting, and a heuristic language-ID actor stage.
+
+Reference analog: the validation predicates + scalar string functions layer
+(M10 ``util/ChemUtils.java:66-105``, M11 ``util/StringUtils.java:139-220``)
+— generalized to the text-corpus quality checks a 100 TB training-data
+pipeline needs.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from org_rdkit_lucene_ray.config import AnalyzerConfig
+from org_rdkit_lucene_ray.functions.analyze import (
+    ENGLISH_STOPWORDS,
+    REGISTRY,
+    tokenize_column,
+)
+
+_STOPWORD_ARRAY = pa.array(ENGLISH_STOPWORDS)
+
+
+def token_stats_batch(batch: pa.Table, text_col: str = "text",
+                      cfg: AnalyzerConfig | None = None) -> pa.Table:
+    """Append ``n_tokens`` (analyzer tokens) and ``n_ws_tokens`` (whitespace
+    split) columns. Vectorized; the BPE-ish analyzer regex is the registry's
+    standard pattern."""
+    cfg = cfg or REGISTRY["standard"]
+    toks = tokenize_column(batch[text_col].combine_chunks(), cfg)
+    n_tokens = pc.cast(pc.list_value_length(toks), pa.int64())
+    ws = pc.split_pattern_regex(batch[text_col].combine_chunks(), pattern=r"\s+")
+    flat = pc.list_flatten(ws)
+    keep = pc.not_equal(flat, "")
+    parents = pc.list_parent_indices(ws).filter(keep)
+    counts = np.zeros(batch.num_rows, dtype=np.int64)
+    pnp = parents.to_numpy(zero_copy_only=False)
+    if len(pnp):
+        u, c = np.unique(pnp, return_counts=True)
+        counts[u] = c
+    return batch.append_column("n_tokens", n_tokens).append_column(
+        "n_ws_tokens", pa.array(counts))
+
+
+def quality_score_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Append quality features + a composite score, all computable in SQL so
+    the driver can oracle-check them:
+
+    - ``n_chars_m``     codepoint length
+    - ``alpha_ratio``   fraction of [a-z] characters (after lower)
+    - ``stop_ratio``    stopword tokens / tokens
+    - ``mean_tok_len``  mean analyzer-token length
+    - ``quality``       0.4*alpha_ratio + 0.4*(1 - |stop_ratio - 0.4|) +
+                        0.2*min(n_tokens,256)/256
+
+    No rounding anywhere: every feature is a single IEEE-754 double
+    expression (exact-integer numerators/denominators), so a SQL oracle
+    evaluating the same expression is bitwise-equal — no round-half-even
+    vs round-half-away flakes.
+    """
+    text = batch[text_col].combine_chunks()
+    n_chars = pc.cast(pc.utf8_length(text), pa.int64())
+    lower = pc.utf8_lower(text)
+    alpha_only = pc.replace_substring_regex(lower, pattern="[^a-z]", replacement="")
+    n_alpha = pc.cast(pc.utf8_length(alpha_only), pa.float64())
+    alpha_ratio = pc.if_else(
+        pc.greater(n_chars, 0),
+        pc.divide(n_alpha, pc.cast(n_chars, pa.float64())),
+        pa.scalar(0.0),
+    )
+    toks = tokenize_column(text, REGISTRY["standard"])
+    flat = pc.list_flatten(toks)
+    parents = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+    n_tok = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.float64)
+    is_stop = pc.is_in(flat, value_set=_STOPWORD_ARRAY).to_numpy(zero_copy_only=False)
+    tok_len = pc.utf8_length(flat).to_numpy(zero_copy_only=False).astype(np.float64)
+    n = batch.num_rows
+    stop_cnt = np.zeros(n)
+    len_sum = np.zeros(n)
+    if len(parents):
+        np.add.at(stop_cnt, parents, is_stop.astype(np.float64))
+        np.add.at(len_sum, parents, tok_len)
+    denom = np.maximum(n_tok, 1.0)
+    stop_ratio = stop_cnt / denom
+    mean_tok_len = len_sum / denom
+    quality = (
+        0.4 * alpha_ratio.to_numpy(zero_copy_only=False)
+        + 0.4 * (1.0 - np.abs(stop_ratio - 0.4))
+        + 0.2 * np.minimum(n_tok, 256.0) / 256.0
+    )
+    return (
+        batch.append_column("n_chars_m", n_chars)
+        .append_column("alpha_ratio", pa.array(alpha_ratio.to_numpy(zero_copy_only=False)))
+        .append_column("stop_ratio", pa.array(stop_ratio))
+        .append_column("mean_tok_len", pa.array(mean_tok_len))
+        .append_column("quality", pa.array(quality))
+    )
+
+
+def md5_fingerprint_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Append ``fp_md5`` — content fingerprint (matches DuckDB ``md5()``).
+    hashlib releases the GIL per call; the per-row loop is a C-speed digest,
+    not hot Python."""
+    fps = [hashlib.md5(t.encode("utf-8")).hexdigest() if t is not None else None
+           for t in batch[text_col].to_pylist()]
+    return batch.append_column("fp_md5", pa.array(fps, pa.string()))
+
+
+def rolling_fingerprint_batch(batch: pa.Table, text_col: str = "text",
+                              window: int = 8) -> pa.Table:
+    """Append ``fp_roll`` — min of polynomial rolling hashes over token
+    ``window``-grams (a winnowing-style document sketch). Deterministic;
+    numpy-vectorized per document."""
+    cfg = REGISTRY["standard"]
+    toks = tokenize_column(batch[text_col].combine_chunks(), cfg)
+    out = np.zeros(batch.num_rows, dtype=np.uint64)
+    B = np.uint64(1099511628211)
+    for i, doc in enumerate(toks.to_pylist()):
+        if not doc:
+            continue
+        h = np.array([hash_token(t) for t in doc], dtype=np.uint64)
+        if len(h) < window:
+            acc = np.uint64(14695981039346656037)
+            for v in h:
+                acc = (acc * B) ^ v
+            out[i] = acc
+        else:
+            grams = np.lib.stride_tricks.sliding_window_view(h, window)
+            acc = np.full(grams.shape[0], 14695981039346656037, dtype=np.uint64)
+            for k in range(window):
+                acc = (acc * B) ^ grams[:, k]
+            out[i] = acc.min()
+    return batch.append_column("fp_roll", pa.array(out.astype(np.int64), pa.int64()))
+
+
+def hash_token(tok: str) -> np.uint64:
+    """FNV-1a 64-bit over utf-8 bytes — stable across processes/runs."""
+    h = np.uint64(14695981039346656037)
+    B = np.uint64(1099511628211)
+    for b in tok.encode("utf-8"):
+        h = (h ^ np.uint64(b)) * B
+    return h
+
+
+# ------------------------------------------------------------------- lang id
+_LANG_PROFILES: dict[str, tuple[str, ...]] = {
+    # tiny stopword/bigram profiles; heuristic by design (no external models)
+    "en": ("the", "and", "of", "to", "in", "is", "that", "it", "for", "with"),
+    "es": ("de", "la", "que", "el", "en", "y", "los", "del", "se", "las"),
+    "de": ("der", "die", "und", "den", "von", "zu", "das", "mit", "sich", "auf"),
+    "fr": ("de", "la", "le", "et", "les", "des", "en", "un", "du", "une"),
+}
+
+
+class LangIdStage:
+    """Heuristic language-ID actor stage (stateful: profiles + regex compiled
+    once per actor, T1 analog). CJK detection by unicode block; otherwise the
+    profile with the highest stopword hit-rate; 'und' when no evidence."""
+
+    def __init__(self):
+        self.profiles = {k: frozenset(v) for k, v in _LANG_PROFILES.items()}
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch["text"].combine_chunks()
+        cjk = pc.match_substring_regex(texts, pattern=r"[一-鿿぀-ヿ]")
+        toks = tokenize_column(texts, REGISTRY["standard"])
+        langs = []
+        for has_cjk, doc in zip(cjk.to_pylist(), toks.to_pylist()):
+            if has_cjk:
+                langs.append("zh")
+                continue
+            if not doc:
+                langs.append("und")
+                continue
+            s = set(doc)
+            best, hits = "und", 0
+            for lang, prof in self.profiles.items():
+                h = len(s & prof)
+                if h > hits:
+                    best, hits = lang, h
+            langs.append(best)
+        return batch.append_column("lang_pred", pa.array(langs, pa.string()))

@@ -1,0 +1,299 @@
+"""Unit tests for the training-data-pipeline stages (dedup / ANN / textstats /
+windows / multimodal plumbing) against plain numpy/pandas oracles."""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+import ray.data as rd
+
+from org_rdkit_lucene_ray.functions.analyze import REGISTRY, analyze_text
+from org_rdkit_lucene_ray.stages.dedup import (
+    exact_dedup_groups,
+    exact_jaccard,
+    jaccard_pairs_exact,
+    minhash_dup_pairs,
+    simhash_dup_pairs,
+)
+
+
+def _docs_table() -> pa.Table:
+    """Small corpus with planted exact dups + near dups."""
+    base = ("the quick brown fox jumps over the lazy dog while a crow watches "
+            "from the old oak tree near the river bank in early morning light")
+    texts = []
+    for i in range(30):
+        words = (base + f" filler{i} token{i * 7 % 11} extra{i % 5}").split()
+        texts.append(" ".join(words))
+    texts[10] = texts[3]                      # exact dup
+    texts[11] = texts[3]                      # exact dup
+    texts[12] = texts[4].replace("crow", "raven")   # near dup of 4
+    texts[13] = texts[5].replace("early", "late")   # near dup of 5
+    return pa.table({
+        "doc_id": pa.array(range(30), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    })
+
+
+@pytest.fixture(scope="module")
+def docs_ds(ray_session):
+    return rd.from_arrow(_docs_table()).repartition(4)
+
+
+# ------------------------------------------------------------------- dedup
+def test_exact_dedup_groups(docs_ds):
+    out = exact_dedup_groups(docs_ds).to_pandas()
+    # oracle: pandas groupby on text
+    df = _docs_table().to_pandas()
+    want = df.groupby("text")["doc_id"].agg(["min", "count"]).reset_index()
+    got = out.sort_values("doc_id").reset_index(drop=True)
+    assert len(got) == len(want)
+    w = want.sort_values("min").reset_index(drop=True)
+    assert got["doc_id"].tolist() == w["min"].tolist()
+    assert got["n_copies"].tolist() == w["count"].tolist()
+    # the planted dup group (3,10,11) survives as id 3 with 3 copies
+    assert got.set_index("doc_id").loc[3, "n_copies"] == 3
+
+
+def test_minhash_finds_planted_near_dups(docs_ds):
+    pairs = minhash_dup_pairs(docs_ds, threshold=0.7, num_perm=64, bands=16)
+    got = {(a, b) for a, b in zip(pairs["a"].to_pylist(), pairs["b"].to_pylist())}
+    assert (3, 10) in got and (3, 11) in got and (10, 11) in got
+    assert (4, 12) in got and (5, 13) in got
+    # every returned pair truly clears the threshold (verify step is exact)
+    cfg = REGISTRY["standard"]
+    texts = _docs_table()["text"].to_pylist()
+    for a, b, j in zip(pairs["a"].to_pylist(), pairs["b"].to_pylist(),
+                       pairs["jaccard"].to_pylist()):
+        jj = exact_jaccard(analyze_text(texts[a], cfg), analyze_text(texts[b], cfg))
+        assert j == pytest.approx(jj, abs=1e-6)
+        assert jj >= 0.7
+
+
+def test_minhash_agrees_with_exact_shingle_jaccard(docs_ds):
+    """On this small corpus LSH must recover every pair the exact oracle
+    finds at a comfortably-above-band threshold."""
+    exact = jaccard_pairs_exact(_docs_table(), threshold=0.8, use_shingles=True)
+    lsh = minhash_dup_pairs(docs_ds, threshold=0.8)
+    exact_pairs = set(zip(exact["a"].to_pylist(), exact["b"].to_pylist()))
+    lsh_pairs = set(zip(lsh["a"].to_pylist(), lsh["b"].to_pylist()))
+    assert exact_pairs == lsh_pairs
+
+
+def test_simhash_pairs(docs_ds):
+    pairs = simhash_dup_pairs(docs_ds, max_hamming=6)
+    got = {(a, b) for a, b in zip(pairs["a"].to_pylist(), pairs["b"].to_pylist())}
+    assert (3, 10) in got and (3, 11) in got      # identical docs: hamming 0
+    for h in pairs["hamming"].to_pylist():
+        assert 0 <= h <= 6
+
+
+# --------------------------------------------------------------------- ann
+def _emb_table(n=64, d=16, seed=7) -> pa.Table:
+    rng = np.random.default_rng(seed)
+    m = rng.standard_normal((n, d))
+    return pa.table({
+        "vec_id": pa.array(range(n), pa.int64()),
+        "embedding": pa.array([row.tolist() for row in m], pa.list_(pa.float32())),
+    })
+
+
+def test_brute_force_topk_matches_numpy(ray_session):
+    from org_rdkit_lucene_ray.stages.ann import brute_force_topk, _emb_matrix
+
+    tbl = _emb_table()
+    ds = rd.from_arrow(tbl).repartition(4)
+    M = _emb_matrix(tbl)
+    Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+    queries = {"qids": np.array([0, 5], dtype=np.int64), "vectors": M[[0, 5]]}
+    out = brute_force_topk(ds, queries, k=5).to_pandas()
+    sims = Mn @ Mn[[0, 5]].T
+    for col, qid in [(0, 0), (1, 5)]:
+        want = np.lexsort((np.arange(len(M)), -sims[:, col]))[:5]
+        got = out[out.query_id == qid].sort_values("rank")["vec_id"].tolist()
+        assert got == want.tolist()
+        assert out[out.query_id == qid].sort_values("rank")["sim"].iloc[0] == pytest.approx(1.0)
+
+
+def test_ivf_recall(ray_session):
+    from org_rdkit_lucene_ray.stages.ann import brute_force_topk, ivf_topk, _emb_matrix
+
+    tbl = _emb_table(n=256, d=8, seed=9)
+    ds = rd.from_arrow(tbl).repartition(4)
+    M = _emb_matrix(tbl)
+    queries = {"qids": np.array([1, 2, 3], dtype=np.int64), "vectors": M[[1, 2, 3]]}
+    bf = brute_force_topk(ds, queries, k=10).to_pandas()
+    iv = ivf_topk(ds, queries, k=10, nlist=8, nprobe=4).to_pandas()
+    recalls = []
+    for q in [1, 2, 3]:
+        b = set(bf[bf.query_id == q]["vec_id"])
+        i = set(iv[iv.query_id == q]["vec_id"])
+        recalls.append(len(b & i) / len(b))
+    assert np.mean(recalls) >= 0.6
+
+
+def test_cosine_threshold(ray_session):
+    from org_rdkit_lucene_ray.stages.ann import cosine_threshold_search, _emb_matrix
+
+    tbl = _emb_table(n=64, d=8, seed=3)
+    ds = rd.from_arrow(tbl)
+    M = _emb_matrix(tbl)
+    Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+    queries = {"qids": np.array([2], dtype=np.int64), "vectors": M[[2]]}
+    out = cosine_threshold_search(ds, queries, threshold=0.5).to_pandas()
+    want = np.flatnonzero(Mn @ Mn[2] >= 0.5)
+    assert sorted(out["vec_id"]) == want.tolist()
+
+
+# --------------------------------------------------------------- textstats
+def test_token_stats_and_quality(ray_session):
+    from org_rdkit_lucene_ray.stages.textstats import (
+        quality_score_batch,
+        token_stats_batch,
+    )
+
+    tbl = _docs_table()
+    out = token_stats_batch(tbl)
+    cfg = REGISTRY["standard"]
+    for i in range(tbl.num_rows):
+        t = tbl["text"][i].as_py()
+        assert out["n_tokens"][i].as_py() == len(analyze_text(t, cfg))
+        assert out["n_ws_tokens"][i].as_py() == len(t.split())
+    q = quality_score_batch(tbl)
+    qs = q["quality"].to_numpy()
+    assert np.all(qs > 0) and np.all(qs <= 1.0000001)
+    ar = q["alpha_ratio"].to_numpy()
+    assert np.all((ar >= 0) & (ar <= 1))
+
+
+def test_fingerprints(ray_session):
+    from org_rdkit_lucene_ray.stages.textstats import (
+        md5_fingerprint_batch,
+        rolling_fingerprint_batch,
+    )
+
+    tbl = _docs_table()
+    out = md5_fingerprint_batch(tbl)
+    assert out["fp_md5"][0].as_py() == hashlib.md5(
+        tbl["text"][0].as_py().encode()).hexdigest()
+    roll = rolling_fingerprint_batch(tbl)
+    # identical docs -> identical rolling fp
+    r = roll["fp_roll"].to_pylist()
+    assert r[3] == r[10] == r[11]
+    # docs sharing no word 8-grams -> different min-hash fingerprints
+    disjoint = pa.table({"text": pa.array([
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+        "one two three four five six seven eight nine ten eleven",
+    ])})
+    r2 = rolling_fingerprint_batch(disjoint)["fp_roll"].to_pylist()
+    assert r2[0] != r2[1]
+
+
+def test_langid(ray_session):
+    from org_rdkit_lucene_ray.stages.textstats import LangIdStage
+
+    tbl = pa.table({"text": pa.array([
+        "the cat sat on the mat and it is happy",
+        "el perro corre en la calle y se va de los parques",
+        "der hund und die katze sind mit den kindern auf dem hof",
+        "le chien et le chat sont dans les jardins de la ville",
+        "这是一个中文句子",
+        "",
+    ])})
+    out = LangIdStage()(tbl)
+    assert out["lang_pred"].to_pylist() == ["en", "es", "de", "fr", "zh", "und"]
+
+
+# ----------------------------------------------------------------- windows
+def _events_df(n=500, seed=11) -> pd.DataFrame:
+    rng = np.random.default_rng(seed)
+    ts = pd.Timestamp("2024-01-01") + pd.to_timedelta(
+        np.sort(rng.integers(0, 6 * 3600, size=n)), unit="s")
+    return pd.DataFrame({
+        "event_id": np.arange(n, dtype=np.int64),
+        "ts": ts,
+        "user_id": rng.integers(0, 20, size=n).astype(np.int64),
+        "event_type": rng.choice(["click", "view", "buy"], size=n),
+        "value": np.round(rng.uniform(0, 100, size=n), 3),
+    })
+
+
+def test_tumbling_window(ray_session):
+    from org_rdkit_lucene_ray.stages.window import tumbling_window_agg
+
+    df = _events_df()
+    ds = rd.from_pandas(df).repartition(4)
+    out = tumbling_window_agg(ds, width_secs=3600).to_pandas()
+    df2 = df.copy()
+    df2["window_start"] = df2["ts"].dt.floor("1h")
+    want = df2.groupby(["event_type", "window_start"]).agg(
+        n_events=("value", "size"), sum_value=("value", "sum"),
+        min_value=("value", "min"), max_value=("value", "max")).reset_index()
+    got = out.sort_values(["event_type", "window_start"]).reset_index(drop=True)
+    want = want.sort_values(["event_type", "window_start"]).reset_index(drop=True)
+    assert got["n_events"].tolist() == want["n_events"].tolist()
+    np.testing.assert_allclose(got["sum_value"], want["sum_value"], atol=1e-3)
+    np.testing.assert_allclose(got["min_value"], want["min_value"])
+
+
+def test_sessionize(ray_session):
+    from org_rdkit_lucene_ray.stages.window import sessionize
+
+    df = _events_df()
+    ds = rd.from_pandas(df).repartition(4)
+    out = sessionize(ds, gap_secs=600).to_pandas().sort_values("user_id")
+    for uid, g in df.groupby("user_id"):
+        ts = np.sort(g["ts"].astype("int64").to_numpy() // 1_000_000)
+        n_sessions = 1 + int((np.diff(ts) > 600).sum())
+        row = out[out.user_id == uid].iloc[0]
+        assert row["n_events"] == len(g)
+        assert row["n_sessions"] == n_sessions
+
+
+def test_grouped_topn(ray_session):
+    from org_rdkit_lucene_ray.stages.window import grouped_topn
+
+    df = _events_df()
+    ds = rd.from_pandas(df).repartition(4)
+    out = grouped_topn(ds, n=2).to_pandas()
+    for et, g in df.groupby("event_type"):
+        want = g.sort_values(["value", "event_id"], ascending=[False, True]).head(2)
+        got = out[out.event_type == et].sort_values("rank")
+        assert got["event_id"].tolist() == want["event_id"].tolist()
+
+
+# -------------------------------------------------------------- multimodal
+def test_media_feature_plumbing(ray_session):
+    from org_rdkit_lucene_ray.stages.multimodal import (
+        FrameSampleStage,
+        MediaFeatureStage,
+        attach_payload,
+        media_features,
+        FEATURE_DIM,
+    )
+
+    tbl = attach_payload(_docs_table())
+    assert tbl.schema.names == ["media_id", "mime", "payload", "n_bytes"]
+    ds = rd.from_arrow(tbl).repartition(2)
+    feats = media_features(ds).to_pandas()
+    assert len(feats) == tbl.num_rows
+    v = np.asarray(feats.iloc[0]["feature"], dtype=np.float32)
+    assert v.shape == (FEATURE_DIM,)
+    assert np.linalg.norm(v) == pytest.approx(1.0, abs=1e-5)
+    # determinism: same payload -> same feature (rows 3 and 10 are dups)
+    f = feats.set_index("media_id")
+    np.testing.assert_array_equal(np.asarray(f.loc[3, "feature"]),
+                                  np.asarray(f.loc[10, "feature"]))
+    # real decoder is an explicit stub
+    with pytest.raises(NotImplementedError):
+        MediaFeatureStage(decoder="real")
+    frames = FrameSampleStage(n_frames=3)(tbl)
+    assert frames.schema.names == ["media_id", "frame_idx", "frame"]
+    # frames of one item concatenate back to the payload
+    m0 = frames.filter(pa.compute.equal(frames["media_id"], 0))
+    assert b"".join(m0["frame"].to_pylist()) == tbl["payload"][0].as_py()
