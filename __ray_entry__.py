@@ -3,14 +3,11 @@
 The driver's verify calls ``entry()`` as a smoke check (Ray is already
 initialised, local mode), runs each ``queries()[name](sf_dir)`` at
 sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+DuckDB (row-count + schema + order-insensitive value-hash).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Implementations live in ``org_rdkit_lucene_ray/pipelines/gate.py``; this
+module stays a thin adapter. Nothing here (or below it) calls
+``ray.init()`` / ``ray.shutdown()`` — the driver owns the session.
 """
 
 from __future__ import annotations
@@ -20,25 +17,27 @@ from typing import Any
 
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline on /root/testdata/sf0.001: build the inverted index
+    over the ``documents`` table (tokenize -> postings -> groupby-term-shuffle
+    -> delta/varint segments), then answer the reference BM25 query set with
+    the block-max-WAND searcher actor pool. Returns the top-k result table."""
+    from org_rdkit_lucene_ray.pipelines.gate import q_bm25_topk
+
+    return q_bm25_topk("/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    """One entry per implemented operator/pipeline from SURVEY.md §2 plus the
+    training-data-pipeline stages (dedup / ANN / text analysis / windows /
+    multimodal plumbing)."""
+    from org_rdkit_lucene_ray.pipelines.gate import QUERIES
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-equivalent SQL per query (omitted for the approximate /
+    stateful ops: minhash_pairs, simhash_pairs, ivf_topk)."""
+    from org_rdkit_lucene_ray.pipelines.gate import ORACLE_SQL
+
+    return dict(ORACLE_SQL)

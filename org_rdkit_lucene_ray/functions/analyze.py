@@ -165,6 +165,10 @@ def sql_tokens_expr(col: str, cfg: AnalyzerConfig | None = None) -> str:
     if cfg.token_pattern != "[a-z0-9]+" or not cfg.lowercase:
         raise ValueError("sql path only mirrors the 'standard' analyzer family")
     expr = f"list_filter(string_split_regex(lower({col}), '[^a-z0-9]+'), x -> x <> '')"
+    if cfg.max_token_len:
+        expr = f"list_filter({expr}, x -> length(x) <= {cfg.max_token_len})"
+    if cfg.min_token_len > 1:
+        expr = f"list_filter({expr}, x -> length(x) >= {cfg.min_token_len})"
     if cfg.stopwords:
         stoplist = ", ".join(f"'{w}'" for w in cfg.stopwords)
         expr = f"list_filter({expr}, x -> x NOT IN ({stoplist}))"

@@ -1,0 +1,773 @@
+"""Driver-gate pipelines: every `__ray_entry__.queries()` entry lives here.
+
+Each function takes ``sf_dir`` (a /root/testdata/sf* directory) and returns a
+Dataset / pyarrow Table; `ORACLE_SQL` carries the DuckDB-equivalent SQL the
+driver runs side-by-side (CORRECTNESS gate: row-count + schema + value-hash).
+
+Float-parity policy (why these pipelines can be hash-compared against SQL):
+- ratio features are single IEEE-754 double expressions with exact-integer
+  operands -> bitwise-equal across numpy / Arrow / DuckDB;
+- BM25 / cosine ranks are compared on (rank, id) with scores ordered after a
+  float32 cast on BOTH sides, so a last-ulp float64 summation-order wobble
+  cannot flip an order;
+- order-dependent SUM/MEAN aggregates are rounded to 4 dp on both sides.
+
+Ray is initialised by the driver before any of this runs — nothing here may
+call ray.init()/shutdown().
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import ray.data as rd
+
+from org_rdkit_lucene_ray.config import IndexConfig
+from org_rdkit_lucene_ray.functions.analyze import (
+    ENGLISH_STOPWORDS,
+    REGISTRY,
+    sql_tokens_expr,
+    tokenize_column,
+)
+
+_TOKS = sql_tokens_expr("text")  # DuckDB expr == the engine's standard analyzer
+
+# ---------------------------------------------------------------------------
+# fixed query sets (the "reference query set" for the documents corpus)
+# ---------------------------------------------------------------------------
+BM25_QUERIES: list[tuple[int, str, int]] = [
+    (0, "hash join", 10),
+    (1, "slow scan filter", 10),
+    (2, "vector window merge", 10),
+    (3, "customer", 5),
+    (4, "spark stream batch", 10),
+    (5, "zzznotaterm", 10),          # absent term -> no rows
+    (6, "data value table row", 10),
+    (7, "key", 3),
+]
+BOOL_QUERIES: list[tuple[int, str]] = [
+    (0, "hash join merge"),
+    (1, "vector stream"),
+    (2, "customer window group sort"),
+    (3, "zzznotaterm hash"),
+]
+EXACT_MATCH_DOC = 7        # search_exact target: doc 7's own text
+LOOKUP_DOC = 42            # point-lookup target
+ANN_QUERY_IDS = [0, 1, 2, 3, 4]
+ANN_K = 10
+ANN_THRESHOLD = 0.15
+JACCARD_THRESHOLD = 0.84
+
+
+def _docs(sf_dir: str, columns=None) -> rd.Dataset:
+    return rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=columns)
+
+
+def _events(sf_dir: str, columns=None) -> rd.Dataset:
+    return rd.read_parquet(os.path.join(sf_dir, "events.parquet"), columns=columns)
+
+
+# ---------------------------------------------------------------------------
+# index cache: build the inverted index over `documents` once per (process,
+# sf_dir); every search-family gate entry reuses it.
+# ---------------------------------------------------------------------------
+_INDEX_CACHE: dict[str, str] = {}
+
+
+def gate_index(sf_dir: str) -> str:
+    idx = _INDEX_CACHE.get(sf_dir)
+    if idx is None:
+        idx = tempfile.mkdtemp(prefix="orl_gate_idx_")
+        cfg = IndexConfig(docs_per_segment=4096, term_buckets=8, block_size=64)
+        from org_rdkit_lucene_ray.pipelines.build import build_index
+
+        build_index(
+            [os.path.join(sf_dir, "documents.parquet")],
+            idx, cfg=cfg, use_html=False, text_column="text",
+            url_column=None, ts_column=None, lang_column="lang",
+            id_column="doc_id", dedup=False, verify_extraction=False,
+        )
+        _INDEX_CACHE[sf_dir] = idx
+    return idx
+
+
+def _searcher(sf_dir: str):
+    from org_rdkit_lucene_ray.pipelines.query import Searcher
+
+    return Searcher(gate_index(sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# corpus-statistics / per-doc transforms
+# ---------------------------------------------------------------------------
+def q_term_df(sf_dir: str) -> rd.Dataset:
+    """A4: global (term, df) — the index's own df table, via the full build
+    pipeline (postings explode -> per-segment encode -> df groupby)."""
+    gdir_idx = gate_index(sf_dir)
+    from org_rdkit_lucene_ray.state.segment import gen_dir
+
+    return rd.read_parquet(os.path.join(gen_dir(gdir_idx), "df"))
+
+
+def q_doc_lengths(sf_dir: str) -> rd.Dataset:
+    from org_rdkit_lucene_ray.stages.textstats import token_stats_batch
+
+    return (
+        _docs(sf_dir, columns=["doc_id", "text"])
+        .map_batches(token_stats_batch, batch_format="pyarrow")
+        .select_columns(["doc_id", "n_tokens", "n_ws_tokens"])
+    )
+
+
+def q_top_terms(sf_dir: str) -> pa.Table:
+    """Top-50 terms by total tf — partial per-batch counts, tiny final combine,
+    (count desc, term asc) order."""
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        toks = tokenize_column(t["text"].combine_chunks(), REGISTRY["standard"])
+        flat = pa.table({"term": pc.list_flatten(toks)})
+        g = flat.group_by("term").aggregate([("term", "count")])
+        return pa.table({"term": g["term"], "c": pc.cast(g["term_count"], pa.int64())})
+
+    agg = (
+        _docs(sf_dir, columns=["text"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("term")
+        .aggregate(Sum("c", alias_name="total_tf"))
+    )
+    top = agg.sort(key=["total_tf", "term"], descending=[True, False]).limit(50)
+    rows = top.take_all()
+    return pa.table({"term": pa.array([r["term"] for r in rows], pa.string()),
+                     "total_tf": pa.array([r["total_tf"] for r in rows], pa.int64())})
+
+
+def q_lang_counts(sf_dir: str) -> rd.Dataset:
+    from ray.data.aggregate import Count
+
+    return _docs(sf_dir, columns=["lang"]).groupby("lang").aggregate(
+        Count(alias_name="n_docs"))
+
+
+def q_quality_scores(sf_dir: str) -> rd.Dataset:
+    from org_rdkit_lucene_ray.stages.textstats import quality_score_batch
+
+    return (
+        _docs(sf_dir, columns=["doc_id", "text"])
+        .map_batches(quality_score_batch, batch_format="pyarrow")
+        .select_columns(["doc_id", "n_chars_m", "alpha_ratio", "stop_ratio",
+                         "mean_tok_len", "quality"])
+    )
+
+
+def q_doc_fingerprints(sf_dir: str) -> rd.Dataset:
+    from org_rdkit_lucene_ray.stages.textstats import md5_fingerprint_batch
+
+    return (
+        _docs(sf_dir, columns=["doc_id", "text"])
+        .map_batches(md5_fingerprint_batch, batch_format="pyarrow")
+        .select_columns(["doc_id", "fp_md5"])
+    )
+
+
+def q_langid(sf_dir: str) -> rd.Dataset:
+    from org_rdkit_lucene_ray.stages.textstats import LangIdStage
+
+    return (
+        _docs(sf_dir, columns=["doc_id", "text"])
+        .map_batches(LangIdStage, batch_format="pyarrow", concurrency=2)
+        .select_columns(["doc_id", "lang_pred"])
+    )
+
+
+def q_row_range_filter(sf_dir: str) -> rd.Dataset:
+    """K5 row-range slice + M8 ignore-set filter, pushed into the scan."""
+    ignore = [110, 120, 130]
+    ds = _docs(sf_dir, columns=["doc_id", "lang"]).filter(
+        expr="doc_id >= 100 and doc_id < 200 and lang == 'en'")
+    return ds.filter(
+        lambda row: row["doc_id"] not in ignore)
+
+
+# ---------------------------------------------------------------------------
+# dedup family
+# ---------------------------------------------------------------------------
+def q_exact_dedup(sf_dir: str) -> rd.Dataset:
+    from org_rdkit_lucene_ray.stages.dedup import exact_dedup_groups
+
+    return exact_dedup_groups(_docs(sf_dir, columns=["doc_id", "text"]))
+
+
+def q_token_jaccard_pairs(sf_dir: str) -> pa.Table:
+    """Distinct-token-set Jaccard >= threshold over all pairs. Integer
+    intersection/union counts -> one exact double division (SQL-parity).
+
+    Shape: distributed tokenize (map_batches) -> bounded collected token-set
+    matrix -> numpy int matmul. All-pairs is inherently O(n^2); at scale this
+    runs per-LSH-bucket (see minhash pipeline), never globally."""
+    def tok_sets(t: pa.Table) -> pa.Table:
+        toks = tokenize_column(t["text"].combine_chunks(), REGISTRY["standard"])
+        return pa.table({
+            "doc_id": pc.cast(t["doc_id"], pa.int64()),
+            "terms": pa.array([sorted(set(x)) for x in toks.to_pylist()],
+                              pa.list_(pa.string())),
+        })
+
+    rows = (
+        _docs(sf_dir, columns=["doc_id", "text"])
+        .map_batches(tok_sets, batch_format="pyarrow")
+        .take_all()
+    )
+    rows.sort(key=lambda r: r["doc_id"])
+    ids = np.array([r["doc_id"] for r in rows], dtype=np.int64)
+    sets = [set(r["terms"]) for r in rows]
+    vocab = sorted(set().union(*sets)) if sets else []
+    vidx = {v: i for i, v in enumerate(vocab)}
+    inc = np.zeros((len(sets), len(vocab)), dtype=np.int64)
+    for i, s in enumerate(sets):
+        for v in s:
+            inc[i, vidx[v]] = 1
+    inter = inc @ inc.T                      # exact int64
+    sizes = inc.sum(axis=1)
+    union = sizes[:, None] + sizes[None, :] - inter
+    ii, jj = np.triu_indices(len(sets), k=1)
+    jac = inter[ii, jj].astype(np.float64) / union[ii, jj].astype(np.float64)
+    keep = jac >= JACCARD_THRESHOLD
+    order = np.lexsort((ids[jj][keep], ids[ii][keep]))
+    return pa.table({
+        "a": pa.array(ids[ii][keep][order], pa.int64()),
+        "b": pa.array(ids[jj][keep][order], pa.int64()),
+        "jaccard": pa.array(jac[keep][order], pa.float64()),
+    })
+
+
+def q_minhash_pairs(sf_dir: str) -> pa.Table:
+    from org_rdkit_lucene_ray.stages.dedup import minhash_dup_pairs
+
+    return minhash_dup_pairs(
+        _docs(sf_dir, columns=["doc_id", "text"]), threshold=0.8)
+
+
+def q_simhash_pairs(sf_dir: str) -> pa.Table:
+    from org_rdkit_lucene_ray.stages.dedup import simhash_dup_pairs
+
+    return simhash_dup_pairs(
+        _docs(sf_dir, columns=["doc_id", "text"]), max_hamming=3)
+
+
+# ---------------------------------------------------------------------------
+# search family (over the built inverted index)
+# ---------------------------------------------------------------------------
+def q_index_stats(sf_dir: str) -> pa.Table:
+    s = _searcher(sf_dir)
+    return pa.table({"n_docs": pa.array([s.n_docs], pa.int64()),
+                     "avgdl": pa.array([s.avgdl], pa.float64())})
+
+
+def q_bm25_topk(sf_dir: str) -> pa.Table:
+    from org_rdkit_lucene_ray.pipelines.query import run_queries
+
+    queries = pa.table({
+        "query_id": pa.array([q[0] for q in BM25_QUERIES], pa.int32()),
+        "query": pa.array([q[1] for q in BM25_QUERIES], pa.string()),
+        "k": pa.array([q[2] for q in BM25_QUERIES], pa.int32()),
+    })
+    res = run_queries(gate_index(sf_dir), queries, mode="wand",
+                      resolve_urls=False, concurrency=2).to_pandas()
+    res = res.sort_values(["query_id", "rank"])
+    return pa.table({
+        "query_id": pa.array(res["query_id"].astype(np.int64)),
+        "rank": pa.array(res["rank"].astype(np.int64)),
+        "doc_id": pa.array(res["doc_id"].astype(np.int64)),
+    })
+
+
+def _bool_search(sf_dir: str, kind: str) -> pa.Table:
+    s = _searcher(sf_dir)
+    qids, docs = [], []
+    for qid, q in BOOL_QUERIES:
+        hits = s.search_and(q) if kind == "and" else s.search_or(q)
+        qids.extend([qid] * len(hits))
+        docs.extend(int(d) for d in hits)
+    return pa.table({"query_id": pa.array(qids, pa.int64()),
+                     "doc_id": pa.array(docs, pa.int64())})
+
+
+def q_search_and(sf_dir: str) -> pa.Table:
+    return _bool_search(sf_dir, "and")
+
+
+def q_search_or(sf_dir: str) -> pa.Table:
+    return _bool_search(sf_dir, "or")
+
+
+def q_search_exact(sf_dir: str) -> pa.Table:
+    s = _searcher(sf_dir)
+    text = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"],
+        filters=[("doc_id", "==", EXACT_MATCH_DOC)])["text"][0].as_py()
+    hits = s.search_exact(text)
+    return pa.table({"doc_id": pa.array(sorted(int(d) for d in hits), pa.int64())})
+
+
+def q_point_lookup(sf_dir: str) -> pa.Table:
+    s = _searcher(sf_dir)
+    t = s.lookup_pk(f"doc://{LOOKUP_DOC}")
+    return pa.table({
+        "doc_id": pc.cast(t["doc_id"], pa.int64()),
+        "url": pc.cast(t["url"], pa.string()),
+        "dl": pc.cast(t["dl"], pa.int64()),
+    })
+
+
+# ---------------------------------------------------------------------------
+# events: windows / sessions / grouped top-n / grouped stats
+# ---------------------------------------------------------------------------
+def q_tumbling_hourly(sf_dir: str) -> rd.Dataset:
+    from org_rdkit_lucene_ray.stages.window import tumbling_window_agg
+
+    return tumbling_window_agg(_events(sf_dir), width_secs=3600)
+
+
+def q_sessionize(sf_dir: str) -> rd.Dataset:
+    from org_rdkit_lucene_ray.stages.window import sessionize
+
+    ds = sessionize(_events(sf_dir), gap_secs=1800)
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": pc.cast(t["user_id"], pa.int64()),
+            "n_events": pc.cast(t["n_events"], pa.int64()),
+            "n_sessions": pc.cast(t["n_sessions"], pa.int64()),
+            "first_ts": pc.cast(t["first_ts"], pa.timestamp("us")),
+            "last_ts": pc.cast(t["last_ts"], pa.timestamp("us")),
+        })
+
+    return ds.map_batches(finish, batch_format="pyarrow")
+
+
+def q_grouped_topn(sf_dir: str) -> rd.Dataset:
+    from org_rdkit_lucene_ray.stages.window import grouped_topn
+
+    ds = grouped_topn(_events(sf_dir), n=2)
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": t["event_type"],
+            "rank": pc.cast(t["rank"], pa.int64()),
+            "event_id": pc.cast(t["event_id"], pa.int64()),
+            "value": t["value"],
+        })
+
+    return ds.map_batches(finish, batch_format="pyarrow")
+
+
+def q_events_type_stats(sf_dir: str) -> rd.Dataset:
+    """A3 per-key averages: partial-friendly Count/Sum/Mean, 4-dp rounded."""
+    from ray.data.aggregate import Count, Mean, Sum
+
+    agg = _events(sf_dir, columns=["event_type", "value"]).groupby(
+        "event_type").aggregate(
+        Count(alias_name="n_events"),
+        Sum("value", alias_name="sum_value"),
+        Mean("value", alias_name="mean_value"),
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": t["event_type"],
+            "n_events": pc.cast(t["n_events"], pa.int64()),
+            "sum_value": pc.round(t["sum_value"], ndigits=4),
+            "mean_value": pc.round(t["mean_value"], ndigits=4),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def q_orders_by_segment(sf_dir: str) -> rd.Dataset:
+    """Broadcast join (small side via ray.put, J7 pattern): orders ->
+    customer.mktsegment lookup inside map_batches, then groupby segment."""
+    import ray
+    from ray.data.aggregate import Count, Sum
+
+    cust = pq.read_table(os.path.join(sf_dir, "customer.parquet"),
+                         columns=["c_custkey", "c_mktsegment"])
+    lut_ref = ray.put(dict(zip(cust["c_custkey"].to_pylist(),
+                               cust["c_mktsegment"].to_pylist())))
+
+    class AttachSegment:
+        def __init__(self):
+            self.lut = ray.get(lut_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            segs = [self.lut.get(k) for k in t["o_custkey"].to_pylist()]
+            return pa.table({
+                "mktsegment": pa.array(segs, pa.string()),
+                "o_totalprice": t["o_totalprice"],
+            })
+
+    agg = (
+        rd.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                        columns=["o_custkey", "o_totalprice"])
+        .map_batches(AttachSegment, batch_format="pyarrow", concurrency=2)
+        .groupby("mktsegment")
+        .aggregate(Count(alias_name="n_orders"),
+                   Sum("o_totalprice", alias_name="total_price"))
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "mktsegment": t["mktsegment"],
+            "n_orders": pc.cast(t["n_orders"], pa.int64()),
+            "total_price": pc.round(t["total_price"], ndigits=2),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# embeddings: similarity search
+# ---------------------------------------------------------------------------
+def _ann_queries(sf_dir: str) -> dict:
+    from org_rdkit_lucene_ray.stages.ann import load_query_vectors
+
+    return load_query_vectors(os.path.join(sf_dir, "embeddings.parquet"),
+                              ANN_QUERY_IDS)
+
+
+def q_ann_topk(sf_dir: str) -> pa.Table:
+    from org_rdkit_lucene_ray.stages.ann import brute_force_topk
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                         columns=["vec_id", "embedding"])
+    out = brute_force_topk(ds, _ann_queries(sf_dir), k=ANN_K,
+                           concurrency=2).to_pandas()
+    out = out.sort_values(["query_id", "rank"])
+    return pa.table({
+        "query_id": pa.array(out["query_id"].astype(np.int64)),
+        "rank": pa.array(out["rank"].astype(np.int64)),
+        "vec_id": pa.array(out["vec_id"].astype(np.int64)),
+    })
+
+
+def q_ann_threshold(sf_dir: str) -> pa.Table:
+    from org_rdkit_lucene_ray.stages.ann import cosine_threshold_search
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                         columns=["vec_id", "embedding"])
+    out = cosine_threshold_search(ds, _ann_queries(sf_dir),
+                                  threshold=ANN_THRESHOLD, concurrency=2).to_pandas()
+    out = out.sort_values(["query_id", "vec_id"])
+    return pa.table({
+        "query_id": pa.array(out["query_id"].astype(np.int64)),
+        "vec_id": pa.array(out["vec_id"].astype(np.int64)),
+    })
+
+
+def q_ivf_topk(sf_dir: str) -> pa.Table:
+    from org_rdkit_lucene_ray.stages.ann import ivf_topk
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                         columns=["vec_id", "embedding"])
+    out = ivf_topk(ds, _ann_queries(sf_dir), k=ANN_K, nlist=16, nprobe=6,
+                   concurrency=2).to_pandas()
+    out = out.sort_values(["query_id", "rank"])
+    return pa.table({
+        "query_id": pa.array(out["query_id"].astype(np.int64)),
+        "rank": pa.array(out["rank"].astype(np.int64)),
+        "vec_id": pa.array(out["vec_id"].astype(np.int64)),
+    })
+
+
+# ---------------------------------------------------------------------------
+# multimodal plumbing (deterministic fake decoder; n_bytes is SQL-checkable)
+# ---------------------------------------------------------------------------
+def q_media_features(sf_dir: str) -> rd.Dataset:
+    from org_rdkit_lucene_ray.stages.multimodal import attach_payload, media_features
+
+    media = _docs(sf_dir, columns=["doc_id", "text"]).map_batches(
+        attach_payload, batch_format="pyarrow")
+    feats = media_features(media, concurrency=2)
+    return feats.select_columns(["media_id", "n_bytes"])
+
+
+# ---------------------------------------------------------------------------
+# SQL oracles
+# ---------------------------------------------------------------------------
+def _bm25_sql() -> str:
+    terms_vals = ", ".join(
+        f"({qid}, '{t}')"
+        for qid, q, _ in BM25_QUERIES for t in sorted(set(q.split())))
+    k_vals = ", ".join(f"({qid}, {k})" for qid, _, k in BM25_QUERIES)
+    return f"""
+WITH docs AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+dl AS (SELECT doc_id, len(toks) AS dl FROM docs),
+stats AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+                 CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+tok AS (SELECT doc_id, unnest(toks) AS term FROM docs),
+tf AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf FROM tok GROUP BY 1, 2),
+df AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
+q(query_id, term) AS (VALUES {terms_vals}),
+qk(query_id, k) AS (VALUES {k_vals}),
+scores AS (
+  SELECT q.query_id, tf.doc_id,
+         SUM( ln(1.0 + (s.n - df.df + 0.5) / (df.df + 0.5))
+              * (tf.tf * (1.2 + 1.0))
+              / (tf.tf + 1.2 * ((1.0 - 0.75) + (0.75 * dl.dl) / s.avgdl)) ) AS score
+  FROM q
+  JOIN tf ON tf.term = q.term
+  JOIN df ON df.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY 1, 2),
+ranked AS (
+  SELECT query_id, doc_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY CAST(score AS REAL) DESC, doc_id ASC) - 1 AS rank
+  FROM scores)
+SELECT r.query_id::BIGINT AS query_id, r.rank::BIGINT AS rank, r.doc_id
+FROM ranked r JOIN qk ON qk.query_id = r.query_id
+WHERE r.rank < qk.k
+ORDER BY 1, 2
+"""
+
+
+def _bool_sql(kind: str) -> str:
+    terms_vals = ", ".join(
+        f"({qid}, '{t}')" for qid, q in BOOL_QUERIES for t in sorted(set(q.split())))
+    counts_vals = ", ".join(
+        f"({qid}, {len(set(q.split()))})" for qid, q in BOOL_QUERIES)
+    base = f"""
+WITH docs AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+tok AS (SELECT DISTINCT doc_id, unnest(toks) AS term FROM docs),
+q(query_id, term) AS (VALUES {terms_vals}),
+qn(query_id, n_terms) AS (VALUES {counts_vals})
+"""
+    if kind == "and":
+        return base + """
+SELECT t.query_id::BIGINT AS query_id, t.doc_id FROM (
+  SELECT q.query_id, tok.doc_id, count(*) AS hit
+  FROM q JOIN tok ON tok.term = q.term GROUP BY 1, 2) t
+JOIN qn ON qn.query_id = t.query_id
+WHERE t.hit = qn.n_terms ORDER BY 1, 2
+"""
+    return base + """
+SELECT DISTINCT q.query_id::BIGINT AS query_id, tok.doc_id
+FROM q JOIN tok ON tok.term = q.term ORDER BY 1, 2
+"""
+
+
+_QUALITY_SQL = f"""
+WITH base AS (
+  SELECT doc_id, text, {_TOKS} AS toks, length(text) AS n_chars_m FROM documents),
+feat AS (
+  SELECT doc_id, n_chars_m,
+    CASE WHEN n_chars_m > 0
+         THEN CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DOUBLE)
+              / CAST(n_chars_m AS DOUBLE)
+         ELSE 0.0 END AS alpha_ratio,
+    CAST(len(list_filter(toks, x -> x IN ({", ".join("'" + w + "'" for w in ENGLISH_STOPWORDS)}))) AS DOUBLE)
+      / greatest(CAST(len(toks) AS DOUBLE), 1.0) AS stop_ratio,
+    CAST(coalesce(list_aggregate(list_transform(toks, x -> length(x)), 'sum'), 0) AS DOUBLE)
+      / greatest(CAST(len(toks) AS DOUBLE), 1.0) AS mean_tok_len,
+    CAST(len(toks) AS DOUBLE) AS n_tok
+  FROM base)
+SELECT doc_id, n_chars_m, alpha_ratio, stop_ratio, mean_tok_len,
+       0.4 * alpha_ratio + 0.4 * (1.0 - abs(stop_ratio - 0.4))
+         + 0.2 * least(n_tok, 256.0) / 256.0 AS quality
+FROM feat ORDER BY doc_id
+"""
+
+_LANGID_SQL = """
+WITH profs AS (
+  SELECT doc_id,
+    regexp_matches(text, '[一-鿿぀-ヿ]') AS cjk,
+    list_distinct(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                              x -> x <> '')) AS toks
+  FROM documents),
+hits AS (
+  SELECT doc_id, cjk, len(toks) AS n,
+    len(list_intersect(toks, ['the','and','of','to','in','is','that','it','for','with'])) AS h_en,
+    len(list_intersect(toks, ['de','la','que','el','en','y','los','del','se','las'])) AS h_es,
+    len(list_intersect(toks, ['der','die','und','den','von','zu','das','mit','sich','auf'])) AS h_de,
+    len(list_intersect(toks, ['de','la','le','et','les','des','en','un','du','une'])) AS h_fr
+  FROM profs)
+SELECT doc_id,
+  CASE WHEN cjk THEN 'zh'
+       WHEN n = 0 OR greatest(h_en, h_es, h_de, h_fr) = 0 THEN 'und'
+       WHEN h_en >= h_es AND h_en >= h_de AND h_en >= h_fr THEN 'en'
+       WHEN h_es >= h_de AND h_es >= h_fr THEN 'es'
+       WHEN h_de >= h_fr THEN 'de'
+       ELSE 'fr' END AS lang_pred
+FROM hits ORDER BY doc_id
+"""
+
+_JACCARD_SQL = f"""
+WITH docs AS (SELECT doc_id, list_distinct({_TOKS}) AS toks FROM documents),
+tok AS (SELECT doc_id, unnest(toks) AS term FROM docs),
+sizes AS (SELECT doc_id, count(*) AS sz FROM tok GROUP BY 1),
+inter AS (
+  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
+  FROM tok x JOIN tok y ON x.term = y.term AND x.doc_id < y.doc_id
+  GROUP BY 1, 2)
+SELECT inter.a, inter.b,
+       CAST(inter.i AS DOUBLE) / CAST(sa.sz + sb.sz - inter.i AS DOUBLE) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = inter.a
+JOIN sizes sb ON sb.doc_id = inter.b
+WHERE CAST(inter.i AS DOUBLE) / CAST(sa.sz + sb.sz - inter.i AS DOUBLE) >= {JACCARD_THRESHOLD}
+ORDER BY 1, 2
+"""
+
+_ANN_IDS = ", ".join(str(i) for i in ANN_QUERY_IDS)
+
+ORACLE_SQL: dict[str, str] = {
+    "term_df": f"""
+WITH tok AS (SELECT DISTINCT doc_id, unnest({_TOKS}) AS term FROM documents)
+SELECT term, count(*)::BIGINT AS df FROM tok GROUP BY term ORDER BY term
+""",
+    "doc_lengths": f"""
+SELECT doc_id, len({_TOKS})::BIGINT AS n_tokens,
+       len(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))::BIGINT AS n_ws_tokens
+FROM documents ORDER BY doc_id
+""",
+    "top_terms": f"""
+WITH tok AS (SELECT unnest({_TOKS}) AS term FROM documents)
+SELECT term, count(*)::BIGINT AS total_tf FROM tok
+GROUP BY term ORDER BY total_tf DESC, term ASC LIMIT 50
+""",
+    "lang_counts": "SELECT lang, count(*)::BIGINT AS n_docs FROM documents GROUP BY lang ORDER BY lang",
+    "quality_scores": _QUALITY_SQL,
+    "doc_fingerprints": "SELECT doc_id, md5(text) AS fp_md5 FROM documents ORDER BY doc_id",
+    "langid": _LANGID_SQL,
+    "row_range_filter": """
+SELECT doc_id, lang FROM documents
+WHERE doc_id >= 100 AND doc_id < 200 AND lang = 'en'
+  AND doc_id NOT IN (110, 120, 130) ORDER BY doc_id
+""",
+    "exact_dedup": """
+SELECT min(doc_id)::BIGINT AS doc_id, count(*)::BIGINT AS n_copies
+FROM documents GROUP BY md5(text) ORDER BY doc_id
+""",
+    "token_jaccard_pairs": _JACCARD_SQL,
+    "index_stats": f"""
+WITH dl AS (SELECT len({_TOKS}) AS dl FROM documents)
+SELECT count(*)::BIGINT AS n_docs,
+       CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl
+""",
+    "bm25_topk": _bm25_sql(),
+    "search_and": _bool_sql("and"),
+    "search_or": _bool_sql("or"),
+    "search_exact": f"""
+WITH docs AS (SELECT doc_id, list_sort({_TOKS}) AS key FROM documents)
+SELECT d.doc_id FROM docs d, docs q
+WHERE q.doc_id = {EXACT_MATCH_DOC} AND d.key = q.key ORDER BY d.doc_id
+""",
+    "point_lookup": f"""
+SELECT doc_id, 'doc://' || doc_id AS url, len({_TOKS})::BIGINT AS dl
+FROM documents WHERE doc_id = {LOOKUP_DOC}
+""",
+    "tumbling_hourly": """
+SELECT event_type,
+       time_bucket(INTERVAL 1 HOUR, ts) AS window_start,
+       count(*)::BIGINT AS n_events,
+       round(sum(value), 4) AS sum_value,
+       min(value) AS min_value,
+       max(value) AS max_value
+FROM events GROUP BY 1, 2 ORDER BY 1, 2
+""",
+    "sessionize": """
+WITH gaps AS (
+  SELECT user_id, ts,
+         CASE WHEN epoch(ts) - lag(epoch(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   > 1800 OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events)
+SELECT user_id, count(*)::BIGINT AS n_events, sum(new_sess)::BIGINT AS n_sessions,
+       min(ts) AS first_ts, max(ts) AS last_ts
+FROM gaps GROUP BY user_id ORDER BY user_id
+""",
+    "grouped_topn": """
+WITH ranked AS (
+  SELECT event_type, event_id, value,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY value DESC, event_id ASC) - 1 AS rank
+  FROM events)
+SELECT event_type, rank::BIGINT AS rank, event_id, value
+FROM ranked WHERE rank < 2 ORDER BY event_type, rank
+""",
+    "events_type_stats": """
+SELECT event_type, count(*)::BIGINT AS n_events,
+       round(sum(value), 4) AS sum_value, round(avg(value), 4) AS mean_value
+FROM events GROUP BY event_type ORDER BY event_type
+""",
+    "orders_by_segment": """
+SELECT c.c_mktsegment AS mktsegment, count(*)::BIGINT AS n_orders,
+       round(sum(o.o_totalprice), 2) AS total_price
+FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+GROUP BY 1 ORDER BY 1
+""",
+    "ann_topk": f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+           WHERE vec_id IN ({_ANN_IDS})),
+sims AS (
+  SELECT q.query_id, e.vec_id,
+         list_cosine_similarity(e.embedding, q.qv) AS sim
+  FROM embeddings e CROSS JOIN q),
+ranked AS (
+  SELECT query_id, vec_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY sim DESC, vec_id ASC) - 1 AS rank
+  FROM sims)
+SELECT query_id::BIGINT AS query_id, rank::BIGINT AS rank, vec_id
+FROM ranked WHERE rank < {ANN_K} ORDER BY 1, 2
+""",
+    "ann_threshold": f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+           WHERE vec_id IN ({_ANN_IDS}))
+SELECT q.query_id::BIGINT AS query_id, e.vec_id
+FROM embeddings e CROSS JOIN q
+WHERE list_cosine_similarity(e.embedding, q.qv) >= {ANN_THRESHOLD}
+ORDER BY 1, 2
+""",
+    "media_features": """
+SELECT doc_id AS media_id, octet_length(encode(text))::BIGINT AS n_bytes
+FROM documents ORDER BY media_id
+""",
+    # minhash_pairs / simhash_pairs / ivf_topk: approximate/stateful -> no SQL
+}
+
+QUERIES = {
+    "term_df": q_term_df,
+    "doc_lengths": q_doc_lengths,
+    "top_terms": q_top_terms,
+    "lang_counts": q_lang_counts,
+    "quality_scores": q_quality_scores,
+    "doc_fingerprints": q_doc_fingerprints,
+    "langid": q_langid,
+    "row_range_filter": q_row_range_filter,
+    "exact_dedup": q_exact_dedup,
+    "token_jaccard_pairs": q_token_jaccard_pairs,
+    "minhash_pairs": q_minhash_pairs,
+    "simhash_pairs": q_simhash_pairs,
+    "index_stats": q_index_stats,
+    "bm25_topk": q_bm25_topk,
+    "search_and": q_search_and,
+    "search_or": q_search_or,
+    "search_exact": q_search_exact,
+    "point_lookup": q_point_lookup,
+    "tumbling_hourly": q_tumbling_hourly,
+    "sessionize": q_sessionize,
+    "grouped_topn": q_grouped_topn,
+    "events_type_stats": q_events_type_stats,
+    "orders_by_segment": q_orders_by_segment,
+    "ann_topk": q_ann_topk,
+    "ann_threshold": q_ann_threshold,
+    "ivf_topk": q_ivf_topk,
+    "media_features": q_media_features,
+}

@@ -1,0 +1,106 @@
+"""Driver-gate conformance: run every `queries()` entry and compare with its
+`oracle_sql()` DuckDB result — the same check the driver performs at sf=0.01
+(here at sf=0.001 for speed; mark `gate_sf001` runs the bigger one)."""
+
+from __future__ import annotations
+
+import os
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+SF_DIR = os.environ.get("GATE_SF_DIR", "/root/testdata/sf0.001")
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    for t in TABLES:
+        p = os.path.join(SF_DIR, f"{t}.parquet")
+        if os.path.exists(p):
+            c.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    return c
+
+
+def _to_df(res) -> pd.DataFrame:
+    import ray.data as rd
+
+    if isinstance(res, rd.Dataset):
+        res = res.to_pandas()
+    elif isinstance(res, pa.Table):
+        res = res.to_pandas()
+    return res
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    """Driver-style canonicalization: sort columns by name, rows by values."""
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if pd.api.types.is_datetime64_any_dtype(df[c]):
+            df[c] = pd.to_datetime(df[c]).astype("datetime64[us]")
+    df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
+    return df
+
+
+def _compare(name: str, got: pd.DataFrame, want: pd.DataFrame):
+    assert list(sorted(got.columns)) == list(sorted(want.columns)), \
+        f"{name}: columns {sorted(got.columns)} != {sorted(want.columns)}"
+    assert len(got) == len(want), f"{name}: rows {len(got)} != {len(want)}"
+    g, w = _canon(got), _canon(want)
+    for c in g.columns:
+        gv, wv = g[c].to_numpy(), w[c].to_numpy()
+        if gv.dtype.kind == "f" or wv.dtype.kind == "f":
+            np.testing.assert_array_equal(
+                gv.astype(np.float64), wv.astype(np.float64),
+                err_msg=f"{name}.{c}")
+        else:
+            assert (gv == wv).all() if len(gv) else True, f"{name}.{c} mismatch"
+
+
+def _entry_names():
+    import __ray_entry__ as e
+
+    return sorted(e.queries().keys())
+
+
+@pytest.mark.parametrize("name", [
+    "term_df", "doc_lengths", "top_terms", "lang_counts", "quality_scores",
+    "doc_fingerprints", "langid", "row_range_filter", "exact_dedup",
+    "token_jaccard_pairs", "index_stats", "bm25_topk", "search_and",
+    "search_or", "search_exact", "point_lookup", "tumbling_hourly",
+    "sessionize", "grouped_topn", "events_type_stats", "orders_by_segment",
+    "ann_topk", "ann_threshold", "media_features",
+])
+def test_query_matches_oracle(ray_session, con, name):
+    import __ray_entry__ as e
+
+    q = e.queries()[name]
+    sql = e.oracle_sql()[name]
+    got = _to_df(q(SF_DIR))
+    want = con.execute(sql).fetch_df()
+    _compare(name, got, want)
+
+
+def test_rows_only_queries_run(ray_session):
+    import __ray_entry__ as e
+
+    qs = e.queries()
+    oracles = e.oracle_sql()
+    for name in set(qs) - set(oracles):
+        out = _to_df(qs[name](SF_DIR))
+        assert out is not None  # >= 0 rows with a stable schema
+        assert len(out.columns) > 0, name
+
+
+def test_entry_runs(ray_session):
+    import __ray_entry__ as e
+
+    out = _to_df(e.entry())
+    assert len(out) > 0
+    assert {"query_id", "rank", "doc_id"} <= set(out.columns)
