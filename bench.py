@@ -1,0 +1,207 @@
+#!/usr/bin/env python
+"""Benchmark driver: headline pipelines over $GRAFT_SF_DIR.
+
+Default run: one fresh Ray session (num_cpus=$RAY_GRAFT_CPUS, default 32),
+times the headline index-build + BM25 query workload over a deterministic
+synthesized pages corpus (BASELINE.json input_hint shape, cached in /tmp)
+plus the representative gate pipelines over the sf tables, and prints ONE
+JSON line:
+
+    {"metric": ..., "value": secs, "unit": "sec", "queries": {...},
+     "sf": ..., "num_cpus": N, ...extras}
+
+`--scaling`: runs the headline pipeline twice in FRESH processes at
+num_cpus=8 and num_cpus=32 on the same input and reports both throughputs
+plus scaling efficiency = T_32 / (4 * T_8) — the sandbox stand-in for the
+north rule's N-node vs 4N-node `ray job submit` protocol.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+SF_DIR_DEFAULT = "/root/testdata/sf0.1"
+
+# synthesized headline corpus size per sf tier (docs, fragments)
+CORPUS_SIZES = {"0.001": (2_000, 8), "0.01": (8_000, 16), "0.1": (40_000, 32)}
+
+
+def _sf_of(sf_dir: str) -> str:
+    base = os.path.basename(os.path.normpath(sf_dir))
+    return base[2:] if base.startswith("sf") else base
+
+
+def corpus_dir(sf: str) -> str:
+    n_docs, n_frags = CORPUS_SIZES.get(sf, (8_000, 16))
+    d = f"/tmp/orl_bench_corpus_sf{sf}_{n_docs}"
+    marker = os.path.join(d, "_COMPLETE")
+    if not os.path.exists(marker):
+        from org_rdkit_lucene_ray.synth import write_pages_dir
+
+        shutil.rmtree(d, ignore_errors=True)
+        write_pages_dir(d, n_docs=n_docs, n_fragments=n_frags, seed=42)
+        with open(marker, "w") as f:
+            f.write("ok")
+    return d
+
+
+def bench_headline(sf: str, num_cpus: int) -> dict:
+    """Build the inverted index over the synth pages corpus + run the
+    reference query set. Returns timings/throughputs."""
+    import numpy as np
+
+    from org_rdkit_lucene_ray.config import IndexConfig
+    from org_rdkit_lucene_ray.pipelines.build import build_index
+    from org_rdkit_lucene_ray.pipelines.query import Searcher, run_queries
+    from org_rdkit_lucene_ray.synth import gen_queries
+
+    pages = corpus_dir(sf)
+    idx = f"/tmp/orl_bench_index_{sf}_{num_cpus}_{os.getpid()}"
+    shutil.rmtree(idx, ignore_errors=True)
+    cfg = IndexConfig(docs_per_segment=16_384, term_buckets=max(8, num_cpus),
+                      block_size=128)
+    t0 = time.perf_counter()
+    manifest = build_index(pages, idx, cfg=cfg)
+    build_secs = time.perf_counter() - t0
+    n_docs = manifest["stats"]["n_docs"]
+
+    queries = gen_queries(n_random=60)
+    # throughput: the distributed searcher actor-pool path
+    t1 = time.perf_counter()
+    res = run_queries(idx, queries, mode="wand", resolve_urls=False)
+    n_hits = res.count()
+    query_wall = time.perf_counter() - t1
+
+    # latency: per-query wall time on one warm searcher (reference's
+    # per-query ms protocol, LuceneBenchmark CSV analog)
+    s = Searcher(idx)
+    lats = []
+    for row in queries.to_pylist():
+        q0 = time.perf_counter()
+        s.topk(row["query"], int(row["k"]), mode="wand")
+        lats.append(time.perf_counter() - q0)
+    lats = np.asarray(lats)
+    shutil.rmtree(idx, ignore_errors=True)
+    return {
+        "build_secs": round(build_secs, 3),
+        "build_docs_per_sec": round(n_docs / build_secs, 1),
+        "n_docs": int(n_docs),
+        "n_postings": int(manifest["stats"]["n_postings"]),
+        "query_pipeline_secs": round(query_wall, 3),
+        "n_queries": queries.num_rows,
+        "n_hits": int(n_hits),
+        "query_p50_ms": round(float(np.percentile(lats, 50)) * 1e3, 2),
+        "query_p95_ms": round(float(np.percentile(lats, 95)) * 1e3, 2),
+        "build_timings": manifest["timings_sec"],
+    }
+
+
+def bench_gate_queries(sf_dir: str) -> dict[str, float]:
+    """Wall seconds for representative gate pipelines over the sf tables."""
+    from org_rdkit_lucene_ray.pipelines import gate
+
+    picks = ["term_df", "doc_lengths", "quality_scores", "exact_dedup",
+             "minhash_pairs", "bm25_topk", "ann_topk", "tumbling_hourly",
+             "sessionize", "events_type_stats", "orders_by_segment",
+             "media_features"]
+    out: dict[str, float] = {}
+    for name in picks:
+        fn = gate.QUERIES[name]
+        t0 = time.perf_counter()
+        res = fn(sf_dir)
+        if hasattr(res, "materialize"):
+            res.materialize()
+        out[name] = round(time.perf_counter() - t0, 3)
+    return out
+
+
+def run_single(sf_dir: str, num_cpus: int, headline_only: bool) -> dict:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
+                 logging_level="ERROR")
+    try:
+        from ray.data import DataContext
+
+        DataContext.get_current().enable_progress_bars = False
+    except Exception:
+        pass
+    sf = _sf_of(sf_dir)
+    t0 = time.perf_counter()
+    head = bench_headline(sf, num_cpus)
+    queries = {} if headline_only else bench_gate_queries(sf_dir)
+    total = time.perf_counter() - t0
+    result = {
+        "metric": "index-build docs/sec + BM25 query p95 (headline) + gate pipeline wall",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf,
+        "num_cpus": num_cpus,
+        "headline": head,
+    }
+    ray.shutdown()
+    return result
+
+
+def run_scaling(sf_dir: str, cpus_lo: int = 8, cpus_hi: int = 32) -> dict:
+    """Fresh-process runs at two parallelism levels on the SAME input."""
+    runs = {}
+    for cpus in (cpus_lo, cpus_hi):
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(cpus))
+        p = subprocess.run(
+            [sys.executable, os.path.join(REPO, "bench.py"),
+             "--headline-only", "--sf-dir", sf_dir],
+            env=env, capture_output=True, text=True, timeout=3600,
+        )
+        line = [ln for ln in p.stdout.strip().splitlines() if ln.startswith("{")][-1]
+        runs[cpus] = json.loads(line)
+    lo, hi = runs[cpus_lo]["headline"], runs[cpus_hi]["headline"]
+    eff = (hi["build_docs_per_sec"] /
+           ((cpus_hi / cpus_lo) * lo["build_docs_per_sec"]))
+    return {
+        "metric": "index-build throughput scaling efficiency",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "queries": {},
+        "sf": _sf_of(sf_dir),
+        "num_cpus": cpus_hi,
+        "scaling": {
+            f"docs_per_sec@{cpus_lo}": lo["build_docs_per_sec"],
+            f"docs_per_sec@{cpus_hi}": hi["build_docs_per_sec"],
+            f"build_secs@{cpus_lo}": lo["build_secs"],
+            f"build_secs@{cpus_hi}": hi["build_secs"],
+            "cpu_ratio": cpus_hi / cpus_lo,
+            "efficiency": round(eff, 3),
+            f"query_p95_ms@{cpus_lo}": lo["query_p95_ms"],
+            f"query_p95_ms@{cpus_hi}": hi["query_p95_ms"],
+        },
+    }
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default=os.environ.get("GRAFT_SF_DIR", SF_DIR_DEFAULT))
+    ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--headline-only", action="store_true")
+    args = ap.parse_args()
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    if args.scaling:
+        out = run_scaling(args.sf_dir)
+    else:
+        out = run_single(args.sf_dir, num_cpus, args.headline_only)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

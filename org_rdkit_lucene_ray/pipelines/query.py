@@ -134,15 +134,29 @@ class Searcher:
 
         # segment dictionaries: term -> per-segment row locator. Loaded once
         # per actor (T3). Chunk tables stay as Arrow (posting blobs decoded
-        # lazily per query).
+        # lazily per query). A generation may include parent generations
+        # (log-structured incremental adds, pipelines/merge.py); segment ids
+        # are globally unique and doc-range-ordered across included gens.
+        self._index_dir = index_dir
+        self._gdirs: list[str] = [
+            os.path.join(index_dir, g)
+            for g in self.manifest.get("includes", [self.manifest["generation"]])
+        ]
         self._segments: list[tuple[int, pa.Table, dict[str, int]]] = []
-        for sid in list_segment_ids(self.gdir):
-            tabs = [pq.read_table(f) for f in list_chunk_files(self.gdir, sid)]
-            if not tabs:
-                continue
-            tbl = pa.concat_tables(tabs).combine_chunks()
-            lookup = {t: i for i, t in enumerate(tbl["term"].to_pylist())}
-            self._segments.append((sid, tbl, lookup))
+        for gd in self._gdirs:
+            for sid in list_segment_ids(gd):
+                tabs = [pq.read_table(f) for f in list_chunk_files(gd, sid)]
+                if not tabs:
+                    continue
+                tbl = pa.concat_tables(tabs).combine_chunks()
+                lookup = {t: i for i, t in enumerate(tbl["term"].to_pylist())}
+                self._segments.append((sid, tbl, lookup))
+        self._segments.sort(key=lambda x: x[0])
+        # tombstones (upserted-away docs): masked at decode time; like
+        # Lucene, they still count in df/avgdl until a merge drops them.
+        del_path = os.path.join(self.gdir, "deletes.parquet")
+        self._deletes = (pq.read_table(del_path)["doc_id"].to_numpy()
+                         if os.path.exists(del_path) else None)
         self._df_cache: dict[str, int] = {}
 
     # ------------------------------------------------------------- stats/meta
@@ -180,8 +194,19 @@ class Searcher:
             bm_l.append(np.asarray(tbl["bm_max_tfn"][i].as_py(), dtype=np.float32))
         if not docs_l:
             return None
-        return (np.concatenate(docs_l), np.concatenate(tfs_l), np.concatenate(dls_l),
-                np.concatenate(bf_l), np.concatenate(bl_l), np.concatenate(bm_l))
+        docs = np.concatenate(docs_l)
+        tfs = np.concatenate(tfs_l)
+        dls = np.concatenate(dls_l)
+        bf, bl, bm = np.concatenate(bf_l), np.concatenate(bl_l), np.concatenate(bm_l)
+        if self._deletes is not None and self._deletes.size:
+            keep = ~np.isin(docs, self._deletes)
+            if not keep.all():
+                docs, tfs, dls = docs[keep], tfs[keep], dls[keep]
+                if docs.size == 0:
+                    return None
+                # block-max metadata keeps stale (admissible: upper bounds
+                # only ever shrink when postings are removed)
+        return (docs, tfs, dls, bf, bl, bm)
 
     def _cursors(self, query: str):
         """-> (occurrence term list sorted asc, {term: _TermCursor})."""
@@ -344,14 +369,26 @@ class Searcher:
                 return out
         return out
 
+    def _fwd_files(self) -> list[str]:
+        out = []
+        for gd in self._gdirs:
+            fwd = os.path.join(gd, "fwd")
+            if os.path.isdir(fwd):
+                out.extend(os.path.join(fwd, f) for f in sorted(os.listdir(fwd))
+                           if f.endswith(".parquet"))
+        return out
+
+    def _not_deleted(self, t: pa.Table) -> pa.Table:
+        if self._deletes is None or not self._deletes.size or not t.num_rows:
+            return t
+        keep = ~np.isin(t["doc_id"].to_numpy(), self._deletes)
+        return t.filter(pa.array(keep))
+
     def lookup_pk(self, url: str) -> pa.Table:
         """J1: point lookup by primary key over the forward index
         (``searchMoleculeByPK:505-519``) — predicate-pushdown scan."""
-        fwd = os.path.join(self.gdir, "fwd")
-        tabs = [
-            pq.read_table(os.path.join(fwd, f), filters=[("url", "==", url)])
-            for f in sorted(os.listdir(fwd)) if f.endswith(".parquet")
-        ]
+        tabs = [self._not_deleted(pq.read_table(p, filters=[("url", "==", url)]))
+                for p in self._fwd_files()]
         return pa.concat_tables(tabs)
 
     def resolve_urls(self, doc_ids: list[int]) -> dict[int, str]:
@@ -359,13 +396,10 @@ class Searcher:
         if not doc_ids:
             return {}
         ids = sorted(set(int(d) for d in doc_ids))
-        fwd = os.path.join(self.gdir, "fwd")
         out: dict[int, str] = {}
-        for f in sorted(os.listdir(fwd)):
-            if not f.endswith(".parquet"):
-                continue
+        for p in self._fwd_files():
             t = pq.read_table(
-                os.path.join(fwd, f), columns=["doc_id", "url"],
+                p, columns=["doc_id", "url"],
                 filters=[("doc_id", ">=", ids[0]), ("doc_id", "<=", ids[-1])],
             )
             if t.num_rows:

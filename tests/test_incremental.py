@@ -1,0 +1,190 @@
+"""Incremental adds (delta generations + tombstones), log-structured merge,
+and crash-resume byte-identity — the IndexWriter/segment-merge analog
+(SURVEY T2, ``ChemicalIndex.java:344, :801``)."""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import shutil
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+
+from org_rdkit_lucene_ray.config import IndexConfig
+from org_rdkit_lucene_ray.oracle import OracleIndex
+from org_rdkit_lucene_ray.pipelines.build import build_index, plan_fragments
+from org_rdkit_lucene_ray.pipelines.merge import (
+    add_documents,
+    merge_generations,
+    read_deletes,
+)
+from org_rdkit_lucene_ray.pipelines.query import Searcher
+from org_rdkit_lucene_ray.synth import gen_queries
+
+CFG = IndexConfig(docs_per_segment=256, term_buckets=8, block_size=32)
+
+
+def _frag_paths(pages_dir):
+    return sorted(os.path.join(pages_dir, f) for f in os.listdir(pages_dir)
+                  if f.endswith(".parquet"))
+
+
+def _survivors(paths, doc_id_base=0):
+    """Replicate the engine's id assignment + last-write-wins dedup."""
+    rows = []
+    frags = plan_fragments(paths, doc_id_base=doc_id_base)
+    for fr in frags:
+        t = pq.read_table(fr["path"], columns=["url", "warc_ts", "text"])
+        for i in range(t.num_rows):
+            rows.append((fr["base"] + i, t["url"][i].as_py(),
+                         t["warc_ts"][i].value, t["text"][i].as_py()))
+    best = {}
+    for doc_id, url, ts, text in rows:
+        cur = best.get(url)
+        if cur is None or (ts, doc_id) > (cur[0], cur[1]):
+            best[url] = (ts, doc_id, text)
+    return {doc_id: (url, text) for url, (ts, doc_id, text) in best.items()}, rows
+
+
+@pytest.fixture(scope="module")
+def incr_index(ray_session, pages_dir, tmp_path_factory):
+    import pyarrow as pa
+
+    from org_rdkit_lucene_ray.synth import gen_pages
+
+    paths = _frag_paths(pages_dir)
+    base_paths = paths[:5]
+    # delta: fresh docs + explicit upserts of 8 base urls (later warc_ts)
+    delta = gen_pages(200, seed=99, dup_url_frac=0.0, near_dup_frac=0.0)
+    base0 = pq.read_table(base_paths[0], columns=["url"])
+    upsert_urls = base0["url"].to_pylist()[10:18]
+    # synth urls are a function of the row index — remap the delta into its
+    # own namespace so only the planted upserts collide with the base
+    urls = [u.replace("https://", "https://delta.") for u in delta["url"].to_pylist()]
+    for i, u in enumerate(upsert_urls):
+        urls[i * 20] = u          # delta wins by generation order (J6)
+    delta = delta.set_column(0, "url", pa.array(urls, pa.string()))
+    ddir = tmp_path_factory.mktemp("delta_frags")
+    delta_paths = []
+    for f in range(2):
+        part = delta.slice(f * 100, 100)
+        p = str(ddir / f"delta-{f:05d}.parquet")
+        pq.write_table(part, p)
+        delta_paths.append(p)
+    idx = str(tmp_path_factory.mktemp("incr_idx"))
+    base_manifest = build_index(base_paths, idx, cfg=CFG)
+    add_manifest = add_documents(idx, delta_paths)
+    return idx, base_paths, delta_paths, base_manifest, add_manifest
+
+
+def _expected_corpus(base_paths, delta_paths):
+    base_surv, base_rows = _survivors(base_paths)
+    n_base_rows = len(base_rows)
+    ceiling = ((n_base_rows - 1) // CFG.docs_per_segment + 1) * CFG.docs_per_segment
+    delta_surv, _ = _survivors(delta_paths, doc_id_base=ceiling)
+    delta_urls = {u for u, _ in delta_surv.values()}
+    live_base = {d: v for d, v in base_surv.items() if v[0] not in delta_urls}
+    return live_base, delta_surv, ceiling
+
+
+def test_delta_generation_and_tombstones(incr_index):
+    idx, base_paths, delta_paths, base_m, add_m = incr_index
+    live_base, delta_surv, ceiling = _expected_corpus(base_paths, delta_paths)
+    assert add_m["doc_id_base"] == ceiling
+    # tombstones = base survivors whose url reappears in the delta
+    base_surv, _ = _survivors(base_paths)
+    want_dead = sorted(d for d, (u, _) in base_surv.items()
+                       if u in {u for u, _ in delta_surv.values()})
+    assert want_dead, "fixture must exercise cross-generation upserts"
+    got_dead = sorted(read_deletes(idx).tolist())
+    assert got_dead == want_dead
+    # stale-stats contract (Lucene analog): stats still count tombstones
+    s = Searcher(idx)
+    assert s.n_docs == len(base_surv) + len(delta_surv)
+
+
+def test_pre_merge_doc_sets_match_oracle(incr_index):
+    idx, base_paths, delta_paths, *_ = incr_index
+    live_base, delta_surv, _ = _expected_corpus(base_paths, delta_paths)
+    oi = OracleIndex()
+    for d, (u, text) in sorted({**live_base, **delta_surv}.items()):
+        oi.add(d, text)
+    s = Searcher(idx)
+    for q in ["baba cece", "dodi", "zezezeze baba", "notaterm"]:
+        assert s.search_or(q).tolist() == oi.search_or(q), q
+        assert s.search_and(q).tolist() == oi.search_and(q), q
+    # point lookup of an upserted url returns ONLY the delta row
+    some_dead_url = next(u for d, (u, t) in sorted(
+        (set(_survivors(base_paths)[0].items()) - set(live_base.items()))))
+    t = s.lookup_pk(some_dead_url)
+    assert t.num_rows == 1
+    assert int(t["doc_id"][0].as_py()) in delta_surv
+
+
+def test_merge_rank_identical_to_oracle(incr_index):
+    idx, base_paths, delta_paths, *_ = incr_index
+    live_base, delta_surv, _ = _expected_corpus(base_paths, delta_paths)
+    merged = merge_generations(idx)
+    assert merged["stats"]["n_deletes"] == 0
+    assert merged["stats"]["n_docs"] == len(live_base) + len(delta_surv)
+    oi = OracleIndex()
+    for d, (u, text) in sorted({**live_base, **delta_surv}.items()):
+        oi.add(d, text)
+    s = Searcher(idx)          # now reads the merged generation
+    assert s.n_docs == oi.n_docs
+    assert s.avgdl == pytest.approx(oi.avgdl, rel=1e-12)
+    for q in gen_queries(n_random=15).to_pylist():
+        want = [(d, float(sc)) for d, sc in oi.topk(q["query"], int(q["k"]))]
+        got = [(d, float(sc)) for d, sc in s.topk_wand(q["query"], int(q["k"]))]
+        assert got == want, q["query"]
+
+
+def _tree_hashes(root):
+    out = {}
+    for dirpath, _, files in os.walk(root):
+        for f in files:
+            p = os.path.join(dirpath, f)
+            rel = os.path.relpath(p, root)
+            out[rel] = hashlib.md5(open(p, "rb").read()).hexdigest()
+    return out
+
+
+def test_crash_resume_byte_identical(ray_session, pages_dir, tmp_path_factory):
+    idx1 = str(tmp_path_factory.mktemp("resume_ctrl"))
+    m1 = build_index(pages_dir, idx1, cfg=CFG)
+    gdir1 = os.path.join(idx1, m1["generation"])
+    control = _tree_hashes(os.path.join(gdir1, "segments"))
+
+    # "crashed" run: complete build, then destroy a slice of its outputs —
+    # two fragment manifests (+ their postings), three segment chunks, the
+    # df table — and rerun. The rerun must skip committed work and reproduce
+    # byte-identical segments.
+    idx2 = str(tmp_path_factory.mktemp("resume_crash"))
+    m2 = build_index(pages_dir, idx2, cfg=CFG)
+    gdir2 = os.path.join(idx2, m2["generation"])
+    work = os.path.join(idx2, "work")
+    for fid in (2, 5):
+        os.remove(os.path.join(work, "manifest", f"frag-{fid:06d}.json"))
+        os.remove(os.path.join(work, "postings", f"frag-{fid:06d}.parquet"))
+        os.remove(os.path.join(gdir2, "fwd", f"frag-{fid:06d}.parquet"))
+    seg_root = os.path.join(gdir2, "segments")
+    removed = 0
+    for seg in sorted(os.listdir(seg_root)):
+        for f in sorted(os.listdir(os.path.join(seg_root, seg))):
+            if removed < 3:
+                os.remove(os.path.join(seg_root, seg, f))
+                removed += 1
+    shutil.rmtree(os.path.join(gdir2, "df"))
+
+    m2b = build_index(pages_dir, idx2, cfg=CFG)
+    assert m2b["stats"]["n_docs"] == m1["stats"]["n_docs"]
+    assert m2b["stats"]["n_postings"] == m1["stats"]["n_postings"]
+    # resumed fragments are marked; untouched ones were skipped
+    resumed = {r["fragment_id"]: bool(r.get("resumed_skip"))
+               for r in m2b["fragments"]}
+    assert not resumed[2] and not resumed[5]      # re-processed
+    assert resumed[3] and resumed[0]              # skipped from checkpoint
+    assert _tree_hashes(os.path.join(gdir2, "segments")) == control
