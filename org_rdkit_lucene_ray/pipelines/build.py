@@ -108,20 +108,22 @@ def plan_fragments(input_paths: str | list[str], doc_id_base: int = 0) -> list[d
 
 
 # -------------------------------------------------------------------- dedup
-class _SlimReader:
-    """Column-pruned (url, warc_ts) read with deterministic doc ids."""
+def _slim_read(batch: pa.Table) -> pa.Table:
+    """Column-pruned (url, warc_ts) read with deterministic doc ids.
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        out = []
-        for row in batch.to_pylist():
-            t = pq.read_table(row["path"], columns=["url", "warc_ts"])
-            n = t.num_rows
-            out.append(pa.table({
-                "url": t["url"],
-                "warc_ts_us": pc.cast(t["warc_ts"], pa.int64()),
-                "doc_id": pa.array(row["base"] + np.arange(n, dtype=np.int64)),
-            }))
-        return pa.concat_tables(out)
+    Plain task fn (NOT an actor pool): stateless, and spinning up a
+    cluster-wide actor pool for a metadata-light scan costs more than the
+    scan (~10s of actor startup at 32 CPUs, measured)."""
+    out = []
+    for row in batch.to_pylist():
+        t = pq.read_table(row["path"], columns=["url", "warc_ts"])
+        n = t.num_rows
+        out.append(pa.table({
+            "url": t["url"],
+            "warc_ts_us": pc.cast(t["warc_ts"], pa.int64()),
+            "doc_id": pa.array(row["base"] + np.arange(n, dtype=np.int64)),
+        }))
+    return pa.concat_tables(out)
 
 
 def compute_dup_losers(fragments: list[dict], work_dir: str) -> str:
@@ -146,8 +148,10 @@ def compute_dup_losers(fragments: list[dict], work_dir: str) -> str:
     if os.path.exists(done):
         return losers_dir
     ds = rd.from_items(fragments, override_num_blocks=len(fragments))
-    slim = ds.map_batches(_SlimReader, batch_format="pyarrow", batch_size=None,
-                          concurrency=_default_concurrency(len(fragments)))
+    # two cheap column-pruned passes (count, then dup-only rescan) rather
+    # than materializing the slim projection — at 10^12 rows even the slim
+    # columns are tens of TB and must stream, not pin the object store
+    slim = ds.map_batches(_slim_read, batch_format="pyarrow", batch_size=None)
     counts = slim.groupby("url").aggregate(Count(alias_name="n"))
     dup_urls = counts.filter(expr="n > 1").select_columns(["url"]).take_all()
     dup_set = pa.array(sorted(r["url"] for r in dup_urls), pa.string())
@@ -317,6 +321,23 @@ class FragmentTokenizer:
         return pa.table({k: [r.get(k) for r in rows] for k in keys})
 
 
+# Task-pool wrapper with per-worker-process state cache: a cluster-wide actor
+# pool costs ~10s of startup at 32 CPUs (measured) before the first batch;
+# a task fn reuses Ray's warm worker processes and builds the (light)
+# tokenizer state once per process. A genuinely heavy analyzer (model
+# weights) should instead pass ``tokenizer_mode="actors"`` to build_index —
+# the T1 actor-pool path.
+_TOKENIZER_STATE: dict[tuple, FragmentTokenizer] = {}
+
+
+def _tokenize_fragments_task(batch: pa.Table, *, ctor_kwargs: dict) -> pa.Table:
+    key = (ctor_kwargs["work_dir"], ctor_kwargs["fwd_dir"])
+    tok = _TOKENIZER_STATE.get(key)
+    if tok is None:
+        tok = _TOKENIZER_STATE[key] = FragmentTokenizer(**ctor_kwargs)
+    return tok(batch)
+
+
 # ------------------------------------------------------------------ phase B
 def _existing_chunks(gdir: str) -> set[tuple[int, int]]:
     out = set()
@@ -472,6 +493,7 @@ def build_index(
     verify_extraction: bool = True,
     concurrency: int | tuple[int, int] | None = None,
     doc_id_base: int = 0,
+    tokenizer_mode: str = "tasks",
 ) -> dict:
     """End-to-end build. Idempotent/resumable: re-running after a crash skips
     committed fragments (Phase A) and committed chunk files (Phase B)."""
@@ -501,18 +523,27 @@ def build_index(
     t_dedup = time.perf_counter()
 
     frag_ds = rd.from_items(fragments, override_num_blocks=len(fragments))
-    mani_ds = frag_ds.map_batches(
-        FragmentTokenizer,
-        fn_constructor_kwargs=dict(
-            work_dir=work_dir, fwd_dir=fwd_dir, cfg=cfg, losers_dir=losers_dir,
-            use_html=use_html, text_column=text_column, url_column=url_column,
-            ts_column=ts_column, lang_column=lang_column, id_column=id_column,
-            verify_extraction=verify_extraction,
-        ),
-        batch_format="pyarrow",
-        batch_size=1,
-        concurrency=concurrency or _default_concurrency(len(fragments)),
+    ctor_kwargs = dict(
+        work_dir=work_dir, fwd_dir=fwd_dir, cfg=cfg, losers_dir=losers_dir,
+        use_html=use_html, text_column=text_column, url_column=url_column,
+        ts_column=ts_column, lang_column=lang_column, id_column=id_column,
+        verify_extraction=verify_extraction,
     )
+    if tokenizer_mode == "actors":
+        mani_ds = frag_ds.map_batches(
+            FragmentTokenizer,
+            fn_constructor_kwargs=ctor_kwargs,
+            batch_format="pyarrow",
+            batch_size=1,
+            concurrency=concurrency or _default_concurrency(len(fragments)),
+        )
+    else:
+        mani_ds = frag_ds.map_batches(
+            _tokenize_fragments_task,
+            fn_kwargs=dict(ctor_kwargs=ctor_kwargs),
+            batch_format="pyarrow",
+            batch_size=1,
+        )
     frag_rows = mani_ds.take_all()  # one row per fragment — small
     t_tokenize = time.perf_counter()
 
