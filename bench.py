@@ -31,8 +31,17 @@ sys.path.insert(0, REPO)
 
 SF_DIR_DEFAULT = "/root/testdata/sf0.1"
 
-# synthesized headline corpus size per sf tier (docs, fragments)
-CORPUS_SIZES = {"0.001": (2_000, 8), "0.01": (8_000, 16), "0.1": (40_000, 32)}
+# synthesized headline corpus per sf tier: (docs, fragments, gen kwargs)
+CORPUS_SIZES = {
+    "0.001": (2_000, 8, {}),
+    "0.01": (8_000, 16, {}),
+    "0.1": (40_000, 32, {}),
+    # scaling runs need compute to dominate the fixed per-stage overheads
+    # (~8s of Ray shuffle/stage setup at any size), so the two-parallelism
+    # protocol uses a larger corpus with realistic web-page doc lengths
+    # (~150 tokens avg vs the sf tiers' ~55)
+    "scaling": (700_000, 96, {"len_mean": 5.0, "max_len": 1200}),
+}
 
 
 def _sf_of(sf_dir: str) -> str:
@@ -41,14 +50,15 @@ def _sf_of(sf_dir: str) -> str:
 
 
 def corpus_dir(sf: str) -> str:
-    n_docs, n_frags = CORPUS_SIZES.get(sf, (8_000, 16))
+    n_docs, n_frags, kw = CORPUS_SIZES.get(sf, (8_000, 16, {}))
     d = f"/tmp/orl_bench_corpus_sf{sf}_{n_docs}"
     marker = os.path.join(d, "_COMPLETE")
     if not os.path.exists(marker):
-        from org_rdkit_lucene_ray.synth import write_pages_dir
+        from org_rdkit_lucene_ray.synth import write_pages_dir, write_pages_dir_chunked
 
         shutil.rmtree(d, ignore_errors=True)
-        write_pages_dir(d, n_docs=n_docs, n_fragments=n_frags, seed=42)
+        writer = write_pages_dir_chunked if n_docs > 100_000 else write_pages_dir
+        writer(d, n_docs=n_docs, n_fragments=n_frags, seed=42, **kw)
         with open(marker, "w") as f:
             f.write("ok")
     return d
@@ -56,7 +66,7 @@ def corpus_dir(sf: str) -> str:
 
 def bench_headline(sf: str, num_cpus: int) -> dict:
     """Build the inverted index over the synth pages corpus + run the
-    reference query set. Returns timings/throughputs."""
+    reference query set (``sf`` may be a corpus tag like "scaling")."""
     import numpy as np
 
     from org_rdkit_lucene_ray.config import IndexConfig
@@ -77,7 +87,7 @@ def bench_headline(sf: str, num_cpus: int) -> dict:
     queries = gen_queries(n_random=60)
     # throughput: the distributed searcher actor-pool path
     t1 = time.perf_counter()
-    res = run_queries(idx, queries, mode="wand", resolve_urls=False)
+    res = run_queries(idx, queries, mode="bmw", resolve_urls=False)
     n_hits = res.count()
     query_wall = time.perf_counter() - t1
 
@@ -87,7 +97,7 @@ def bench_headline(sf: str, num_cpus: int) -> dict:
     lats = []
     for row in queries.to_pylist():
         q0 = time.perf_counter()
-        s.topk(row["query"], int(row["k"]), mode="wand")
+        s.topk(row["query"], int(row["k"]), mode="bmw")
         lats.append(time.perf_counter() - q0)
     lats = np.asarray(lats)
     shutil.rmtree(idx, ignore_errors=True)
@@ -124,7 +134,8 @@ def bench_gate_queries(sf_dir: str) -> dict[str, float]:
     return out
 
 
-def run_single(sf_dir: str, num_cpus: int, headline_only: bool) -> dict:
+def run_single(sf_dir: str, num_cpus: int, headline_only: bool,
+               corpus_tag: str | None = None) -> dict:
     import ray
 
     if not ray.is_initialized():
@@ -138,7 +149,7 @@ def run_single(sf_dir: str, num_cpus: int, headline_only: bool) -> dict:
         pass
     sf = _sf_of(sf_dir)
     t0 = time.perf_counter()
-    head = bench_headline(sf, num_cpus)
+    head = bench_headline(corpus_tag or sf, num_cpus)
     queries = {} if headline_only else bench_gate_queries(sf_dir)
     total = time.perf_counter() - t0
     result = {
@@ -161,7 +172,7 @@ def run_scaling(sf_dir: str, cpus_lo: int = 8, cpus_hi: int = 32) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(cpus))
         p = subprocess.run(
             [sys.executable, os.path.join(REPO, "bench.py"),
-             "--headline-only", "--sf-dir", sf_dir],
+             "--headline-only", "--sf-dir", sf_dir, "--corpus-tag", "scaling"],
             env=env, capture_output=True, text=True, timeout=3600,
         )
         line = [ln for ln in p.stdout.strip().splitlines() if ln.startswith("{")][-1]
@@ -194,12 +205,15 @@ def main() -> None:
     ap.add_argument("--sf-dir", default=os.environ.get("GRAFT_SF_DIR", SF_DIR_DEFAULT))
     ap.add_argument("--scaling", action="store_true")
     ap.add_argument("--headline-only", action="store_true")
+    ap.add_argument("--corpus-tag", default=None,
+                    help="override the synth corpus tier (e.g. 'scaling')")
     args = ap.parse_args()
     num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
     if args.scaling:
         out = run_scaling(args.sf_dir)
     else:
-        out = run_single(args.sf_dir, num_cpus, args.headline_only)
+        out = run_single(args.sf_dir, num_cpus, args.headline_only,
+                         corpus_tag=args.corpus_tag)
     print(json.dumps(out))
 
 

@@ -81,6 +81,9 @@ class IndexConfig:
     # extra sub-salt inside a segment when a single (segment, term) group is
     # still too large; 1 = off. Group width bound = docs_per_segment / sub_salt.
     sub_salt: int = 1
+    # metadata columns indexed as composite "col:value" terms (J5 multi-field
+    # query surface, MultiFieldQueryParser analog ChemicalIndex.java:466-491)
+    field_columns: tuple[str, ...] = ()
 
     def manifest_dict(self) -> dict:
         return {
@@ -93,4 +96,5 @@ class IndexConfig:
             "query_analyzer": asdict(self.query_analyzer),
             "query_analyzer_fp": self.query_analyzer.fingerprint(),
             "sub_salt": self.sub_salt,
+            "field_columns": list(self.field_columns),
         }

@@ -152,15 +152,26 @@ def compute_dup_losers(fragments: list[dict], work_dir: str) -> str:
     # than materializing the slim projection — at 10^12 rows even the slim
     # columns are tens of TB and must stream, not pin the object store
     slim = ds.map_batches(_slim_read, batch_format="pyarrow", batch_size=None)
-    counts = slim.groupby("url").aggregate(Count(alias_name="n"))
-    dup_urls = counts.filter(expr="n > 1").select_columns(["url"]).take_all()
-    dup_set = pa.array(sorted(r["url"] for r in dup_urls), pa.string())
+
+    def url_hashes(t: pa.Table) -> pa.Table:
+        # shuffle 8-byte hashes, not url strings (same dup groups; the dup
+        # RESCAN still compares real urls, so a hash collision only costs a
+        # false candidate, never a wrong winner)
+        return pa.table({"uh": pa.array(
+            stable_term_hash(t["url"]).astype(np.int64))})
+
+    counts = slim.map_batches(url_hashes, batch_format="pyarrow") \
+        .groupby("uh").aggregate(Count(alias_name="n"))
+    dup_rows = counts.filter(expr="n > 1").select_columns(["uh"]).take_all()
+    dup_hashes = np.sort(np.asarray([r["uh"] for r in dup_rows], dtype=np.int64))
     os.makedirs(losers_dir, exist_ok=True)
-    if len(dup_set):
-        ref = ray.put(dup_set)
+    if len(dup_hashes):
+        ref = ray.put(dup_hashes)
 
         def only_dups(t: pa.Table) -> pa.Table:
-            return t.filter(pc.is_in(t["url"], value_set=ray.get(ref)))
+            hh = stable_term_hash(t["url"]).astype(np.int64)
+            keep = np.isin(hh, ray.get(ref))
+            return t.filter(pa.array(keep))
 
         dups = pa.concat_tables(
             b for b in slim.map_batches(only_dups, batch_format="pyarrow")
@@ -233,7 +244,30 @@ class FragmentTokenizer:
         for c in (self.url_column, self.ts_column, self.lang_column, self.id_column):
             if c:
                 cols.append(c)
+        cols.extend(self.cfg.field_columns)
         return list(dict.fromkeys(cols))
+
+    def _field_postings(self, t: pa.Table, doc_ids: np.ndarray,
+                        dl: pa.Array) -> pa.Table | None:
+        """J5 fielded terms: one ``col:value`` posting per metadata column
+        (tf=1; dl = the doc's TEXT length so fielded clauses score with the
+        same normalization — Lucene analog: per-field terms, shared doc)."""
+        if not self.cfg.field_columns:
+            return None
+        parts = []
+        for col in self.cfg.field_columns:
+            vals = pc.utf8_lower(pc.cast(t[col], pa.string()))
+            terms = pc.binary_join_element_wise(
+                pa.array([col] * len(doc_ids)), vals, ":")
+            # join produces "col" + ":" + value via separator-last semantics:
+            # binary_join_element_wise(a, b, sep) = a sep b
+            parts.append(pa.table({
+                "term": terms,
+                "doc_id": pa.array(doc_ids, pa.int64()),
+                "tf": pa.array(np.ones(len(doc_ids), np.int32)),
+                "dl": dl,
+            }))
+        return pa.concat_tables(parts)
 
     def _process_fragment(self, frag: dict) -> dict:
         fid, path, base, rows = (
@@ -277,6 +311,9 @@ class FragmentTokenizer:
                     t = t.take(pa.array(idx))
             postings, doclens = postings_from_batch(doc_ids, text, self.analyzer)
             post_parts.append(postings)
+            fielded = self._field_postings(t, doc_ids, doclens["dl"].combine_chunks())
+            if fielded is not None:
+                post_parts.append(fielded)
             fwd_cols = {"doc_id": pa.array(doc_ids, pa.int64()), "dl": doclens["dl"]}
             if self.url_column:
                 fwd_cols["url"] = t[self.url_column].combine_chunks()
@@ -295,7 +332,8 @@ class FragmentTokenizer:
         nbytes = 0
         post_path = os.path.join(self.work_dir, "postings", f"frag-{fid:06d}.parquet")
         if postings_tbl is not None and postings_tbl.num_rows:
-            nbytes += atomic_write_table(postings_tbl, post_path, compression="zstd")
+            nbytes += _write_bucketed_postings(postings_tbl, post_path,
+                                              self.cfg.term_buckets)
         nbytes += atomic_write_table(fwd_tbl, os.path.join(self.fwd_dir, f"frag-{fid:06d}.parquet"))
         row = {
             "input_fragment": path,
@@ -338,6 +376,30 @@ def _tokenize_fragments_task(batch: pa.Table, *, ctor_kwargs: dict) -> pa.Table:
     return tok(batch)
 
 
+def _write_bucketed_postings(postings: pa.Table, path: str, buckets: int) -> int:
+    """Write a fragment's postings sorted by (bucket, term, doc_id) with ONE
+    ROW GROUP PER BUCKET — the write side of the storage-partitioned
+    exchange that replaces the groupby-term shuffle (encode tasks read one
+    bucket via row-group statistics pruning). Atomic: temp + rename."""
+    import uuid
+
+    bucket = (stable_term_hash(postings["term"]) % buckets).astype(np.int32)
+    postings = postings.append_column("bucket", pa.array(bucket))
+    order = pc.sort_indices(postings, sort_keys=[
+        ("bucket", "ascending"), ("term", "ascending"), ("doc_id", "ascending")])
+    postings = postings.take(order)
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    tmp = os.path.join(os.path.dirname(path), f".tmp-{uuid.uuid4().hex}")
+    bk = postings["bucket"].to_numpy()
+    starts = np.concatenate([[0], np.flatnonzero(bk[1:] != bk[:-1]) + 1, [len(bk)]])
+    with pq.ParquetWriter(tmp, postings.schema, compression="zstd") as w:
+        for i in range(len(starts) - 1):
+            w.write_table(postings.slice(starts[i], starts[i + 1] - starts[i]))
+    size = os.path.getsize(tmp)
+    os.replace(tmp, path)
+    return size
+
+
 # ------------------------------------------------------------------ phase B
 def _existing_chunks(gdir: str) -> set[tuple[int, int]]:
     out = set()
@@ -354,99 +416,135 @@ def _existing_chunks(gdir: str) -> set[tuple[int, int]]:
     return out
 
 
-class _EncodeGroup:
-    """Encode every term chunk of one (segment_id, bucket) group and write
-    the chunk file atomically. Stateless task fn (config rides the closure)."""
+def encode_chunk_table(sorted_postings: pa.Table, gdir: str, sid: int,
+                       bucket: int, cfg: IndexConfig, avgdl: float) -> dict:
+    """Encode one (segment, bucket) postings slice (already sorted by
+    (term, doc_id)) into its chunk file. Term runs found by adjacent
+    dictionary-index comparison — no np.unique over Python strings."""
+    g = sorted_postings
+    term_dict = pc.dictionary_encode(g["term"].combine_chunks())
+    idx = term_dict.indices.to_numpy(zero_copy_only=False)
+    docs = g["doc_id"].to_numpy()
+    tfs = g["tf"].to_numpy()
+    dls = g["dl"].to_numpy()
+    starts = np.concatenate([[0], np.flatnonzero(idx[1:] != idx[:-1]) + 1])
+    bounds = np.concatenate([starts, [len(idx)]])
+    term_values = term_dict.dictionary
+    rows = {k: [] for k in ("term", "df_chunk", "doc_bytes", "tf_bytes",
+                            "dl_bytes", "bm_first_doc", "bm_last_doc", "bm_max_tfn")}
+    for i in range(len(starts)):
+        s, e = bounds[i], bounds[i + 1]
+        enc = encode_posting_list(
+            docs[s:e], tfs[s:e], dls[s:e],
+            avgdl=avgdl, bm25=cfg.bm25, block_size=cfg.block_size,
+        )
+        rows["term"].append(term_values[idx[s]].as_py())
+        for k in ("df_chunk", "doc_bytes", "tf_bytes", "dl_bytes",
+                  "bm_first_doc", "bm_last_doc", "bm_max_tfn"):
+            rows[k].append(enc[k])
+    chunk = pa.table(
+        {"term": pa.array(rows["term"], pa.string()),
+         "df_chunk": pa.array(rows["df_chunk"], pa.int32()),
+         "doc_bytes": pa.array(rows["doc_bytes"], pa.binary()),
+         "tf_bytes": pa.array(rows["tf_bytes"], pa.binary()),
+         "dl_bytes": pa.array(rows["dl_bytes"], pa.binary()),
+         "bm_first_doc": pa.array([np.asarray(x) for x in rows["bm_first_doc"]], pa.list_(pa.int64())),
+         "bm_last_doc": pa.array([np.asarray(x) for x in rows["bm_last_doc"]], pa.list_(pa.int64())),
+         "bm_max_tfn": pa.array([np.asarray(x) for x in rows["bm_max_tfn"]], pa.list_(pa.float32()))},
+    ).cast(SEGMENT_SCHEMA)
+    # chunk files are sorted by term -> row-group stats allow term pruning
+    path = segment_chunk_path(gdir, sid, bucket)
+    nbytes = atomic_write_table(chunk, path, row_group_size=8192)
+    return {"segment_id": sid, "bucket": bucket, "terms": chunk.num_rows,
+            "postings": int(docs.size), "bytes_compressed": int(nbytes)}
 
-    def __init__(self, gdir: str, cfg: IndexConfig, avgdl: float):
-        self.gdir = gdir
-        self.cfg = cfg
-        self.avgdl = avgdl
 
-    def __call__(self, group: pa.Table) -> pa.Table:
-        sid = int(group["segment_id"][0].as_py())
-        bucket = int(group["bucket"][0].as_py())
-        order = pc.sort_indices(group, sort_keys=[("term", "ascending"), ("doc_id", "ascending")])
-        g = group.take(order)
-        terms = np.asarray(g["term"].to_pylist(), dtype=object)
-        docs = g["doc_id"].to_numpy()
-        tfs = g["tf"].to_numpy()
-        dls = g["dl"].to_numpy()
-        # term boundaries over the sorted block
-        uniq, starts = np.unique(terms, return_index=True)
-        starts = np.sort(starts)
-        bounds = np.concatenate([starts, [len(terms)]])
-        rows = {k: [] for k in ("term", "df_chunk", "doc_bytes", "tf_bytes",
-                                "dl_bytes", "bm_first_doc", "bm_last_doc", "bm_max_tfn")}
-        for i in range(len(starts)):
-            s, e = bounds[i], bounds[i + 1]
-            enc = encode_posting_list(
-                docs[s:e], tfs[s:e], dls[s:e],
-                avgdl=self.avgdl, bm25=self.cfg.bm25, block_size=self.cfg.block_size,
-            )
-            rows["term"].append(terms[s])
-            rows["df_chunk"].append(enc["df_chunk"])
-            rows["doc_bytes"].append(enc["doc_bytes"])
-            rows["tf_bytes"].append(enc["tf_bytes"])
-            rows["dl_bytes"].append(enc["dl_bytes"])
-            rows["bm_first_doc"].append(enc["bm_first_doc"])
-            rows["bm_last_doc"].append(enc["bm_last_doc"])
-            rows["bm_max_tfn"].append(enc["bm_max_tfn"])
-        chunk = pa.table(
-            {"term": pa.array(rows["term"], pa.string()),
-             "df_chunk": pa.array(rows["df_chunk"], pa.int32()),
-             "doc_bytes": pa.array(rows["doc_bytes"], pa.binary()),
-             "tf_bytes": pa.array(rows["tf_bytes"], pa.binary()),
-             "dl_bytes": pa.array(rows["dl_bytes"], pa.binary()),
-             "bm_first_doc": pa.array([np.asarray(x) for x in rows["bm_first_doc"]], pa.list_(pa.int64())),
-             "bm_last_doc": pa.array([np.asarray(x) for x in rows["bm_last_doc"]], pa.list_(pa.int64())),
-             "bm_max_tfn": pa.array([np.asarray(x) for x in rows["bm_max_tfn"]], pa.list_(pa.float32()))},
-        ).cast(SEGMENT_SCHEMA)
-        # chunk files are sorted by term -> row-group stats allow term pruning
-        path = segment_chunk_path(self.gdir, sid, bucket)
-        nbytes = atomic_write_table(chunk, path, row_group_size=8192)
-        return pa.table({
-            "segment_id": pa.array([sid], pa.int32()),
-            "bucket": pa.array([bucket], pa.int32()),
-            "terms": pa.array([chunk.num_rows], pa.int64()),
-            "postings": pa.array([int(docs.size)], pa.int64()),
-            "bytes_compressed": pa.array([nbytes], pa.int64()),
-        })
+_CHUNK_ROW_SCHEMA = pa.schema([
+    ("segment_id", pa.int32()), ("bucket", pa.int32()), ("terms", pa.int64()),
+    ("postings", pa.int64()), ("bytes_compressed", pa.int64()),
+])
 
 
 def encode_segments(work_dir: str, gdir: str, cfg: IndexConfig, avgdl: float) -> list[dict]:
-    """Phase B driver: postings -> groupby(segment,bucket) -> chunk files."""
+    """Phase B driver — storage-partitioned exchange, NO Ray groupby.
+
+    Tokenize wrote each fragment's postings sorted by (bucket, term, doc_id)
+    with one row group per bucket; fragments own contiguous doc-id ranges,
+    so ``(segment, bucket)`` -> the bucket row groups of the few fragments
+    overlapping that segment's doc range. Each encode task reads exactly its
+    slice via Parquet row-group pruning + doc-range predicate — the
+    "shuffle" is the deterministic file layout, which (a) removes the
+    all-to-all sort the groupby did (53s of a 70s sf-scaling build), and
+    (b) makes Phase B resume = skip existing chunk files, no recompute.
+    Skew: a head term's postings are still split by doc range exactly as
+    before (segment = docID-range salt, SURVEY §7.1(6))."""
     post_dir = os.path.join(work_dir, "postings")
     done = _existing_chunks(gdir)
-
     B = cfg.term_buckets
     D = cfg.docs_per_segment
 
-    def add_keys(t: pa.Table) -> pa.Table:
-        seg = pa.array((t["doc_id"].to_numpy() // D).astype(np.int32))
-        bucket = pa.array((stable_term_hash(t["term"]) % B).astype(np.int32))
-        t = t.append_column("segment_id", seg).append_column("bucket", bucket)
-        if done:
-            segs = t["segment_id"].to_numpy().astype(np.int64)
-            bks = t["bucket"].to_numpy().astype(np.int64)
-            key = segs * (B + 1) + bks
-            done_keys = np.asarray([s * (B + 1) + b for s, b in done], dtype=np.int64)
-            keep = ~np.isin(key, done_keys)
-            t = t.filter(pa.array(keep))
-        return t
+    seg_files: dict[int, list[str]] = {}
+    for m in ckpt.list_fragment_manifests(work_dir):
+        path = os.path.join(post_dir, f"frag-{int(m['fragment_id']):06d}.parquet")
+        if not os.path.exists(path):
+            continue          # fragment produced no postings
+        base, rows = int(m["base"]), int(m["input_rows"])
+        for sid in range(base // D, (base + rows - 1) // D + 1):
+            seg_files.setdefault(sid, []).append(path)
 
-    encoder = _EncodeGroup(gdir, cfg, avgdl)
+    tasks = [
+        {"sid": sid, "bucket": b, "files": files}
+        for sid, files in sorted(seg_files.items())
+        for b in range(B)
+        if (sid, b) not in done
+    ]
+    if not tasks:
+        return _chunk_rows_from_disk(gdir)
 
-    def encode_group(group: pa.Table) -> pa.Table:
-        return encoder(group)
+    def encode_task(batch: pa.Table) -> pa.Table:
+        out = []
+        for row in batch.to_pylist():
+            sid, b = int(row["sid"]), int(row["bucket"])
+            lo, hi = sid * D, (sid + 1) * D
+            tabs = [
+                pq.read_table(
+                    f, columns=["term", "doc_id", "tf", "dl"],
+                    filters=[("bucket", "==", b), ("doc_id", ">=", lo),
+                             ("doc_id", "<", hi)],
+                )
+                for f in row["files"]
+            ]
+            t = pa.concat_tables(tabs)
+            if t.num_rows == 0:
+                continue
+            # per-fragment slices are (term, doc_id)-sorted; re-sort the
+            # concatenation (cheap k-way; Arrow sort on mostly-sorted input)
+            order = pc.sort_indices(t, sort_keys=[("term", "ascending"),
+                                                  ("doc_id", "ascending")])
+            out.append(encode_chunk_table(t.take(order), gdir, sid, b, cfg, avgdl))
+        if not out:
+            return _CHUNK_ROW_SCHEMA.empty_table()
+        return pa.Table.from_pylist(out, schema=_CHUNK_ROW_SCHEMA)
 
-    ds = rd.read_parquet(post_dir, columns=["term", "doc_id", "tf", "dl"])
-    enc = (
-        ds.map_batches(add_keys, batch_format="pyarrow")
-        .groupby(["segment_id", "bucket"])
-        .map_groups(encode_group, batch_format="pyarrow")
-    )
-    rows = enc.take_all()  # one row per (segment,bucket) — small
+    ds = rd.from_items(tasks, override_num_blocks=len(tasks))
+    rows = ds.map_batches(encode_task, batch_format="pyarrow",
+                          batch_size=1).take_all()
+    if done:      # resumed build: merge in the already-encoded chunks' stats
+        have = {(r["segment_id"], r["bucket"]) for r in rows}
+        rows.extend(r for r in _chunk_rows_from_disk(gdir)
+                    if (r["segment_id"], r["bucket"]) not in have)
+    return rows
+
+
+def _chunk_rows_from_disk(gdir: str) -> list[dict]:
+    rows = []
+    for sid, b in sorted(_existing_chunks(gdir)):
+        path = segment_chunk_path(gdir, sid, b)
+        md = pq.read_metadata(path)
+        t = pq.read_table(path, columns=["df_chunk"])
+        rows.append({"segment_id": sid, "bucket": b, "terms": md.num_rows,
+                     "postings": int(pc.sum(t["df_chunk"]).as_py() or 0),
+                     "bytes_compressed": os.path.getsize(path)})
     return rows
 
 

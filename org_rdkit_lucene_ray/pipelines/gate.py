@@ -277,7 +277,7 @@ def q_bm25_topk(sf_dir: str) -> pa.Table:
         "query": pa.array([q[1] for q in BM25_QUERIES], pa.string()),
         "k": pa.array([q[2] for q in BM25_QUERIES], pa.int32()),
     })
-    res = run_queries(gate_index(sf_dir), queries, mode="wand",
+    res = run_queries(gate_index(sf_dir), queries, mode="bmw",
                       resolve_urls=False, concurrency=2).to_pandas()
     res = res.sort_values(["query_id", "rank"])
     return pa.table({

@@ -64,6 +64,7 @@ def _cfg_from_manifest(m: dict) -> IndexConfig:
         index_analyzer=mk(c["index_analyzer"]),
         query_analyzer=mk(c["query_analyzer"]),
         sub_salt=c.get("sub_salt", 1),
+        field_columns=tuple(c.get("field_columns", ())),
     )
 
 

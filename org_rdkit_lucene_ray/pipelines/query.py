@@ -208,9 +208,25 @@ class Searcher:
                 # only ever shrink when postings are removed)
         return (docs, tfs, dls, bf, bl, bm)
 
+    def _query_terms(self, query: str) -> list[str]:
+        """Tokenize a query, honoring ``field:value`` composite terms for
+        indexed metadata fields (J5, ``MultiFieldQueryParser`` analog
+        ``ChemicalIndex.java:466-491``); everything else goes through the
+        query analyzer."""
+        fields = set(self.manifest["config"].get("field_columns", []))
+        out: list[str] = []
+        for raw in query.split():
+            if ":" in raw and fields:
+                f, v = raw.split(":", 1)
+                if f in fields and v:
+                    out.append(f + ":" + v.lower())
+                    continue
+            out.extend(analyze_text(raw, self.query_cfg))
+        return out
+
     def _cursors(self, query: str):
         """-> (occurrence term list sorted asc, {term: _TermCursor})."""
-        occurrences = sorted(analyze_text(query, self.query_cfg))
+        occurrences = sorted(self._query_terms(query))
         cursors: dict[str, _TermCursor] = {}
         for t in occurrences:
             if t in cursors:
@@ -264,7 +280,7 @@ class Searcher:
         docs stream in ascending id, so a candidate tying the heap minimum
         always loses): skip when bound <= theta."""
         occurrences, cursors = self._cursors(query)
-        if not cursors:
+        if not cursors or k <= 0:
             return []
         heap: list[tuple[float, int]] = []   # (score, -doc_id): min-heap of keepers
         clause_order = [t for t in occurrences if t in cursors]
@@ -311,7 +327,106 @@ class Searcher:
         out = sorted(heap, key=lambda e: (-e[0], -e[1]))
         return [(-d, s) for s, d in out]
 
-    def topk(self, query: str, k: int, mode: str = "wand") -> list[tuple[int, float]]:
+    # ------------------------------------------------- vectorized block-max
+    def topk_bmw(self, query: str, k: int) -> list[tuple[int, float]]:
+        """Vectorized block-max dynamic pruning (MaxScore skeleton + BMW
+        block bounds) — rank- and score-identical to the oracle, numpy
+        throughout (the doc-at-a-time loop in :meth:`topk_wand` evaluates
+        one doc per Python iteration; this path prunes with the same
+        block-max metadata but scores candidates in bulk).
+
+        1. bootstrap θ: exact-score each clause's top-k postings by weight;
+        2. split clauses essential/non-essential: maximal UB-ascending
+           prefix with ΣUB **strictly** < θ can be ignored as a candidate
+           SOURCE (docs only there score < θ; strictness keeps the
+           doc-id-asc tie-break exact);
+        3. candidates = union of essential lists; per-doc upper bound =
+           Σ essential block-max UB (the BMW bound) + Σ non-essential
+           global UB; drop bounds < θ;
+        4. exact-score survivors with the oracle's summation order
+           (float64 accumulated in ascending clause order; +0.0 for absent
+           clauses is an exact identity, so skips don't change the sum).
+        """
+        occurrences, cursors = self._cursors(query)
+        if not cursors or k <= 0:
+            return []
+        terms = sorted(cursors)                   # ascending clause order
+        curs = [cursors[t] for t in terms]
+
+        # duplicate query terms: cursor.mult occurrences — replicate the
+        # oracle's "one contribution per occurrence" by adding the weight
+        # `mult` times (still ascending clause order, duplicates adjacent).
+        def exact_scores(docs: np.ndarray) -> np.ndarray:
+            acc = np.zeros(docs.size, dtype=np.float64)
+            for c in curs:
+                pos = np.searchsorted(c.docs, docs)
+                pos_c = np.minimum(pos, c.docs.size - 1)
+                hit = c.docs[pos_c] == docs
+                w = np.where(hit, c.weight_vector()[pos_c], 0.0)
+                for _ in range(c.mult):
+                    acc = acc + w
+            return acc
+
+        # -- 1. bootstrap
+        boot_parts = []
+        for c in curs:
+            w = c.weight_vector()
+            if w.size > k:
+                idx = np.argpartition(-w, k - 1)[:k]
+            else:
+                idx = np.arange(w.size)
+            boot_parts.append(c.docs[idx])
+        boot = np.unique(np.concatenate(boot_parts))
+        boot_scores = exact_scores(boot)
+        if boot.size >= k:
+            # final comparisons are on float32 scores with doc-id tie-break:
+            # a doc whose f32 score TIES the k-th must not be pruned, so the
+            # pruning threshold steps one f32 ulp below the k-th f32 score.
+            kth32 = np.sort(boot_scores.astype(np.float32))[-k]
+            theta = float(np.nextafter(kth32, np.float32(-np.inf)))
+        else:
+            theta = float("-inf")
+
+        # -- 2. essential split (UB ascending, strict prefix)
+        order = np.argsort([c.max_ub for c in curs], kind="stable")
+        cum = 0.0
+        non_essential = set()
+        for i in order:
+            if cum + curs[i].max_ub < theta:
+                cum += curs[i].max_ub
+                non_essential.add(i)
+            else:
+                break
+        noness_ub = sum(curs[i].max_ub for i in non_essential)
+
+        # -- 3. candidates + block-max bound
+        ess = [i for i in range(len(curs)) if i not in non_essential]
+        cand = np.unique(np.concatenate([curs[i].docs for i in ess])) \
+            if ess else np.zeros(0, np.int64)
+        if cand.size:
+            bound = np.full(cand.size, noness_ub, dtype=np.float64)
+            for i in ess:
+                c = curs[i]
+                pos = np.searchsorted(c.docs, cand)
+                pos_c = np.minimum(pos, c.docs.size - 1)
+                hit = c.docs[pos_c] == cand
+                blk = np.searchsorted(c.blk_last, c.docs[pos_c], side="left")
+                blk = np.minimum(blk, c.blk_maxtfn.size - 1)
+                ub = c.mult * c.idf * (c._k1 + 1.0) * c.blk_maxtfn[blk].astype(np.float64)
+                bound += np.where(hit, ub, 0.0)
+            survivors = cand[bound >= theta]
+        else:
+            survivors = np.zeros(0, np.int64)
+
+        # -- 4. exact scores over bootstrap ∪ survivors
+        final_docs = np.unique(np.concatenate([boot, survivors]))
+        final_scores = exact_scores(final_docs).astype(np.float32)
+        order = np.lexsort((final_docs, -final_scores.astype(np.float64)))[:k]
+        return [(int(final_docs[i]), float(final_scores[i])) for i in order]
+
+    def topk(self, query: str, k: int, mode: str = "bmw") -> list[tuple[int, float]]:
+        if mode == "bmw":
+            return self.topk_bmw(query, k)
         if mode == "wand":
             return self.topk_wand(query, k)
         return self.topk_exhaustive(query, k)
@@ -320,7 +435,7 @@ class Searcher:
     def search_and(self, query: str) -> np.ndarray:
         """J3: conjunctive containment (BooleanQuery MUST over terms,
         ``ChemicalIndex.java:607-637``) — sorted posting intersection."""
-        terms = set(analyze_text(query, self.query_cfg))
+        terms = set(self._query_terms(query))
         if not terms:
             return np.zeros(0, np.int64)
         sets = []
@@ -339,7 +454,7 @@ class Searcher:
 
     def search_or(self, query: str) -> np.ndarray:
         """J4: disjunctive union (BooleanQuery SHOULD, ``:538-554``)."""
-        terms = set(analyze_text(query, self.query_cfg))
+        terms = set(self._query_terms(query))
         parts = [d[0] for t in terms if (d := self._decode_term(t)) is not None]
         if not parts:
             return np.zeros(0, np.int64)
@@ -415,7 +530,7 @@ class SearcherStage:
     Output schema (FIXTURES.md §3): query_id:int32, rank:int32, doc_id:int64,
     url:string, score:float32."""
 
-    def __init__(self, index_dir: str, mode: str = "wand", default_k: int = 10,
+    def __init__(self, index_dir: str, mode: str = "bmw", default_k: int = 10,
                  resolve_urls: bool = True, generation: str | None = None):
         self.searcher = Searcher(index_dir, generation)
         self.mode = mode
@@ -451,7 +566,7 @@ def run_queries(
     index_dir: str,
     queries: pa.Table | rd.Dataset,
     *,
-    mode: str = "wand",
+    mode: str = "bmw",
     concurrency: int | tuple[int, int] | None = None,
     resolve_urls: bool = True,
 ) -> rd.Dataset:

@@ -51,14 +51,18 @@ def gen_pages(
     dup_url_frac: float = 0.02,
     near_dup_frac: float = 0.02,
     max_len: int = 400,
+    len_mean: float = 4.0,
+    index_offset: int = 0,
 ) -> pa.Table:
     """Generate the pages table. ``n_docs`` counts total ROWS including the
-    duplicated-url rows (upsert-dedup exercise, J6 / ChemicalIndex.java:801)."""
+    duplicated-url rows (upsert-dedup exercise, J6 / ChemicalIndex.java:801).
+    ``index_offset`` shifts the url/ts numbering so independently generated
+    chunks stay globally unique (chunked big-corpus generation)."""
     rng = np.random.default_rng(seed)
     words = np.array(vocab())
     probs = _zipf_probs(len(words))
 
-    lens = np.clip(rng.lognormal(mean=4.0, sigma=0.8, size=n_docs), 10, max_len).astype(np.int64)
+    lens = np.clip(rng.lognormal(mean=len_mean, sigma=0.8, size=n_docs), 10, max_len).astype(np.int64)
     token_ranks = [rng.choice(len(words), size=int(L), p=probs) for L in lens]
 
     # near-duplicates: row i copies row j's tokens with a few substitutions
@@ -91,10 +95,11 @@ def gen_pages(
             "<script type='text/javascript'>var x = 1 < 2;</script>"
             "</body></html>"
         )
-        urls.append(f"https://site{i % 997}.example/p/{i}")
+        gi = index_offset + i
+        urls.append(f"https://site{gi % 997}.example/p/{gi}")
         texts.append(text)
         htmls.append(html.encode("utf-8"))
-        ts.append(_EPOCH_US + i * 1_000_000)
+        ts.append(_EPOCH_US + (index_offset + i) * 1_000_000)
         langs.append(_LANGS[int(rng.integers(0, len(_LANGS)))])
 
     # duplicated urls: overwrite the url of some rows with an earlier row's
@@ -162,3 +167,28 @@ def gen_queries(seed: int = 42, n_random: int = 40) -> pa.Table:
         "query": pa.array(queries, pa.string()),
         "k": pa.array(ks, pa.int32()),
     })
+
+
+def write_pages_dir_chunked(
+    out_dir: str,
+    n_docs: int,
+    n_fragments: int = 64,
+    seed: int = 42,
+    **kw,
+) -> list[str]:
+    """Chunked variant of :func:`write_pages_dir` for bench-scale corpora:
+    each fragment is generated independently (seed + fragment id, url/ts
+    numbering offset by the fragment base) so peak memory is one fragment,
+    not the whole corpus. Dup/near-dup planting happens within fragments."""
+    os.makedirs(out_dir, exist_ok=True)
+    per = (n_docs + n_fragments - 1) // n_fragments
+    paths = []
+    for f in range(n_fragments):
+        n = min(per, n_docs - f * per)
+        if n <= 0:
+            break
+        table = gen_pages(n, seed=seed + f, index_offset=f * per, **kw)
+        path = os.path.join(out_dir, f"pages-{f:05d}.parquet")
+        pq.write_table(table, path, row_group_size=4096)
+        paths.append(path)
+    return paths

@@ -58,8 +58,10 @@ def test_topk_rank_identical_wand_and_exhaustive(searcher, oracle_index):
         want = [(d, float(s)) for d, s in oracle_index.topk(q["query"], k)]
         ex = searcher.topk_exhaustive(q["query"], k)
         wd = searcher.topk_wand(q["query"], k)
+        bm = searcher.topk_bmw(q["query"], k)
         assert ex == want, f"exhaustive mismatch: {q['query']}"
         assert wd == want, f"wand mismatch: {q['query']}"
+        assert bm == want, f"bmw mismatch: {q['query']}"
         n_nonempty += bool(want)
     assert n_nonempty > len(queries) * 0.7
 

@@ -1,0 +1,92 @@
+"""Query-file reader (S3), CSV results sink (S6), seeded shuffle (K4),
+fielded search (J5)."""
+
+from __future__ import annotations
+
+import csv
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from org_rdkit_lucene_ray.sources.query_file import (
+    read_query_file,
+    write_results_csv,
+)
+
+
+@pytest.fixture()
+def qfile(tmp_path):
+    p = tmp_path / "queries.txt"
+    p.write_text("baba cece\n\tdodi\tbaba  \n\nzezezeze\nfoo bar\nlast one\n")
+    return str(p)
+
+
+def test_read_query_file(ray_session, qfile):
+    out = read_query_file(qfile).to_pandas().sort_values("query_id")
+    # blank line dropped, tabs -> spaces, trimmed
+    assert out["query"].tolist() == ["baba cece", "dodi baba", "zezezeze",
+                                     "foo bar", "last one"]
+    assert out["k"].tolist() == [10] * 5
+    ranged = read_query_file(qfile, first_row=1, last_row=3).to_pandas()
+    assert sorted(ranged["query_id"]) == [1, 2, 3]
+
+
+def test_read_query_file_shuffle_seeded(ray_session, qfile):
+    a = read_query_file(qfile, shuffle_seed=7).to_pandas()["query_id"].tolist()
+    b = read_query_file(qfile, shuffle_seed=7).to_pandas()["query_id"].tolist()
+    assert a == b                       # reproducible (unlike Math.random)
+    assert sorted(a) == [0, 1, 2, 3, 4]
+
+
+def test_write_results_csv(ray_session, tmp_path, built_index):
+    import ray.data as rd
+
+    from org_rdkit_lucene_ray.pipelines.query import run_queries
+
+    idx, _ = built_index
+    queries = pa.table({
+        "query_id": pa.array([0, 1], pa.int32()),
+        "query": pa.array(["baba", "cece dodi"], pa.string()),
+        "k": pa.array([5, 5], pa.int32()),
+    })
+    res = run_queries(idx, queries, concurrency=2)
+    out_dir = str(tmp_path / "results_csv")
+    write_results_csv(res, out_dir)
+    rows = []
+    for f in sorted(os.listdir(out_dir)):
+        with open(os.path.join(out_dir, f)) as fh:
+            rows.extend(list(csv.DictReader(fh)))
+    assert rows and {"query_id", "rank", "doc_id", "url", "score"} <= set(rows[0])
+    assert any(r["query_id"] == "0" for r in rows)
+
+
+def test_fielded_search(ray_session, pages_dir, tmp_path_factory):
+    """J5: lang metadata indexed as `lang:xx` composite terms."""
+    from org_rdkit_lucene_ray.config import IndexConfig
+    from org_rdkit_lucene_ray.pipelines.build import build_index
+    from org_rdkit_lucene_ray.pipelines.query import Searcher
+
+    idx = str(tmp_path_factory.mktemp("fielded_idx"))
+    cfg = IndexConfig(docs_per_segment=256, term_buckets=8, block_size=32,
+                      field_columns=("lang",))
+    build_index(pages_dir, idx, cfg=cfg)
+    s = Searcher(idx)
+    # expected doc set from the forward index
+    fwd = pa.concat_tables([
+        pq.read_table(p) for p in
+        [os.path.join(s.gdir, "fwd", f) for f in sorted(os.listdir(os.path.join(s.gdir, "fwd")))]
+    ])
+    want_de = sorted(fwd.filter(pa.compute.equal(fwd["lang"], "de"))["doc_id"].to_pylist())
+    got = sorted(s.search_or("lang:de").tolist())
+    assert got == want_de and got
+    # AND with a text term narrows the set
+    both = set(s.search_and("lang:de baba").tolist())
+    assert both <= set(want_de)
+    assert both == set(want_de) & set(s.search_or("baba").tolist())
+    # fielded clauses participate in BM25 ranking without breaking it
+    hits = s.topk("lang:de baba", 5)
+    assert hits and all(d in set(fwd["doc_id"].to_pylist()) for d, _ in hits)
+    # unknown field prefix falls back to plain analysis (no crash)
+    assert isinstance(s.search_or("nofield:xx baba").tolist(), list)
