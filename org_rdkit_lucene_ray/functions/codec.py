@@ -145,6 +145,91 @@ def encode_posting_list(
     }
 
 
+def varint_lengths(values: np.ndarray) -> np.ndarray:
+    """LEB128 byte length per value (vectorized; shared with varint_encode)."""
+    v = np.ascontiguousarray(values, dtype=np.uint64)
+    lengths = np.ones(v.shape, dtype=np.int64)
+    shifted = v >> np.uint64(7)
+    while shifted.any():
+        grow = shifted > 0
+        lengths[grow] += 1
+        shifted = shifted >> np.uint64(7)
+    return lengths
+
+
+def encode_posting_block(
+    doc_ids: np.ndarray,
+    tfs: np.ndarray,
+    dls: np.ndarray,
+    term_starts: np.ndarray,
+    avgdl: float,
+    bm25: BM25Params,
+    block_size: int,
+) -> dict:
+    """Encode MANY terms' posting lists in one vectorized pass.
+
+    ``term_starts`` are the start offsets of each term's run inside the
+    (term, doc_id)-sorted arrays. Produces byte-identical output to calling
+    :func:`encode_posting_list` per term (delta reset at every term start;
+    per-term varint streams are slices of one whole-array encoding, and
+    LEB128 is self-contained per value), ~10x less per-call overhead.
+
+    Returns dict of per-term lists/arrays aligned with ``term_starts``:
+    ``df_chunk, doc_bytes, tf_bytes, dl_bytes`` plus flattened block-max
+    arrays with ``block_offsets`` (for ListArray construction).
+    """
+    n = doc_ids.size
+    m = term_starts.size
+    bounds = np.concatenate([term_starts, [n]])
+    counts = np.diff(bounds)
+    if (counts <= 0).any():
+        raise ValueError("empty term run")
+    # deltas with reset at term starts
+    deltas = np.empty(n, dtype=np.uint64)
+    deltas[1:] = np.diff(doc_ids).astype(np.uint64)
+    deltas[term_starts] = doc_ids[term_starts].astype(np.uint64)
+    within = np.ones(n, dtype=bool)
+    within[term_starts] = False
+    if n > 1 and not (np.diff(doc_ids)[within[1:]] > 0).all():
+        raise ValueError("doc_ids must be strictly increasing within a term")
+
+    def _stream(vals: np.ndarray) -> tuple[bytes, np.ndarray]:
+        buf = varint_encode(vals)
+        lens = varint_lengths(vals)
+        cum = np.concatenate([[0], np.cumsum(lens)])
+        return buf, cum[bounds]          # byte offset at each term boundary
+
+    doc_buf, doc_off = _stream(deltas)
+    tf_buf, tf_off = _stream(tfs.astype(np.uint64))
+    dl_buf, dl_off = _stream(dls.astype(np.uint64))
+
+    # ---- block-max, all terms at once
+    nblocks = (counts + block_size - 1) // block_size
+    block_offsets = np.concatenate([[0], np.cumsum(nblocks)])
+    total_blocks = int(block_offsets[-1])
+    # start index of every block: term_start + j*block_size
+    reps = np.repeat(term_starts, nblocks)
+    intra = (np.arange(total_blocks) - np.repeat(block_offsets[:-1], nblocks))
+    block_starts = reps + intra * block_size
+    block_ends = np.minimum(block_starts + block_size, np.repeat(bounds[1:], nblocks))
+    tfn = tf_norm(np.asarray(tfs), np.asarray(dls), avgdl, bm25)
+    maxes = np.maximum.reduceat(tfn, block_starts)
+    f32 = maxes.astype(np.float32)
+    under = f32.astype(np.float64) < maxes
+    if under.any():
+        f32[under] = np.nextafter(f32[under], np.float32(np.inf))
+    return {
+        "df_chunk": counts.astype(np.int32),
+        "doc_buf": doc_buf, "doc_off": doc_off,
+        "tf_buf": tf_buf, "tf_off": tf_off,
+        "dl_buf": dl_buf, "dl_off": dl_off,
+        "bm_first_doc": doc_ids[block_starts],
+        "bm_last_doc": doc_ids[block_ends - 1],
+        "bm_max_tfn": f32,
+        "block_offsets": block_offsets,
+    }
+
+
 def decode_posting_list(row: dict) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Inverse of :func:`encode_posting_list` -> (doc_ids, tfs, dls)."""
     n = int(row["df_chunk"])

@@ -114,6 +114,7 @@ def _slim_read(batch: pa.Table) -> pa.Table:
     Plain task fn (NOT an actor pool): stateless, and spinning up a
     cluster-wide actor pool for a metadata-light scan costs more than the
     scan (~10s of actor startup at 32 CPUs, measured)."""
+    _pin_arrow_threads()
     out = []
     for row in batch.to_pylist():
         t = pq.read_table(row["path"], columns=["url", "warc_ts"])
@@ -368,7 +369,20 @@ class FragmentTokenizer:
 _TOKENIZER_STATE: dict[tuple, FragmentTokenizer] = {}
 
 
+def _pin_arrow_threads() -> None:
+    """One Arrow thread per Ray worker: each worker process otherwise sizes
+    Arrow's internal pool to ALL cores, so 32 workers x 32 threads thrash
+    (tokenize stage measured at ~30% CPU utilization before this)."""
+    try:
+        if pa.cpu_count() != 1:
+            pa.set_cpu_count(1)
+            pa.set_io_thread_count(2)
+    except Exception:
+        pass
+
+
 def _tokenize_fragments_task(batch: pa.Table, *, ctor_kwargs: dict) -> pa.Table:
+    _pin_arrow_threads()
     key = (ctor_kwargs["work_dir"], ctor_kwargs["fwd_dir"])
     tok = _TOKENIZER_STATE.get(key)
     if tok is None:
@@ -416,11 +430,21 @@ def _existing_chunks(gdir: str) -> set[tuple[int, int]]:
     return out
 
 
+def _binary_from_offsets(buf: bytes, offsets: np.ndarray) -> pa.Array:
+    """Zero-copy binary array: value i = buf[offsets[i]:offsets[i+1]]."""
+    return pa.Array.from_buffers(
+        pa.binary(), len(offsets) - 1,
+        [None, pa.py_buffer(offsets.astype(np.int32).tobytes()), pa.py_buffer(buf)],
+    )
+
+
 def encode_chunk_table(sorted_postings: pa.Table, gdir: str, sid: int,
                        bucket: int, cfg: IndexConfig, avgdl: float) -> dict:
     """Encode one (segment, bucket) postings slice (already sorted by
-    (term, doc_id)) into its chunk file. Term runs found by adjacent
-    dictionary-index comparison — no np.unique over Python strings."""
+    (term, doc_id)) into its chunk file — one vectorized pass over ALL
+    terms (encode_posting_block), no per-term Python loop."""
+    from org_rdkit_lucene_ray.functions.codec import encode_posting_block
+
     g = sorted_postings
     term_dict = pc.dictionary_encode(g["term"].combine_chunks())
     idx = term_dict.indices.to_numpy(zero_copy_only=False)
@@ -428,30 +452,23 @@ def encode_chunk_table(sorted_postings: pa.Table, gdir: str, sid: int,
     tfs = g["tf"].to_numpy()
     dls = g["dl"].to_numpy()
     starts = np.concatenate([[0], np.flatnonzero(idx[1:] != idx[:-1]) + 1])
-    bounds = np.concatenate([starts, [len(idx)]])
-    term_values = term_dict.dictionary
-    rows = {k: [] for k in ("term", "df_chunk", "doc_bytes", "tf_bytes",
-                            "dl_bytes", "bm_first_doc", "bm_last_doc", "bm_max_tfn")}
-    for i in range(len(starts)):
-        s, e = bounds[i], bounds[i + 1]
-        enc = encode_posting_list(
-            docs[s:e], tfs[s:e], dls[s:e],
-            avgdl=avgdl, bm25=cfg.bm25, block_size=cfg.block_size,
-        )
-        rows["term"].append(term_values[idx[s]].as_py())
-        for k in ("df_chunk", "doc_bytes", "tf_bytes", "dl_bytes",
-                  "bm_first_doc", "bm_last_doc", "bm_max_tfn"):
-            rows[k].append(enc[k])
-    chunk = pa.table(
-        {"term": pa.array(rows["term"], pa.string()),
-         "df_chunk": pa.array(rows["df_chunk"], pa.int32()),
-         "doc_bytes": pa.array(rows["doc_bytes"], pa.binary()),
-         "tf_bytes": pa.array(rows["tf_bytes"], pa.binary()),
-         "dl_bytes": pa.array(rows["dl_bytes"], pa.binary()),
-         "bm_first_doc": pa.array([np.asarray(x) for x in rows["bm_first_doc"]], pa.list_(pa.int64())),
-         "bm_last_doc": pa.array([np.asarray(x) for x in rows["bm_last_doc"]], pa.list_(pa.int64())),
-         "bm_max_tfn": pa.array([np.asarray(x) for x in rows["bm_max_tfn"]], pa.list_(pa.float32()))},
-    ).cast(SEGMENT_SCHEMA)
+    enc = encode_posting_block(docs, tfs, dls, starts, avgdl=avgdl,
+                               bm25=cfg.bm25, block_size=cfg.block_size)
+    terms = term_dict.dictionary.take(pa.array(idx[starts])).cast(pa.string())
+    boff = pa.array(enc["block_offsets"].astype(np.int32), pa.int32())
+    chunk = pa.table({
+        "term": terms,
+        "df_chunk": pa.array(enc["df_chunk"], pa.int32()),
+        "doc_bytes": _binary_from_offsets(enc["doc_buf"], enc["doc_off"]),
+        "tf_bytes": _binary_from_offsets(enc["tf_buf"], enc["tf_off"]),
+        "dl_bytes": _binary_from_offsets(enc["dl_buf"], enc["dl_off"]),
+        "bm_first_doc": pa.ListArray.from_arrays(
+            boff, pa.array(enc["bm_first_doc"], pa.int64())),
+        "bm_last_doc": pa.ListArray.from_arrays(
+            boff, pa.array(enc["bm_last_doc"], pa.int64())),
+        "bm_max_tfn": pa.ListArray.from_arrays(
+            boff, pa.array(enc["bm_max_tfn"], pa.float32())),
+    }).cast(SEGMENT_SCHEMA)
     # chunk files are sorted by term -> row-group stats allow term pruning
     path = segment_chunk_path(gdir, sid, bucket)
     nbytes = atomic_write_table(chunk, path, row_group_size=8192)
@@ -502,6 +519,7 @@ def encode_segments(work_dir: str, gdir: str, cfg: IndexConfig, avgdl: float) ->
         return _chunk_rows_from_disk(gdir)
 
     def encode_task(batch: pa.Table) -> pa.Table:
+        _pin_arrow_threads()
         out = []
         for row in batch.to_pylist():
             sid, b = int(row["sid"]), int(row["bucket"])

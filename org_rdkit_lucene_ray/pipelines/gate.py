@@ -56,6 +56,11 @@ BOOL_QUERIES: list[tuple[int, str]] = [
     (2, "customer window group sort"),
     (3, "zzznotaterm hash"),
 ]
+FIELDED_QUERIES: list[tuple[int, str]] = [    # J5: lang:value AND text term
+    (0, "lang:de hash"),
+    (1, "lang:zh window"),
+    (2, "lang:en customer join"),
+]
 EXACT_MATCH_DOC = 7        # search_exact target: doc 7's own text
 LOOKUP_DOC = 42            # point-lookup target
 ANN_QUERY_IDS = [0, 1, 2, 3, 4]
@@ -83,7 +88,8 @@ def gate_index(sf_dir: str) -> str:
     idx = _INDEX_CACHE.get(sf_dir)
     if idx is None:
         idx = tempfile.mkdtemp(prefix="orl_gate_idx_")
-        cfg = IndexConfig(docs_per_segment=4096, term_buckets=8, block_size=64)
+        cfg = IndexConfig(docs_per_segment=4096, term_buckets=8, block_size=64,
+                          field_columns=("lang",))
         from org_rdkit_lucene_ray.pipelines.build import build_index
 
         build_index(
@@ -300,6 +306,19 @@ def _bool_search(sf_dir: str, kind: str) -> pa.Table:
 
 def q_search_and(sf_dir: str) -> pa.Table:
     return _bool_search(sf_dir, "and")
+
+
+def q_fielded_search(sf_dir: str) -> pa.Table:
+    """J5: conjunctive fielded search — `lang:xx` composite terms AND text
+    terms over the same postings machinery."""
+    s = _searcher(sf_dir)
+    qids, docs = [], []
+    for qid, q in FIELDED_QUERIES:
+        hits = s.search_and(q)
+        qids.extend([qid] * len(hits))
+        docs.extend(int(d) for d in hits)
+    return pa.table({"query_id": pa.array(qids, pa.int64()),
+                     "doc_id": pa.array(docs, pa.int64())})
 
 
 def q_search_or(sf_dir: str) -> pa.Table:
@@ -628,7 +647,10 @@ _ANN_IDS = ", ".join(str(i) for i in ANN_QUERY_IDS)
 
 ORACLE_SQL: dict[str, str] = {
     "term_df": f"""
-WITH tok AS (SELECT DISTINCT doc_id, unnest({_TOKS}) AS term FROM documents)
+WITH tok AS (
+  SELECT DISTINCT doc_id, unnest({_TOKS}) AS term FROM documents
+  UNION
+  SELECT doc_id, 'lang:' || lower(lang) AS term FROM documents)
 SELECT term, count(*)::BIGINT AS df FROM tok GROUP BY term ORDER BY term
 """,
     "doc_lengths": f"""
@@ -662,6 +684,20 @@ SELECT count(*)::BIGINT AS n_docs,
 """,
     "bm25_topk": _bm25_sql(),
     "search_and": _bool_sql("and"),
+    "fielded_search": """
+WITH fq(query_id, lang, term) AS (VALUES
+  (0, 'de', 'hash'), (1, 'zh', 'window'), (2, 'en', 'customer'), (2, 'en', 'join')),
+fqn(query_id, n_terms) AS (VALUES (0, 1), (1, 1), (2, 2)),
+tok AS (SELECT DISTINCT d.doc_id, d.lang, unnest(list_filter(
+          string_split_regex(lower(d.text), '[^a-z0-9]+'), x -> x <> '')) AS term
+        FROM documents d)
+SELECT t.query_id::BIGINT AS query_id, t.doc_id FROM (
+  SELECT fq.query_id, tok.doc_id, count(*) AS hit
+  FROM fq JOIN tok ON tok.term = fq.term AND lower(tok.lang) = fq.lang
+  GROUP BY 1, 2) t
+JOIN fqn ON fqn.query_id = t.query_id
+WHERE t.hit = fqn.n_terms ORDER BY 1, 2
+""",
     "search_or": _bool_sql("or"),
     "search_exact": f"""
 WITH docs AS (SELECT doc_id, list_sort({_TOKS}) AS key FROM documents)
@@ -758,6 +794,7 @@ QUERIES = {
     "index_stats": q_index_stats,
     "bm25_topk": q_bm25_topk,
     "search_and": q_search_and,
+    "fielded_search": q_fielded_search,
     "search_or": q_search_or,
     "search_exact": q_search_exact,
     "point_lookup": q_point_lookup,

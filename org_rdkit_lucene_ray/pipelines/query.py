@@ -117,9 +117,17 @@ class _TermCursor:
 
 
 class Searcher:
-    """Open one index generation and answer the reference's search surface."""
+    """Open one index generation and answer the reference's search surface.
 
-    def __init__(self, index_dir: str, generation: str | None = None):
+    ``shard=(i, n)`` loads only segments with ``sid % n == i`` while keeping
+    GLOBAL corpus statistics (n_docs/avgdl from the manifest; df from the
+    index's df table), so per-shard scores equal the unsharded scores and
+    per-shard top-k heaps merge exactly (any global top-k doc is in its
+    shard's top-k) — the intra-query parallelism design SURVEY §4 calls for.
+    """
+
+    def __init__(self, index_dir: str, generation: str | None = None,
+                 shard: tuple[int, int] | None = None):
         self.manifest = read_manifest(index_dir, generation)
         self.gdir = gen_dir(index_dir, generation)
         stats = self.manifest["stats"]
@@ -142,9 +150,12 @@ class Searcher:
             os.path.join(index_dir, g)
             for g in self.manifest.get("includes", [self.manifest["generation"]])
         ]
+        self._shard = shard
         self._segments: list[tuple[int, pa.Table, dict[str, int]]] = []
         for gd in self._gdirs:
             for sid in list_segment_ids(gd):
+                if shard is not None and sid % shard[1] != shard[0]:
+                    continue
                 tabs = [pq.read_table(f) for f in list_chunk_files(gd, sid)]
                 if not tabs:
                     continue
@@ -152,6 +163,23 @@ class Searcher:
                 lookup = {t: i for i, t in enumerate(tbl["term"].to_pylist())}
                 self._segments.append((sid, tbl, lookup))
         self._segments.sort(key=lambda x: x[0])
+        # sharded scoring needs GLOBAL df — from the df table, not the
+        # shard's partial chunk counts
+        self._global_df: dict[str, int] | None = None
+        if shard is not None:
+            # sum df tables across included generations (same stale-stats
+            # semantics as the unsharded per-chunk df sum)
+            self._global_df = {}
+            for gd in self._gdirs:
+                df_dir = os.path.join(gd, "df")
+                if not os.path.isdir(df_dir):
+                    continue
+                for f in sorted(os.listdir(df_dir)):
+                    if not f.endswith(".parquet"):
+                        continue
+                    t = pq.read_table(os.path.join(df_dir, f))
+                    for term, d in zip(t["term"].to_pylist(), t["df"].to_pylist()):
+                        self._global_df[term] = self._global_df.get(term, 0) + int(d)
         # tombstones (upserted-away docs): masked at decode time; like
         # Lucene, they still count in df/avgdl until a merge drops them.
         del_path = os.path.join(self.gdir, "deletes.parquet")
@@ -161,6 +189,8 @@ class Searcher:
 
     # ------------------------------------------------------------- stats/meta
     def df(self, term: str) -> int:
+        if self._global_df is not None:
+            return self._global_df.get(term, 0)
         d = self._df_cache.get(term)
         if d is None:
             d = sum(
@@ -560,6 +590,81 @@ class SearcherStage:
             "url": pa.array(urls, pa.string()),
             "score": pa.array(scores, pa.float32()),
         })
+
+
+class ShardSearcherStage:
+    """``map_batches`` actor for ONE segment shard: emits per-shard top-k
+    rows (query_id, doc_id, score, k) for a cross-shard merge."""
+
+    def __init__(self, index_dir: str, shard_id: int, n_shards: int,
+                 mode: str = "bmw", default_k: int = 10,
+                 generation: str | None = None):
+        self.searcher = Searcher(index_dir, generation,
+                                 shard=(shard_id, n_shards))
+        self.mode = mode
+        self.default_k = default_k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        qids, docs, scores, ks = [], [], [], []
+        kcol = batch["k"].to_pylist() if "k" in batch.column_names else None
+        for i, (qid, q) in enumerate(zip(batch["query_id"].to_pylist(),
+                                         batch["query"].to_pylist())):
+            k = int(kcol[i]) if kcol else self.default_k
+            for d, s in self.searcher.topk(q, k, mode=self.mode):
+                qids.append(qid)
+                docs.append(d)
+                scores.append(s)
+                ks.append(k)
+        return pa.table({
+            "query_id": pa.array(qids, pa.int32()),
+            "doc_id": pa.array(docs, pa.int64()),
+            "score": pa.array(scores, pa.float32()),
+            "k": pa.array(ks, pa.int32()),
+        })
+
+
+def topk_sharded(
+    index_dir: str,
+    queries: pa.Table | rd.Dataset,
+    *,
+    n_shards: int = 2,
+    mode: str = "bmw",
+) -> rd.Dataset:
+    """Segment-sharded distributed top-k (intra-query parallelism).
+
+    Every query fans out to ``n_shards`` shard actors, each scoring only its
+    ``sid % n_shards`` segments with GLOBAL idf/avgdl; the cross-shard merge
+    re-applies the (score desc, doc_id asc) comparator per query — exact
+    because each global top-k doc is in its own shard's top-k (SURVEY K2).
+    On a multi-node cluster each shard actor holds ~1/n of the index.
+    """
+    ds = rd.from_arrow(queries) if isinstance(queries, pa.Table) else queries
+    shards = [
+        ds.map_batches(
+            ShardSearcherStage,
+            fn_constructor_kwargs=dict(index_dir=index_dir, shard_id=i,
+                                       n_shards=n_shards, mode=mode),
+            batch_format="pyarrow", batch_size=16, concurrency=1,
+        )
+        for i in range(n_shards)
+    ]
+    merged = shards[0].union(*shards[1:]) if len(shards) > 1 else shards[0]
+
+    def merge_group(g: pa.Table) -> pa.Table:
+        k = int(g["k"][0].as_py())
+        docs = g["doc_id"].to_numpy()
+        scores = g["score"].to_numpy()
+        order = np.lexsort((docs, -scores.astype(np.float64)))[:k]
+        return pa.table({
+            "query_id": pc.cast(g["query_id"], pa.int32())[:0].combine_chunks()
+            if order.size == 0 else
+            pa.array([g["query_id"][0].as_py()] * order.size, pa.int32()),
+            "rank": pa.array(np.arange(order.size, dtype=np.int32)),
+            "doc_id": pa.array(docs[order], pa.int64()),
+            "score": pa.array(scores[order], pa.float32()),
+        })
+
+    return merged.groupby("query_id").map_groups(merge_group, batch_format="pyarrow")
 
 
 def run_queries(

@@ -116,3 +116,19 @@ def test_query_analyzer_compat_guard(built_index):
     manifest = read_manifest(idx)
     with pytest.raises(ValueError):
         check_query_compat(manifest, "not-the-right-fp")
+
+
+def test_topk_sharded_matches_unsharded(ray_session, built_index, oracle_index):
+    """Segment-sharded fan-out + merge == single-searcher results (K2)."""
+    from org_rdkit_lucene_ray.pipelines.query import topk_sharded
+
+    idx, _ = built_index
+    queries = gen_queries(n_random=10)
+    out = topk_sharded(idx, queries, n_shards=2).to_pandas()
+    for q in queries.to_pylist():
+        want = [(d, float(np.float32(s))) for d, s in
+                oracle_index.topk(q["query"], int(q["k"]))]
+        got_rows = out[out.query_id == q["query_id"]].sort_values("rank")
+        got = list(zip(got_rows["doc_id"].tolist(),
+                       [float(s) for s in got_rows["score"]]))
+        assert got == want, q["query"]

@@ -128,3 +128,44 @@ def test_analyzer_config_fingerprint_changes():
     b = AnalyzerConfig(stopwords=("the",))
     assert a.fingerprint() != b.fingerprint()
     assert a.fingerprint() == AnalyzerConfig().fingerprint()
+
+
+def test_encode_posting_block_matches_per_term():
+    """Vectorized multi-term encoder is byte-identical to per-term encoding."""
+    import numpy as np
+
+    from org_rdkit_lucene_ray.config import BM25Params
+    from org_rdkit_lucene_ray.functions.codec import (
+        encode_posting_block,
+        encode_posting_list,
+    )
+
+    rng = np.random.default_rng(3)
+    bm = BM25Params()
+    starts_list, docs_l, tfs_l, dls_l = [], [], [], []
+    pos = 0
+    for n in [1, 2, 5, 300, 127, 128, 129, 1000]:
+        starts_list.append(pos)
+        d = np.cumsum(rng.integers(1, 50, size=n).astype(np.int64)) + int(rng.integers(0, 1e6))
+        docs_l.append(d)
+        tfs_l.append(rng.integers(1, 30, size=n).astype(np.int64))
+        dls_l.append(rng.integers(5, 400, size=n).astype(np.int64))
+        pos += n
+    docs = np.concatenate(docs_l)
+    tfs = np.concatenate(tfs_l)
+    dls = np.concatenate(dls_l)
+    starts = np.asarray(starts_list)
+    blk = encode_posting_block(docs, tfs, dls, starts, avgdl=87.3, bm25=bm, block_size=128)
+    bounds = np.concatenate([starts, [docs.size]])
+    for i in range(starts.size):
+        s, e = bounds[i], bounds[i + 1]
+        ref = encode_posting_list(docs[s:e], tfs[s:e], dls[s:e],
+                                  avgdl=87.3, bm25=bm, block_size=128)
+        assert blk["df_chunk"][i] == ref["df_chunk"]
+        assert bytes(blk["doc_buf"][blk["doc_off"][i]:blk["doc_off"][i + 1]]) == ref["doc_bytes"]
+        assert bytes(blk["tf_buf"][blk["tf_off"][i]:blk["tf_off"][i + 1]]) == ref["tf_bytes"]
+        assert bytes(blk["dl_buf"][blk["dl_off"][i]:blk["dl_off"][i + 1]]) == ref["dl_bytes"]
+        bo = blk["block_offsets"]
+        np.testing.assert_array_equal(blk["bm_first_doc"][bo[i]:bo[i + 1]], ref["bm_first_doc"])
+        np.testing.assert_array_equal(blk["bm_last_doc"][bo[i]:bo[i + 1]], ref["bm_last_doc"])
+        np.testing.assert_array_equal(blk["bm_max_tfn"][bo[i]:bo[i + 1]], ref["bm_max_tfn"])
