@@ -22,17 +22,21 @@ Phase A (tokenize; the expensive, checkpointed pass):
     doc_id = fragment base (prefix sum over path-sorted fragments) + row
     offset — deterministic across runs and resumes (SURVEY §7.4(1)).
 
-Phase B (the wide step — groupby-term shuffle with explicit skew handling):
-    read postings -> add ``segment_id = doc_id // docs_per_segment`` and
-    ``bucket = stable_hash(term) % term_buckets`` ->
-    ``groupby(["segment_id", "bucket"])`` -> encode every term's chunk in
-    the group (delta+varint + block-max) -> one atomically-renamed Parquet
-    chunk file per group. Skew: a term's postings are pre-split by doc-id
-    range (segment), so the largest possible group is bounded by
+Phase B (the wide step — a STORAGE-PARTITIONED exchange, no Ray groupby):
+    Phase A wrote each fragment's postings sorted by
+    ``(bucket = stable_hash(term) % term_buckets, term, doc_id)`` with one
+    Parquet row group per bucket; fragments own contiguous doc-id ranges,
+    so each ``(segment_id, bucket)`` encode task reads exactly its slice
+    of the few overlapping fragment files via row-group pruning, re-sorts
+    the (mostly sorted) concatenation, and writes one atomically-renamed
+    chunk file (delta+varint + block-max, vectorized across all terms).
+    The deterministic file layout IS the shuffle — it removed the 53 s
+    all-to-all sort the ``groupby(term)`` variant cost at 160k docs, and
+    makes resume = skip existing chunk files. Skew: a term's postings are
+    pre-split by doc-id range (segment), so the widest task is bounded by
     ``docs_per_segment`` postings no matter how hot the head term is —
     salting-by-docID-range per SURVEY §7.1(6); sub-lists stay sorted and
-    concatenable. Resume = completed (segment,bucket) chunks are filtered
-    out BEFORE the shuffle.
+    concatenable.
 
 Phase C: global df table — per-batch partial counts -> tiny
     ``groupby("term")`` -> ``df`` Parquet (A4 corpus statistics).
