@@ -1,0 +1,134 @@
+"""Property-based conformance (SURVEY §5): random seeded corpora -> the
+distributed engine must match the oracle on every scorer; postings
+invariants hold; codec round-trips are identity."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from org_rdkit_lucene_ray.config import AnalyzerConfig, BM25Params, IndexConfig
+from org_rdkit_lucene_ray.functions.analyze import REGISTRY, analyze_text, postings_from_batch
+from org_rdkit_lucene_ray.functions.codec import (
+    decode_posting_list,
+    encode_posting_list,
+    varint_decode,
+    varint_encode,
+)
+from org_rdkit_lucene_ray.oracle import OracleIndex
+
+
+# --------------------------------------------------------------- pure codec
+@given(st.lists(st.integers(min_value=0, max_value=2**63 - 1),
+                min_size=0, max_size=300))
+@settings(max_examples=50, deadline=None)
+def test_varint_roundtrip_any(values):
+    arr = np.asarray(values, dtype=np.uint64)
+    assert np.array_equal(varint_decode(varint_encode(arr), len(arr)), arr)
+
+
+@given(st.data())
+@settings(max_examples=30, deadline=None)
+def test_posting_roundtrip_any(data):
+    n = data.draw(st.integers(1, 400))
+    gaps = data.draw(st.lists(st.integers(1, 10_000), min_size=n, max_size=n))
+    docs = np.cumsum(np.asarray(gaps, dtype=np.int64))
+    tfs = np.asarray(data.draw(st.lists(st.integers(1, 500), min_size=n, max_size=n)))
+    dls = np.asarray(data.draw(st.lists(st.integers(1, 5000), min_size=n, max_size=n)))
+    bs = data.draw(st.sampled_from([16, 128, 1024]))
+    enc = encode_posting_list(docs, tfs, dls, avgdl=123.4,
+                              bm25=BM25Params(), block_size=bs)
+    d2, t2, l2 = decode_posting_list(enc)
+    assert np.array_equal(d2, docs)
+    assert np.array_equal(t2, tfs)
+    assert np.array_equal(l2, dls)
+    # block-max admissibility: every posting's tfn <= its block's bound
+    from org_rdkit_lucene_ray.functions.codec import tf_norm
+
+    tfn = tf_norm(tfs, dls, 123.4, BM25Params())
+    blk_last = np.asarray(enc["bm_last_doc"])
+    blk_max = np.asarray(enc["bm_max_tfn"], dtype=np.float64)
+    idx = np.searchsorted(blk_last, docs, side="left")
+    assert (tfn <= blk_max[idx] + 1e-12).all()
+
+
+# --------------------------------------------- tokenizer/postings invariants
+_texts = st.lists(
+    st.text(alphabet="ab1 .,!\t\n&é中", min_size=0, max_size=80),
+    min_size=1, max_size=40)
+
+
+@given(_texts)
+@settings(max_examples=30, deadline=None)
+def test_postings_invariants_any_text(texts):
+    cfg = REGISTRY["standard"]
+    ids = np.arange(len(texts), dtype=np.int64)
+    postings, doclens = postings_from_batch(ids, pa.array(texts, pa.string()), cfg)
+    dl_map = dict(zip(doclens["doc_id"].to_pylist(), doclens["dl"].to_pylist()))
+    # df(term) == number of postings rows; tf matches a direct count; dl rides
+    for row in postings.to_pylist():
+        toks = analyze_text(texts[row["doc_id"]], cfg)
+        assert toks.count(row["term"]) == row["tf"]
+        assert dl_map[row["doc_id"]] == len(toks) == row["dl"]
+    # total tf mass == total token count
+    assert sum(r["tf"] for r in postings.to_pylist()) == \
+        sum(len(analyze_text(t, cfg)) for t in texts)
+
+
+# ------------------------------------------------- end-to-end random corpora
+@pytest.mark.parametrize("seed", [101, 202, 303])
+def test_random_corpus_engine_matches_oracle(ray_session, tmp_path_factory, seed):
+    """Random corpus + random queries: build -> all three scorers == oracle,
+    AND/OR/exact parity included."""
+    from org_rdkit_lucene_ray.pipelines.build import build_index
+    from org_rdkit_lucene_ray.pipelines.query import Searcher
+    from org_rdkit_lucene_ray.synth import write_pages_dir
+
+    rng = np.random.default_rng(seed)
+    n_docs = int(rng.integers(80, 400))
+    d = tmp_path_factory.mktemp(f"prop_pages_{seed}")
+    write_pages_dir(str(d), n_docs=n_docs, n_fragments=int(rng.integers(2, 7)),
+                    seed=seed, max_len=int(rng.integers(30, 300)))
+    idx = tmp_path_factory.mktemp(f"prop_idx_{seed}")
+    cfg = IndexConfig(docs_per_segment=int(rng.integers(32, 200)),
+                      term_buckets=int(rng.integers(2, 9)),
+                      block_size=int(rng.integers(8, 64)))
+    build_index(str(d), str(idx), cfg=cfg)
+
+    # oracle over the deduped corpus with identical ids
+    import pyarrow.parquet as pq
+
+    from org_rdkit_lucene_ray.pipelines.build import plan_fragments
+
+    best = {}
+    for fr in plan_fragments(str(d)):
+        t = pq.read_table(fr["path"], columns=["url", "warc_ts", "text"])
+        for i in range(t.num_rows):
+            doc_id = fr["base"] + i
+            url = t["url"][i].as_py()
+            key = (t["warc_ts"][i].value, doc_id)
+            if url not in best or key > best[url][0]:
+                best[url] = (key, doc_id, t["text"][i].as_py())
+    oi = OracleIndex()
+    for _, doc_id, text in sorted(best.values(), key=lambda v: v[1]):
+        oi.add(doc_id, text)
+
+    s = Searcher(str(idx))
+    assert s.n_docs == oi.n_docs
+    vocab_terms = sorted(oi.postings)
+    for _ in range(15):
+        nq = int(rng.integers(1, 5))
+        terms = [vocab_terms[int(rng.integers(0, len(vocab_terms)))] for _ in range(nq)]
+        if rng.random() < 0.3:
+            terms.append("absentterm")
+        q = " ".join(terms)
+        k = int(rng.integers(1, 30))
+        want = [(dd, float(sc)) for dd, sc in oi.topk(q, k)]
+        assert s.topk_bmw(q, k) == want, (seed, q)
+        assert s.topk_wand(q, k) == want, (seed, q)
+        assert s.topk_exhaustive(q, k) == want, (seed, q)
+        assert s.search_and(q).tolist() == oi.search_and(q)
+        assert s.search_or(q).tolist() == oi.search_or(q)
