@@ -57,7 +57,7 @@ class _TermCursor:
                  "blk_maxtfn", "idf", "mult", "pos", "weights", "max_ub", "_k1", "_b", "_avgdl")
 
     def __init__(self, term, docs, tfs, dls, blk_first, blk_last, blk_maxtfn,
-                 idf, mult, bm25: BM25Params, avgdl: float):
+                 idf, mult, bm25: BM25Params, avgdl: float, weights=None):
         self.term = term
         self.docs = docs
         self.tfs = tfs
@@ -68,7 +68,7 @@ class _TermCursor:
         self.idf = idf
         self.mult = mult
         self.pos = 0
-        self.weights = None
+        self.weights = weights
         self._k1, self._b, self._avgdl = bm25.k1, bm25.b, avgdl
         # admissible per-term bound: idf*(k1+1)*max block tfn (already
         # rounded UP to float32 at encode time), times the clause multiplier
@@ -186,6 +186,13 @@ class Searcher:
         self._deletes = (pq.read_table(del_path)["doc_id"].to_numpy()
                          if os.path.exists(del_path) else None)
         self._df_cache: dict[str, int] = {}
+        # LRU of decoded posting lists + precomputed BM25 weight vectors:
+        # head terms recur across queries (T3 warm-searcher analog). Arrays
+        # are treated read-only by cursors (only .pos mutates).
+        from collections import OrderedDict
+
+        self._decode_cache: "OrderedDict[str, tuple | None]" = OrderedDict()
+        self._decode_cache_max = 64
 
     # ------------------------------------------------------------- stats/meta
     def df(self, term: str) -> int:
@@ -208,6 +215,29 @@ class Searcher:
 
     # --------------------------------------------------------------- cursors
     def _decode_term(self, term: str):
+        """Concatenate this term's chunks across segments (ascending sid);
+        cached (LRU) with the term's weight vector."""
+        if term in self._decode_cache:
+            self._decode_cache.move_to_end(term)
+            return self._decode_cache[term]
+        dec = self._decode_term_uncached(term)
+        if dec is not None:
+            # precompute the per-posting float64 weight vector once per term
+            # (same expression as _TermCursor.weight_vector; idf/avgdl are
+            # fixed per searcher, so this is query-independent)
+            docs, tfs, dls = dec[0], dec[1], dec[2]
+            k1, b = self.bm25.k1, self.bm25.b
+            idf = self.idf(term)
+            tf = tfs.astype(np.float64)
+            K = k1 * ((1.0 - b) + (b * dls.astype(np.float64)) / self.avgdl)
+            weights = idf * (tf * (k1 + 1.0)) / (tf + K)
+            dec = dec + (weights,)
+        self._decode_cache[term] = dec
+        if len(self._decode_cache) > self._decode_cache_max:
+            self._decode_cache.popitem(last=False)
+        return dec
+
+    def _decode_term_uncached(self, term: str):
         """Concatenate this term's chunks across segments (ascending sid)."""
         docs_l, tfs_l, dls_l, bf_l, bl_l, bm_l = [], [], [], [], [], []
         for _, tbl, lk in self._segments:
@@ -265,8 +295,9 @@ class Searcher:
             if dec is None:
                 continue
             mult = occurrences.count(t)
-            cursors[t] = _TermCursor(t, *dec, idf=self.idf(t), mult=mult,
-                                     bm25=self.bm25, avgdl=self.avgdl)
+            cursors[t] = _TermCursor(t, *dec[:6], idf=self.idf(t), mult=mult,
+                                     bm25=self.bm25, avgdl=self.avgdl,
+                                     weights=dec[6] if len(dec) > 6 else None)
         return occurrences, cursors
 
     # ------------------------------------------------------------ exhaustive
