@@ -66,6 +66,7 @@ LOOKUP_DOC = 42            # point-lookup target
 ANN_QUERY_IDS = [0, 1, 2, 3, 4]
 ANN_K = 10
 ANN_THRESHOLD = 0.15
+EMB_DUP_THRESHOLD = 0.35
 JACCARD_THRESHOLD = 0.84
 
 
@@ -488,6 +489,22 @@ def q_ann_threshold(sf_dir: str) -> pa.Table:
     })
 
 
+def q_embedding_dup_pairs(sf_dir: str) -> pa.Table:
+    from org_rdkit_lucene_ray.stages.ann import embedding_dup_pairs
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                         columns=["vec_id", "embedding"])
+    return embedding_dup_pairs(ds, threshold=EMB_DUP_THRESHOLD, concurrency=2)
+
+
+def q_embedding_dup_pairs_ivf(sf_dir: str) -> pa.Table:
+    from org_rdkit_lucene_ray.stages.ann import embedding_dup_pairs_ivf
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                         columns=["vec_id", "embedding"])
+    return embedding_dup_pairs_ivf(ds, threshold=EMB_DUP_THRESHOLD, concurrency=2)
+
+
 def q_ivf_topk(sf_dir: str) -> pa.Table:
     from org_rdkit_lucene_ray.stages.ann import ivf_topk
 
@@ -763,6 +780,12 @@ ranked AS (
 SELECT query_id::BIGINT AS query_id, rank::BIGINT AS rank, vec_id
 FROM ranked WHERE rank < {ANN_K} ORDER BY 1, 2
 """,
+    "embedding_dup_pairs": f"""
+SELECT a.vec_id AS a, b.vec_id AS b
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding, b.embedding) >= {EMB_DUP_THRESHOLD}
+ORDER BY 1, 2
+""",
     "ann_threshold": f"""
 WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
            WHERE vec_id IN ({_ANN_IDS}))
@@ -806,5 +829,7 @@ QUERIES = {
     "ann_topk": q_ann_topk,
     "ann_threshold": q_ann_threshold,
     "ivf_topk": q_ivf_topk,
+    "embedding_dup_pairs": q_embedding_dup_pairs,
+    "embedding_dup_pairs_ivf": q_embedding_dup_pairs_ivf,
     "media_features": q_media_features,
 }

@@ -216,3 +216,110 @@ def ivf_topk(ds: rd.Dataset, queries: dict, k: int = 10, nlist: int = 16,
     return partial.groupby("query_id").map_groups(
         lambda g: _topk_group(g, k), batch_format="pyarrow"
     )
+
+
+def _pairs_table(df) -> pa.Table:
+    """(a, b) int64 pairs table, sorted; robust to a zero-row result (an
+    empty Dataset loses its schema on to_pandas)."""
+    if len(df) == 0 or "a" not in df.columns:
+        return pa.table({"a": pa.array([], pa.int64()),
+                         "b": pa.array([], pa.int64())})
+    df = df.sort_values(["a", "b"])
+    return pa.table({"a": pa.array(df["a"].to_numpy(), pa.int64()),
+                     "b": pa.array(df["b"].to_numpy(), pa.int64())})
+
+
+# ------------------------------------------------------- embedding near-dup
+def embedding_dup_pairs(ds: rd.Dataset, *, threshold: float = 0.95,
+                        id_col: str = "vec_id", emb_col: str = "embedding",
+                        concurrency: int | None = None) -> pa.Table:
+    """Exact embedding-cosine near-duplicate pairs: all (a < b) with
+    cosine(a, b) >= threshold.
+
+    Shape: the normalized matrix is built once per batch; each batch
+    multiplies against the ray.put-broadcast full matrix (per-batch rows x
+    all columns), keeping only upper-triangle hits — O(n^2) flops but
+    streaming in row blocks, never materializing an n x n matrix. For
+    corpora where n^2 is prohibitive use :func:`embedding_dup_pairs_ivf`.
+    """
+    import pyarrow.compute as pc
+
+    all_rows = pa.concat_tables(
+        ds.select_columns([id_col, emb_col])
+        .iter_batches(batch_format="pyarrow", batch_size=None))
+    ids_all = all_rows[id_col].to_numpy()
+    M = _normalize(_emb_matrix(all_rows, emb_col))
+    ref = ray.put({"ids": ids_all, "M": M})
+
+    class PairFinder:
+        def __init__(self):
+            state = ray.get(ref)
+            self.ids = state["ids"]
+            self.M = state["M"]
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids = batch[id_col].to_numpy()
+            E = _normalize(_emb_matrix(batch, emb_col))
+            sims = E @ self.M.T                        # (b, n)
+            rows, cols = np.nonzero(sims >= threshold)
+            a = ids[rows]
+            b = self.ids[cols]
+            keep = a < b                                # dedup + drop self
+            return pa.table({
+                "a": pa.array(a[keep], pa.int64()),
+                "b": pa.array(b[keep], pa.int64()),
+            })
+
+    out = ds.map_batches(
+        PairFinder, batch_format="pyarrow", batch_size=1024,
+        concurrency=concurrency or auto_concurrency(),
+    ).to_pandas()
+    return _pairs_table(out)
+
+
+def embedding_dup_pairs_ivf(ds: rd.Dataset, *, threshold: float = 0.95,
+                            nlist: int = 16, seed: int = 5,
+                            id_col: str = "vec_id", emb_col: str = "embedding",
+                            concurrency: int | None = None) -> pa.Table:
+    """Cluster-bucketed embedding near-dup (the 100 TB path): IVF assignment
+    -> groupby(cluster) -> within-cluster pairwise cosine. Near-identical
+    vectors land in the same coarse cell with overwhelming probability, so
+    this trades a bounded recall loss at cell borders for O(sum n_c^2)
+    instead of O(n^2) — the screen/verify shape of the reference's
+    substructure search (two-phase, ChemicalIndex.java:657-727)."""
+    sample = pa.concat_tables(
+        ds.limit(4096).iter_batches(batch_format="pyarrow"))
+    ivf = IVFIndex(nlist=nlist, seed=seed).train(_emb_matrix(sample, emb_col))
+    cent_ref = ray.put(ivf.centroids)
+
+    class Assign:
+        def __init__(self):
+            self.C = ray.get(cent_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            E = _normalize(_emb_matrix(t, emb_col))
+            cl = np.argmax(E @ self.C.T, axis=1).astype(np.int32)
+            return pa.table({
+                id_col: pa.array(t[id_col].to_numpy(), pa.int64()),
+                emb_col: t[emb_col],
+                "cluster": pa.array(cl),
+            })
+
+    def pairs_in_cluster(g: pa.Table) -> pa.Table:
+        ids = g[id_col].to_numpy()
+        E = _normalize(_emb_matrix(g, emb_col))
+        sims = E @ E.T
+        ii, jj = np.nonzero(np.triu(sims >= threshold, k=1))
+        a, b = ids[ii], ids[jj]
+        swap = a > b
+        a[swap], b[swap] = b[swap], a[swap]
+        return pa.table({"a": pa.array(a, pa.int64()),
+                         "b": pa.array(b, pa.int64())})
+
+    out = (
+        ds.map_batches(Assign, batch_format="pyarrow",
+                       concurrency=concurrency or auto_concurrency())
+        .groupby("cluster")
+        .map_groups(pairs_in_cluster, batch_format="pyarrow")
+    ).to_pandas()
+    return _pairs_table(out)

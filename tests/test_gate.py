@@ -75,7 +75,7 @@ def _entry_names():
     "token_jaccard_pairs", "index_stats", "bm25_topk", "search_and",
     "fielded_search", "search_or", "search_exact", "point_lookup", "tumbling_hourly",
     "sessionize", "grouped_topn", "events_type_stats", "orders_by_segment",
-    "ann_topk", "ann_threshold", "media_features",
+    "ann_topk", "ann_threshold", "embedding_dup_pairs", "media_features",
 ])
 def test_query_matches_oracle(ray_session, con, name):
     import __ray_entry__ as e

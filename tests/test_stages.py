@@ -297,3 +297,39 @@ def test_media_feature_plumbing(ray_session):
     # frames of one item concatenate back to the payload
     m0 = frames.filter(pa.compute.equal(frames["media_id"], 0))
     assert b"".join(m0["frame"].to_pylist()) == tbl["payload"][0].as_py()
+
+
+def test_embedding_dup_pairs(ray_session):
+    """Exact embedding near-dup == numpy oracle; IVF-bucketed variant is a
+    subset with high recall on same-cluster dups."""
+    from org_rdkit_lucene_ray.stages.ann import (
+        _emb_matrix,
+        embedding_dup_pairs,
+        embedding_dup_pairs_ivf,
+    )
+
+    rng = np.random.default_rng(21)
+    base = rng.standard_normal((60, 12))
+    # plant near-dups: rows 50-59 are jittered copies of rows 0-9
+    for i in range(10):
+        base[50 + i] = base[i] + rng.normal(0, 0.03, 12)
+    tbl = pa.table({
+        "vec_id": pa.array(range(60), pa.int64()),
+        "embedding": pa.array([r.tolist() for r in base], pa.list_(pa.float32())),
+    })
+    ds = rd.from_arrow(tbl).repartition(3)
+    M = _emb_matrix(tbl)
+    Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+    sims = Mn @ Mn.T
+    ii, jj = np.nonzero(np.triu(sims >= 0.95, k=1))
+    want = sorted(zip(ii.tolist(), jj.tolist()))
+    assert len(want) >= 10                      # the planted pairs qualify
+
+    exact = embedding_dup_pairs(ds, threshold=0.95)
+    got = sorted(zip(exact["a"].to_pylist(), exact["b"].to_pylist()))
+    assert got == want
+
+    ivf = embedding_dup_pairs_ivf(ds, threshold=0.95, nlist=4)
+    got_ivf = set(zip(ivf["a"].to_pylist(), ivf["b"].to_pylist()))
+    assert got_ivf <= set(want)                 # no false positives
+    assert len(got_ivf) >= 0.8 * len(want)      # near-identical pairs co-cluster
