@@ -226,7 +226,7 @@ class FragmentTokenizer:
                  losers_dir: str | None, use_html: bool, text_column: str,
                  url_column: str | None, ts_column: str | None,
                  lang_column: str | None, id_column: str | None,
-                 verify_extraction: bool):
+                 verify_extraction: bool, max_extract_errors: int | None = 100):
         self.work_dir = work_dir
         self.fwd_dir = fwd_dir
         self.cfg = cfg
@@ -239,6 +239,9 @@ class FragmentTokenizer:
         self.lang_column = lang_column
         self.id_column = id_column
         self.verify_extraction = verify_extraction
+        # M12 analog (ChemicalIndex.java:280-292 / :236-237): tolerate
+        # per-record errors, abort the job past a threshold
+        self.max_extract_errors = max_extract_errors
 
     def _columns(self) -> list[str]:
         cols = []
@@ -332,6 +335,12 @@ class FragmentTokenizer:
                 fwd_cols["lang"] = t[self.lang_column].combine_chunks()
             fwd_parts.append(pa.table(fwd_cols))
 
+        if (self.max_extract_errors is not None
+                and mismatches > self.max_extract_errors):
+            raise RuntimeError(
+                f"fragment {fid} ({path}): {mismatches} extraction mismatches "
+                f"exceed max_extract_errors={self.max_extract_errors} — input "
+                "corpus and extractor disagree (M12 abort-threshold analog)")
         postings_tbl = pa.concat_tables(post_parts) if post_parts else None
         fwd_tbl = pa.concat_tables(fwd_parts)
         nbytes = 0
@@ -614,6 +623,7 @@ def build_index(
     concurrency: int | tuple[int, int] | None = None,
     doc_id_base: int = 0,
     tokenizer_mode: str = "tasks",
+    max_extract_errors: int | None = 100,
 ) -> dict:
     """End-to-end build. Idempotent/resumable: re-running after a crash skips
     committed fragments (Phase A) and committed chunk files (Phase B)."""
@@ -647,7 +657,7 @@ def build_index(
         work_dir=work_dir, fwd_dir=fwd_dir, cfg=cfg, losers_dir=losers_dir,
         use_html=use_html, text_column=text_column, url_column=url_column,
         ts_column=ts_column, lang_column=lang_column, id_column=id_column,
-        verify_extraction=verify_extraction,
+        verify_extraction=verify_extraction, max_extract_errors=max_extract_errors,
     )
     if tokenizer_mode == "actors":
         mani_ds = frag_ds.map_batches(

@@ -61,6 +61,12 @@ FIELDED_QUERIES: list[tuple[int, str]] = [    # J5: lang:value AND text term
     (1, "lang:zh window"),
     (2, "lang:en customer join"),
 ]
+SSV_QUERIES: list[tuple[int, str, int]] = [   # two-phase screen/verify (k, mult=10)
+    (0, "hash join merge", 5),
+    (1, "vector stream window", 5),
+    (2, "customer filter", 8),
+]
+SSV_MULT = 10
 EXACT_MATCH_DOC = 7        # search_exact target: doc 7's own text
 LOOKUP_DOC = 42            # point-lookup target
 ANN_QUERY_IDS = [0, 1, 2, 3, 4]
@@ -307,6 +313,22 @@ def _bool_search(sf_dir: str, kind: str) -> pa.Table:
 
 def q_search_and(sf_dir: str) -> pa.Table:
     return _bool_search(sf_dir, "and")
+
+
+def q_screen_verify(sf_dir: str) -> pa.Table:
+    """Two-phase substructure-search analog: BM25 screen (capped) ->
+    conjunctive verify, hits carry the screen score."""
+    s = _searcher(sf_dir)
+    qids, ranks, docs = [], [], []
+    for qid, q, k in SSV_QUERIES:
+        hits = s.search_screen_verify(q, k, prescreen_multiplier=SSV_MULT)
+        for r, (d, _) in enumerate(hits):
+            qids.append(qid)
+            ranks.append(r)
+            docs.append(d)
+    return pa.table({"query_id": pa.array(qids, pa.int64()),
+                     "rank": pa.array(ranks, pa.int64()),
+                     "doc_id": pa.array(docs, pa.int64())})
 
 
 def q_fielded_search(sf_dir: str) -> pa.Table:
@@ -662,6 +684,53 @@ ORDER BY 1, 2
 
 _ANN_IDS = ", ".join(str(i) for i in ANN_QUERY_IDS)
 
+def _screen_verify_sql() -> str:
+    terms_vals = ", ".join(
+        f"({qid}, '{t}')" for qid, q, _ in SSV_QUERIES for t in sorted(set(q.split())))
+    nq = ", ".join(f"({qid}, {len(set(q.split()))}, {k}, {k * SSV_MULT})"
+                   for qid, q, k in SSV_QUERIES)
+    return f"""
+WITH docs AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+dl AS (SELECT doc_id, len(toks) AS dl FROM docs),
+stats AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+                 CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+tok AS (SELECT doc_id, unnest(toks) AS term FROM docs),
+tf AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf FROM tok GROUP BY 1, 2),
+df AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
+q(query_id, term) AS (VALUES {terms_vals}),
+qk(query_id, n_terms, k, n_screen) AS (VALUES {nq}),
+scores AS (
+  SELECT q.query_id, tf.doc_id,
+         SUM( ln(1.0 + (s.n - df.df + 0.5) / (df.df + 0.5))
+              * (tf.tf * (1.2 + 1.0))
+              / (tf.tf + 1.2 * ((1.0 - 0.75) + (0.75 * dl.dl) / s.avgdl)) ) AS score
+  FROM q JOIN tf ON tf.term = q.term
+  JOIN df ON df.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s GROUP BY 1, 2),
+screened AS (
+  SELECT query_id, doc_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY CAST(score AS REAL) DESC, doc_id ASC) AS srank
+  FROM scores),
+qualified AS (
+  SELECT t.query_id, t.doc_id FROM (
+    SELECT q.query_id, tf.doc_id, count(*) AS hit
+    FROM q JOIN tf ON tf.term = q.term GROUP BY 1, 2) t
+  JOIN qk ON qk.query_id = t.query_id WHERE t.hit = qk.n_terms),
+verified AS (
+  SELECT s.query_id, s.doc_id,
+         row_number() OVER (PARTITION BY s.query_id ORDER BY s.srank) - 1 AS rank
+  FROM screened s
+  JOIN qualified USING (query_id, doc_id)
+  JOIN qk ON qk.query_id = s.query_id
+  WHERE s.srank <= qk.n_screen)
+SELECT v.query_id::BIGINT AS query_id, v.rank::BIGINT AS rank, v.doc_id
+FROM verified v JOIN qk ON qk.query_id = v.query_id
+WHERE v.rank < qk.k ORDER BY 1, 2
+"""
+
+
 ORACLE_SQL: dict[str, str] = {
     "term_df": f"""
 WITH tok AS (
@@ -701,6 +770,7 @@ SELECT count(*)::BIGINT AS n_docs,
 """,
     "bm25_topk": _bm25_sql(),
     "search_and": _bool_sql("and"),
+    "screen_verify": _screen_verify_sql(),
     "fielded_search": """
 WITH fq(query_id, lang, term) AS (VALUES
   (0, 'de', 'hash'), (1, 'zh', 'window'), (2, 'en', 'customer'), (2, 'en', 'join')),
@@ -818,6 +888,7 @@ QUERIES = {
     "bm25_topk": q_bm25_topk,
     "search_and": q_search_and,
     "fielded_search": q_fielded_search,
+    "screen_verify": q_screen_verify,
     "search_or": q_search_or,
     "search_exact": q_search_exact,
     "point_lookup": q_point_lookup,

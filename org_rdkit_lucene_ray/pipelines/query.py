@@ -485,6 +485,42 @@ class Searcher:
         order = np.lexsort((final_docs, -final_scores.astype(np.float64)))[:k]
         return [(int(final_docs[i]), float(final_scores[i])) for i in order]
 
+    # ------------------------------------------------- two-phase screen/verify
+    def search_screen_verify(self, query: str, k: int,
+                             prescreen_multiplier: int = 10,
+                             prescreen_cap: int = 100_000) -> list[tuple[int, float]]:
+        """The reference's substructure-search plan rebuilt
+        (``ChemicalIndex.searchMoleculesWithSubstructure:657-727``):
+
+        1. SCREEN: approximate candidates = BM25 top-``min(k*multiplier,
+           cap)`` over the query's terms as SHOULD clauses (the FP-screen
+           analog, caps per ``ChemicalIndex.java:661`` /
+           ``LuceneBenchmark.java:358-365``);
+        2. VERIFY: exact containment — candidate must hold EVERY query term
+           (the RDKit ``hasSubstructMatch`` analog, here exact conjunctive
+           semantics);
+        3. collect verified hits carrying the SCREEN score (`:697`), stop
+           at ``k`` in screen-rank order.
+        """
+        n_screen = min(k * prescreen_multiplier, prescreen_cap)
+        screened = self.topk(query, n_screen)
+        if not screened:
+            return []
+        terms = set(self._query_terms(query))
+        # verify: membership in every term's posting list (sorted arrays)
+        decs = {t: self._decode_term(t) for t in terms}
+        if any(d is None for d in decs.values()):
+            return []
+        out: list[tuple[int, float]] = []
+        for doc, score in screened:               # screen-rank order
+            if all(np.searchsorted(d[0], doc) < d[0].size
+                   and d[0][np.searchsorted(d[0], doc)] == doc
+                   for d in decs.values()):
+                out.append((doc, score))
+                if len(out) >= k:
+                    break
+        return out
+
     def topk(self, query: str, k: int, mode: str = "bmw") -> list[tuple[int, float]]:
         if mode == "bmw":
             return self.topk_bmw(query, k)

@@ -188,3 +188,30 @@ def test_crash_resume_byte_identical(ray_session, pages_dir, tmp_path_factory):
     assert not resumed[2] and not resumed[5]      # re-processed
     assert resumed[3] and resumed[0]              # skipped from checkpoint
     assert _tree_hashes(os.path.join(gdir2, "segments")) == control
+
+
+def test_extract_error_threshold_aborts(ray_session, tmp_path_factory):
+    """M12 analog: per-record mismatches tolerated up to a threshold, then
+    the job aborts with a clear error."""
+    import pyarrow as pa
+    import ray
+
+    from org_rdkit_lucene_ray.synth import gen_pages
+
+    t = gen_pages(60, seed=5, dup_url_frac=0.0, near_dup_frac=0.0)
+    # corrupt the golden text of most rows -> extraction mismatch
+    bad = pa.table({
+        "url": t["url"], "warc_ts": t["warc_ts"], "html": t["html"],
+        "text": pa.array(["CORRUPTED"] * t.num_rows, pa.string()),
+        "lang": t["lang"],
+    })
+    d = tmp_path_factory.mktemp("bad_pages")
+    pq.write_table(bad, str(d / "pages-00000.parquet"))
+    idx = tmp_path_factory.mktemp("bad_idx")
+    with pytest.raises((RuntimeError, ray.exceptions.RayTaskError)) as ei:
+        build_index(str(d), str(idx), cfg=CFG, max_extract_errors=10)
+    assert "max_extract_errors" in str(ei.value)
+    # with the guard off, the build completes and records the mismatch count
+    idx2 = tmp_path_factory.mktemp("bad_idx2")
+    m = build_index(str(d), str(idx2), cfg=CFG, max_extract_errors=None)
+    assert m["stats"]["extract_mismatches"] == 60
