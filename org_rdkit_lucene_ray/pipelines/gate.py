@@ -61,6 +61,12 @@ FIELDED_QUERIES: list[tuple[int, str]] = [    # J5: lang:value AND text term
     (1, "lang:zh window"),
     (2, "lang:en customer join"),
 ]
+BOOLEAN_QUERIES: list[tuple[int, str]] = [    # +MUST -MUST_NOT bare=SHOULD
+    (0, "+hash +join -vector"),
+    (1, "customer window -merge"),
+    (2, "+lang:de hash -stream"),
+    (3, "+zzznotaterm hash"),
+]
 SSV_QUERIES: list[tuple[int, str, int]] = [   # two-phase screen/verify (k, mult=10)
     (0, "hash join merge", 5),
     (1, "vector stream window", 5),
@@ -313,6 +319,18 @@ def _bool_search(sf_dir: str, kind: str) -> pa.Table:
 
 def q_search_and(sf_dir: str) -> pa.Table:
     return _bool_search(sf_dir, "and")
+
+
+def q_boolean_query(sf_dir: str) -> pa.Table:
+    """Lucene BooleanQuery surface: +MUST / -MUST_NOT / SHOULD (+fielded)."""
+    s = _searcher(sf_dir)
+    qids, docs = [], []
+    for qid, q in BOOLEAN_QUERIES:
+        hits = s.search_boolean(q)
+        qids.extend([qid] * len(hits))
+        docs.extend(int(d) for d in hits)
+    return pa.table({"query_id": pa.array(qids, pa.int64()),
+                     "doc_id": pa.array(docs, pa.int64())})
 
 
 def q_screen_verify(sf_dir: str) -> pa.Table:
@@ -771,6 +789,25 @@ SELECT count(*)::BIGINT AS n_docs,
     "bm25_topk": _bm25_sql(),
     "search_and": _bool_sql("and"),
     "screen_verify": _screen_verify_sql(),
+    "boolean_query": """
+WITH docs AS (SELECT doc_id, lower(lang) AS lang,
+  list_distinct(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                            x -> x <> '')) AS toks FROM documents),
+q0 AS (SELECT doc_id FROM docs
+       WHERE list_contains(toks, 'hash') AND list_contains(toks, 'join')
+         AND NOT list_contains(toks, 'vector')),
+q1 AS (SELECT doc_id FROM docs
+       WHERE (list_contains(toks, 'customer') OR list_contains(toks, 'window'))
+         AND NOT list_contains(toks, 'merge')),
+q2 AS (SELECT doc_id FROM docs
+       WHERE lang = 'de' AND NOT list_contains(toks, 'stream')),
+q3 AS (SELECT doc_id FROM docs WHERE FALSE)
+SELECT 0::BIGINT AS query_id, doc_id FROM q0
+UNION ALL SELECT 1, doc_id FROM q1
+UNION ALL SELECT 2, doc_id FROM q2
+UNION ALL SELECT 3, doc_id FROM q3
+ORDER BY 1, 2
+""",
     "fielded_search": """
 WITH fq(query_id, lang, term) AS (VALUES
   (0, 'de', 'hash'), (1, 'zh', 'window'), (2, 'en', 'customer'), (2, 'en', 'join')),
@@ -889,6 +926,7 @@ QUERIES = {
     "search_and": q_search_and,
     "fielded_search": q_fielded_search,
     "screen_verify": q_screen_verify,
+    "boolean_query": q_boolean_query,
     "search_or": q_search_or,
     "search_exact": q_search_exact,
     "point_lookup": q_point_lookup,

@@ -485,6 +485,55 @@ class Searcher:
         order = np.lexsort((final_docs, -final_scores.astype(np.float64)))[:k]
         return [(int(final_docs[i]), float(final_scores[i])) for i in order]
 
+    def search_boolean(self, query: str) -> np.ndarray:
+        """Lucene-style boolean query over the free-query surface (J5 +
+        BooleanQuery MUST/MUST_NOT/SHOULD, ``ChemicalIndex.java:466-491``,
+        ``:538-554``, ``:607-637``):
+
+        ``+term`` MUST, ``-term`` MUST_NOT, bare term SHOULD; ``field:value``
+        composite terms work in any role. Matching docs: hold every MUST
+        term, none of the MUST_NOT terms, and (if any SHOULD terms exist
+        and there are no MUST terms) at least one SHOULD term. With MUST
+        terms present, SHOULD terms only influence scoring (Lucene
+        semantics) — this method returns the doc SET, sorted ascending.
+        """
+        musts, must_nots, shoulds = [], [], []
+        for raw in query.split():
+            if raw.startswith("+") and len(raw) > 1:
+                musts.extend(self._query_terms(raw[1:]))
+            elif raw.startswith("-") and len(raw) > 1:
+                must_nots.extend(self._query_terms(raw[1:]))
+            else:
+                shoulds.extend(self._query_terms(raw))
+
+        def docs_of(term: str) -> np.ndarray:
+            d = self._decode_term(term)
+            return d[0] if d is not None else np.zeros(0, np.int64)
+
+        if musts:
+            sets = [docs_of(t) for t in set(musts)]
+            if any(s.size == 0 for s in sets):
+                return np.zeros(0, np.int64)
+            sets.sort(key=len)
+            out = sets[0]
+            for s in sets[1:]:
+                out = out[np.isin(out, s, assume_unique=True)]
+                if out.size == 0:
+                    return out
+        elif shoulds:
+            parts = [docs_of(t) for t in set(shoulds)]
+            parts = [p for p in parts if p.size]
+            if not parts:
+                return np.zeros(0, np.int64)
+            out = np.unique(np.concatenate(parts))
+        else:
+            return np.zeros(0, np.int64)
+        for t in set(must_nots):
+            ex = docs_of(t)
+            if ex.size:
+                out = out[~np.isin(out, ex, assume_unique=True)]
+        return out
+
     # ------------------------------------------------- two-phase screen/verify
     def search_screen_verify(self, query: str, k: int,
                              prescreen_multiplier: int = 10,
