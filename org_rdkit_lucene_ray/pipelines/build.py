@@ -6,11 +6,12 @@ single-threaded SDF loop -> canonicalize -> fingerprint -> addDocument.
 Here the same computation is three Ray Data phases over Parquet pages:
 
 Phase DEDUP (J6, upsert/delete-by-PK analog ``ChemicalIndex.java:801``):
-    slim column-pruned read (url, warc_ts) -> ``groupby("url")`` ->
-    losers table (every row but the max-(warc_ts, doc_id) one per url),
-    sorted by doc_id and written to Parquet. Workers anti-join against it
-    with row-group predicate pushdown — the loser set never rides the
-    driver (SURVEY §2.4 J6: "broadcast small sides; at scale, pushdown").
+    storage-partitioned like Phase B — per-fragment slim scans written
+    bucketed by url hash, then per-bucket last-write-wins loser detection
+    (one lexsort per bucket; real urls compared, so hash collisions are
+    harmless). Tokenize workers anti-join against the loser files with
+    row-group predicate pushdown — no Ray groupby, nothing rides the
+    driver (SURVEY §2.4 J6).
 
 Phase A (tokenize; the expensive, checkpointed pass):
     a Dataset of fragment descriptors -> ``map_batches(FragmentTokenizer)``
@@ -38,8 +39,9 @@ Phase B (the wide step — a STORAGE-PARTITIONED exchange, no Ray groupby):
     salting-by-docID-range per SURVEY §7.1(6); sub-lists stay sorted and
     concatenable.
 
-Phase C: global df table — per-batch partial counts -> tiny
-    ``groupby("term")`` -> ``df`` Parquet (A4 corpus statistics).
+Phase C: global df table — per-bucket Arrow aggregates over that bucket's
+    chunk files (a term lives in exactly one bucket, so this too needs no
+    shuffle); one df Parquet per bucket (A4 corpus statistics).
 """
 
 from __future__ import annotations
@@ -112,86 +114,106 @@ def plan_fragments(input_paths: str | list[str], doc_id_base: int = 0) -> list[d
 
 
 # -------------------------------------------------------------------- dedup
-def _slim_read(batch: pa.Table) -> pa.Table:
-    """Column-pruned (url, warc_ts) read with deterministic doc ids.
+_DEDUP_BUCKETS = 16
 
-    Plain task fn (NOT an actor pool): stateless, and spinning up a
-    cluster-wide actor pool for a metadata-light scan costs more than the
-    scan (~10s of actor startup at 32 CPUs, measured)."""
+
+def _slim_bucketed_write(batch: pa.Table, *, slim_dir: str) -> pa.Table:
+    """Wave 1: per-fragment slim scan written sorted by (bucket, uh) with
+    one row group per url-hash bucket — the dedup side of the
+    storage-partitioned exchange (no Ray groupby anywhere in dedup)."""
+    import uuid
+
     _pin_arrow_threads()
-    out = []
+    out_rows = []
     for row in batch.to_pylist():
         t = pq.read_table(row["path"], columns=["url", "warc_ts"])
         n = t.num_rows
-        out.append(pa.table({
+        uh = stable_term_hash(t["url"]).astype(np.int64)
+        slim = pa.table({
+            "bucket": pa.array((uh % _DEDUP_BUCKETS).astype(np.int32)),
+            "uh": pa.array(uh),
             "url": t["url"],
             "warc_ts_us": pc.cast(t["warc_ts"], pa.int64()),
             "doc_id": pa.array(row["base"] + np.arange(n, dtype=np.int64)),
-        }))
-    return pa.concat_tables(out)
+        })
+        order = pc.sort_indices(slim, sort_keys=[("bucket", "ascending"),
+                                                 ("uh", "ascending")])
+        slim = slim.take(order)
+        path = os.path.join(slim_dir, f"frag-{int(row['fragment_id']):06d}.parquet")
+        tmp = os.path.join(slim_dir, f".tmp-{uuid.uuid4().hex}")
+        bk = slim["bucket"].to_numpy()
+        starts = np.concatenate([[0], np.flatnonzero(bk[1:] != bk[:-1]) + 1, [n]])
+        with pq.ParquetWriter(tmp, slim.schema) as w:
+            for i in range(len(starts) - 1):
+                w.write_table(slim.slice(starts[i], starts[i + 1] - starts[i]))
+        os.replace(tmp, path)
+        out_rows.append({"fragment_id": int(row["fragment_id"]), "rows": n})
+    return pa.Table.from_pylist(out_rows, schema=pa.schema(
+        [("fragment_id", pa.int32()), ("rows", pa.int64())]))
 
 
 def compute_dup_losers(fragments: list[dict], work_dir: str) -> str:
-    """DEDUP phase -> directory of doc_id Parquet files, globally sorted.
+    """DEDUP phase -> directory of per-bucket loser doc_id Parquet files.
 
-    Two vectorized passes instead of a per-url-group Python call (the
-    map_groups variant spent 18s/35s of the sf0.1 build on 40k one-row
-    groups):
+    Storage-partitioned, no shuffle (same trick as Phase B):
 
-    1. hash-aggregate ``groupby(url).count()`` -> urls with count > 1 — the
-       DUP url set, tiny under the "dups are rare" operating regime (and
-       bounded by the shuffle's combiner-style partial aggregation);
-    2. re-scan only (url, warc_ts, doc_id) of rows whose url is in the dup
-       set (broadcast filter) and pick each group's last-write-wins winner
-       (max (warc_ts, doc_id)) with one lexsort over the small dup table.
+    - wave 1 (per fragment): slim (uh, url, warc_ts, doc_id) scan written
+      sorted by url-hash bucket, one row group per bucket;
+    - wave 2 (per bucket): read the bucket's row groups from every fragment
+      (row-group pruning), sort by (url, ts, id) — one lexsort finds every
+      url group's last-write-wins winner; everything else is a loser.
+      Real urls are compared, so a hash collision can never pick a wrong
+      winner. Dup groups crossing buckets are impossible (same url -> same
+      hash -> same bucket).
     """
-    import ray
-    from ray.data.aggregate import Count
-
     losers_dir = os.path.join(work_dir, "losers")
     done = os.path.join(losers_dir, "_SUCCESS")
     if os.path.exists(done):
         return losers_dir
-    ds = rd.from_items(fragments, override_num_blocks=len(fragments))
-    # two cheap column-pruned passes (count, then dup-only rescan) rather
-    # than materializing the slim projection — at 10^12 rows even the slim
-    # columns are tens of TB and must stream, not pin the object store
-    slim = ds.map_batches(_slim_read, batch_format="pyarrow", batch_size=None)
-
-    def url_hashes(t: pa.Table) -> pa.Table:
-        # shuffle 8-byte hashes, not url strings (same dup groups; the dup
-        # RESCAN still compares real urls, so a hash collision only costs a
-        # false candidate, never a wrong winner)
-        return pa.table({"uh": pa.array(
-            stable_term_hash(t["url"]).astype(np.int64))})
-
-    counts = slim.map_batches(url_hashes, batch_format="pyarrow") \
-        .groupby("uh").aggregate(Count(alias_name="n"))
-    dup_rows = counts.filter(expr="n > 1").select_columns(["uh"]).take_all()
-    dup_hashes = np.sort(np.asarray([r["uh"] for r in dup_rows], dtype=np.int64))
+    slim_dir = os.path.join(work_dir, "dedup_slim")
+    os.makedirs(slim_dir, exist_ok=True)
     os.makedirs(losers_dir, exist_ok=True)
-    if len(dup_hashes):
-        ref = ray.put(dup_hashes)
 
-        def only_dups(t: pa.Table) -> pa.Table:
-            hh = stable_term_hash(t["url"]).astype(np.int64)
-            keep = np.isin(hh, ray.get(ref))
-            return t.filter(pa.array(keep))
+    ds = rd.from_items(fragments, override_num_blocks=len(fragments))
+    slim_rows = ds.map_batches(
+        _slim_bucketed_write, fn_kwargs=dict(slim_dir=slim_dir),
+        batch_format="pyarrow", batch_size=None).take_all()
+    slim_files = sorted(
+        os.path.join(slim_dir, f) for f in os.listdir(slim_dir)
+        if f.endswith(".parquet"))
 
-        dups = pa.concat_tables(
-            b for b in slim.map_batches(only_dups, batch_format="pyarrow")
-            .iter_batches(batch_format="pyarrow", batch_size=None)
-        )
-        urls = np.asarray(dups["url"].to_pylist(), dtype=object)
-        ts = dups["warc_ts_us"].to_numpy()
-        ids = dups["doc_id"].to_numpy()
-        order = np.lexsort((ids, ts, urls))   # url asc, then (ts, id) asc
-        urls_s, ids_s = urls[order], ids[order]
-        # winner = last row of each url run; everything else is a loser
-        is_last = np.concatenate([urls_s[1:] != urls_s[:-1], [True]])
-        losers = np.sort(ids_s[~is_last])
-        atomic_write_table(pa.table({"doc_id": pa.array(losers, pa.int64())}),
-                           os.path.join(losers_dir, "losers-000000.parquet"))
+    def losers_of_bucket(batch: pa.Table) -> pa.Table:
+        _pin_arrow_threads()
+        out = []
+        for row in batch.to_pylist():
+            b = int(row["bucket"])
+            tabs = [pq.read_table(p, columns=["url", "warc_ts_us", "doc_id"],
+                                  filters=[("bucket", "==", b)])
+                    for p in slim_files]
+            t = pa.concat_tables(tabs)
+            if t.num_rows == 0:
+                continue
+            urls = np.asarray(t["url"].to_pylist(), dtype=object)
+            ts = t["warc_ts_us"].to_numpy()
+            ids = t["doc_id"].to_numpy()
+            order = np.lexsort((ids, ts, urls))   # url asc, then (ts, id) asc
+            urls_s, ids_s = urls[order], ids[order]
+            is_last = np.concatenate([urls_s[1:] != urls_s[:-1], [True]])
+            losers = np.sort(ids_s[~is_last])
+            if losers.size:
+                atomic_write_table(
+                    pa.table({"doc_id": pa.array(losers, pa.int64())}),
+                    os.path.join(losers_dir, f"bucket-{b:05d}.parquet"))
+            out.append({"bucket": b, "losers": int(losers.size)})
+        if not out:
+            return pa.Table.from_pylist([], schema=pa.schema(
+                [("bucket", pa.int32()), ("losers", pa.int64())]))
+        return pa.Table.from_pylist(out, schema=pa.schema(
+            [("bucket", pa.int32()), ("losers", pa.int64())]))
+
+    items = [{"bucket": b} for b in range(_DEDUP_BUCKETS)]
+    rd.from_items(items, override_num_blocks=len(items)).map_batches(
+        losers_of_bucket, batch_format="pyarrow", batch_size=1).take_all()
     with open(done, "w") as f:
         f.write("ok")
     return losers_dir
@@ -581,28 +603,46 @@ def _chunk_rows_from_disk(gdir: str) -> list[dict]:
 
 # ------------------------------------------------------------------ phase C
 def build_df_table(gdir: str) -> int:
-    """Global (term, df) table from segment dictionaries — partial counts per
-    batch, then a tiny groupby-term shuffle (A4)."""
-    from ray.data.aggregate import Sum
+    """Global (term, df) table (A4) — NO shuffle: the bucket partitioning
+    already co-locates every term's chunks (term -> one bucket across all
+    segments), so df is a per-bucket Arrow aggregate over that bucket's
+    chunk files; one task per bucket, one output file per bucket."""
+    seg_root = os.path.join(gdir, "segments")
+    by_bucket: dict[int, list[str]] = {}
+    for seg in sorted(os.listdir(seg_root)):
+        if not seg.startswith("seg="):
+            continue
+        d = os.path.join(seg_root, seg)
+        for f in sorted(os.listdir(d)):
+            if f.startswith("bucket-") and f.endswith(".parquet"):
+                b = int(f[len("bucket-"):-len(".parquet")])
+                by_bucket.setdefault(b, []).append(os.path.join(d, f))
 
-    seg_dir = os.path.join(gdir, "segments")
-
-    def partial(t: pa.Table) -> pa.Table:
-        g = t.group_by("term").aggregate([("df_chunk", "sum")])
-        return pa.table({"term": g["term"], "df_part": pc.cast(g["df_chunk_sum"], pa.int64())})
-
-    ds = (
-        rd.read_parquet(seg_dir, columns=["term", "df_chunk"])
-        .map_batches(partial, batch_format="pyarrow")
-        .groupby("term")
-        .aggregate(Sum("df_part", alias_name="df"))
-    )
     out_dir = os.path.join(gdir, "df")
-    ds.write_parquet(out_dir)
-    return sum(
-        pq.read_metadata(os.path.join(out_dir, f)).num_rows
-        for f in os.listdir(out_dir) if f.endswith(".parquet")
-    )
+    os.makedirs(out_dir, exist_ok=True)
+
+    def df_of_bucket(batch: pa.Table) -> pa.Table:
+        _pin_arrow_threads()
+        counts = []
+        for row in batch.to_pylist():
+            b = int(row["bucket"])
+            tabs = [pq.read_table(p, columns=["term", "df_chunk"])
+                    for p in row["files"]]
+            t = pa.concat_tables(tabs)
+            g = t.group_by("term").aggregate([("df_chunk", "sum")])
+            out = pa.table({"term": g["term"],
+                            "df": pc.cast(g["df_chunk_sum"], pa.int64())})
+            atomic_write_table(out, os.path.join(out_dir, f"bucket-{b:05d}.parquet"))
+            counts.append({"bucket": b, "n_terms": out.num_rows})
+        return pa.Table.from_pylist(counts, schema=pa.schema(
+            [("bucket", pa.int32()), ("n_terms", pa.int64())]))
+
+    items = [{"bucket": b, "files": fs} for b, fs in sorted(by_bucket.items())]
+    if not items:
+        return 0
+    rows = rd.from_items(items, override_num_blocks=len(items)).map_batches(
+        df_of_bucket, batch_format="pyarrow", batch_size=1).take_all()
+    return int(sum(r["n_terms"] for r in rows))
 
 
 # -------------------------------------------------------------------- driver
