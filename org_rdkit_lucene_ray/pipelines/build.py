@@ -58,7 +58,6 @@ import ray.data as rd
 
 from org_rdkit_lucene_ray.config import IndexConfig
 from org_rdkit_lucene_ray.functions.analyze import postings_from_batch
-from org_rdkit_lucene_ray.functions.codec import encode_posting_list
 from org_rdkit_lucene_ray.functions.html import extract_text
 from org_rdkit_lucene_ray.state import checkpoint as ckpt
 from org_rdkit_lucene_ray.state.segment import (
