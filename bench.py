@@ -179,6 +179,15 @@ def run_scaling(sf_dir: str, cpus_lo: int | None = None, cpus_hi: int | None = N
     if cpus_lo is None or cpus_hi is None:
         pair = os.environ.get("RAY_GRAFT_SCALING_CPUS", "2,8").split(",")
         cpus_lo, cpus_hi = int(pair[0]), int(pair[1])
+    # warm the OS page cache with one untimed read so BOTH runs measure
+    # compute + exchange, not the first disk read (ray_guide §scaling)
+    corpus = corpus_dir("scaling")
+    for f in sorted(os.listdir(corpus)):
+        p = os.path.join(corpus, f)
+        if os.path.isfile(p):
+            with open(p, "rb") as fh:
+                while fh.read(1 << 24):
+                    pass
     runs = {}
     for cpus in (cpus_lo, cpus_hi):
         env = dict(os.environ, RAY_GRAFT_CPUS=str(cpus))
