@@ -414,6 +414,34 @@ class Searcher:
         terms = sorted(cursors)                   # ascending clause order
         curs = [cursors[t] for t in terms]
 
+        # Head-term fast path: when the posting mass is a sizable fraction
+        # of the doc-id span, pruning can't skip much and the sparse
+        # searchsorted gathers dominate (profiled ~550 ms/query at 1.5M
+        # docs). A dense scatter-add accumulator scores everything in
+        # O(total postings) with vector constants (~30 ms same query) and
+        # is float-exact: adds happen per term in ascending clause order,
+        # doc ids are unique within a term.
+        span = max(int(c.docs[-1]) for c in curs) + 1
+        total = sum(c.docs.size for c in curs)
+        if total > span // 16 and span <= 64_000_000:
+            acc = np.zeros(span, dtype=np.float64)
+            touched = np.zeros(span, dtype=bool)
+            for c in curs:                         # ascending term order
+                w = c.weight_vector()
+                for _ in range(c.mult):
+                    acc[c.docs] += w
+                touched[c.docs] = True
+            docs = np.flatnonzero(touched)
+            s32 = acc[docs].astype(np.float32)
+            if docs.size > k:
+                part = np.argpartition(-s32, k - 1)[:k]
+                kth = s32[part].min()
+                sel = np.flatnonzero(s32 >= kth)   # keep ties for doc-id order
+                order = sel[np.lexsort((docs[sel], -s32[sel].astype(np.float64)))][:k]
+            else:
+                order = np.lexsort((docs, -s32.astype(np.float64)))[:k]
+            return [(int(docs[i]), float(s32[i])) for i in order]
+
         # duplicate query terms: cursor.mult occurrences — replicate the
         # oracle's "one contribution per occurrence" by adding the weight
         # `mult` times (still ascending clause order, duplicates adjacent).
