@@ -246,12 +246,16 @@ class Searcher:
                 continue
             n = tbl["df_chunk"][i].as_py()
             deltas = varint_decode(np.frombuffer(tbl["doc_bytes"][i].as_buffer(), np.uint8), n)
-            docs_l.append(np.cumsum(deltas.astype(np.int64)))
-            tfs_l.append(varint_decode(np.frombuffer(tbl["tf_bytes"][i].as_buffer(), np.uint8), n).astype(np.int64))
-            dls_l.append(varint_decode(np.frombuffer(tbl["dl_bytes"][i].as_buffer(), np.uint8), n).astype(np.int64))
-            bf_l.append(np.asarray(tbl["bm_first_doc"][i].as_py(), dtype=np.int64))
-            bl_l.append(np.asarray(tbl["bm_last_doc"][i].as_py(), dtype=np.int64))
-            bm_l.append(np.asarray(tbl["bm_max_tfn"][i].as_py(), dtype=np.float32))
+            # zero-copy reinterpret + single-pass cumsum: this VM's memory
+            # bandwidth makes every 1M-element astype cost ~10 ms
+            docs_l.append(np.cumsum(deltas, dtype=np.int64))
+            tfs_l.append(varint_decode(np.frombuffer(tbl["tf_bytes"][i].as_buffer(), np.uint8), n).view(np.int64))
+            dls_l.append(varint_decode(np.frombuffer(tbl["dl_bytes"][i].as_buffer(), np.uint8), n).view(np.int64))
+            # ListScalar.values -> zero-copy Arrow array (as_py() built
+            # Python lists: ~1/3 of cold head-term decode time, profiled)
+            bf_l.append(tbl["bm_first_doc"][i].values.to_numpy(zero_copy_only=False))
+            bl_l.append(tbl["bm_last_doc"][i].values.to_numpy(zero_copy_only=False))
+            bm_l.append(tbl["bm_max_tfn"][i].values.to_numpy(zero_copy_only=False))
         if not docs_l:
             return None
         docs = np.concatenate(docs_l)
