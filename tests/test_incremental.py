@@ -215,3 +215,27 @@ def test_extract_error_threshold_aborts(ray_session, tmp_path_factory):
     idx2 = tmp_path_factory.mktemp("bad_idx2")
     m = build_index(str(d), str(idx2), cfg=CFG, max_extract_errors=None)
     assert m["stats"]["extract_mismatches"] == 60
+
+
+def test_sharded_search_on_incremental_index(ray_session, incr_index):
+    """Sharded searchers must sum GLOBAL df across included generations —
+    scores on a multi-generation index equal the unsharded ones."""
+    from org_rdkit_lucene_ray.pipelines.query import Searcher
+
+    idx, *_ = incr_index
+    # pin the multi-generation delta (gen-000001 includes gen-000000) so the
+    # test exercises cross-generation df summing even after the merge test
+    # has advanced CURRENT
+    full = Searcher(idx, generation="gen-000001")
+    shards = [Searcher(idx, generation="gen-000001", shard=(i, 2))
+              for i in range(2)]
+    for q in ["baba cece", "dodi baba", "zezezeze"]:
+        want = full.topk(q, 10)
+        partial = sorted(
+            (hit for s in shards for hit in s.topk(q, 10)),
+            key=lambda e: (-e[1], e[0]))[:10]
+        # merge of per-shard top-k with the global comparator == unsharded
+        assert [(d, float(np.float32(sc))) for d, sc in partial] == \
+            [(d, float(np.float32(sc))) for d, sc in want], q
+        for s in shards:
+            assert s.df("baba") == full.df("baba")
