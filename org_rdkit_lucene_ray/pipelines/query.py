@@ -11,6 +11,10 @@ Reference analogs:
   pruning variant the north star mandates; both produce IDENTICAL results
   (tested), and both are float-exact vs the oracle: per-doc contributions
   are added in ascending term order in float64 and rounded once to float32.
+  Pruning designs follow the public literature: WAND (Broder et al., CIKM
+  2003), Block-Max WAND (Ding & Suel, SIGIR 2011), MaxScore essential-list
+  splitting (Turtle & Flood, IP&M 1995) — re-derived here in vectorized
+  numpy form with an exactness guarantee the papers don't need.
 - hit -> stored-field join (J7, ``getPrimaryKeysForSearchHits:739-767``) ->
   :meth:`Searcher.resolve_urls` — predicate-pushdown read of the forward
   index for just the top-k doc ids (a broadcast-small-side join).

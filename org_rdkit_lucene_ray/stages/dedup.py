@@ -11,6 +11,11 @@ the near-dup family a 100 TB training-data pipeline needs (task brief):
 - n-gram Jaccard: exact all-pairs similarity on a bounded slice (the oracle
   for the approximate methods)
 
+Algorithms follow the public literature: MinHash resemblance sketches
+(Broder, SEQUENCES 1997), LSH banding (Indyk & Motwani, STOC 1998 /
+Leskovec-Rajaraman-Ullman ch.3), SimHash (Charikar, STOC 2002; Manku et
+al., WWW 2007 for the Hamming-band trick).
+
 Scale notes are inline: signatures/bands flow through ``groupby`` shuffles;
 only verified-candidate handling assumes "near-dup pairs << corpus", the
 standard LSH operating regime. Candidate counts are logged, never silently
