@@ -95,7 +95,7 @@ def bench_headline(sf: str, num_cpus: int) -> dict:
 
     # latency: per-query wall time on one warm searcher (reference's
     # per-query ms protocol, LuceneBenchmark CSV analog)
-    s = Searcher(idx)
+    s = Searcher(idx, warm_top_terms=16)
     lats = []
     for row in queries.to_pylist():
         q0 = time.perf_counter()

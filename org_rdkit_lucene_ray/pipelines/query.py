@@ -131,7 +131,8 @@ class Searcher:
     """
 
     def __init__(self, index_dir: str, generation: str | None = None,
-                 shard: tuple[int, int] | None = None):
+                 shard: tuple[int, int] | None = None,
+                 warm_top_terms: int = 0):
         self.manifest = read_manifest(index_dir, generation)
         self.gdir = gen_dir(index_dir, generation)
         stats = self.manifest["stats"]
@@ -196,7 +197,19 @@ class Searcher:
         from collections import OrderedDict
 
         self._decode_cache: "OrderedDict[str, tuple | None]" = OrderedDict()
-        self._decode_cache_max = 64
+        self._decode_cache_max = max(64, warm_top_terms)
+        if warm_top_terms:
+            # eagerly decode the highest-df terms (from the per-segment
+            # dictionaries) so a long-lived searcher actor answers head-term
+            # queries without the first-decode hit (T3 warm-up; the
+            # reference's 5 warm-up FP queries, LuceneBenchmark.java:645-664)
+            df_counts: dict[str, int] = {}
+            for _, tbl, _lk in self._segments:
+                for t, d in zip(tbl["term"].to_pylist(),
+                                tbl["df_chunk"].to_numpy(zero_copy_only=False)):
+                    df_counts[t] = df_counts.get(t, 0) + int(d)
+            for t, _ in sorted(df_counts.items(), key=lambda kv: -kv[1])[:warm_top_terms]:
+                self._decode_term(t)
 
     # ------------------------------------------------------------- stats/meta
     def df(self, term: str) -> int:
@@ -713,8 +726,10 @@ class SearcherStage:
     url:string, score:float32."""
 
     def __init__(self, index_dir: str, mode: str = "bmw", default_k: int = 10,
-                 resolve_urls: bool = True, generation: str | None = None):
-        self.searcher = Searcher(index_dir, generation)
+                 resolve_urls: bool = True, generation: str | None = None,
+                 warm_top_terms: int = 16):
+        self.searcher = Searcher(index_dir, generation,
+                                 warm_top_terms=warm_top_terms)
         self.mode = mode
         self.default_k = default_k
         self.resolve = resolve_urls
