@@ -333,6 +333,20 @@ def q_boolean_query(sf_dir: str) -> pa.Table:
                      "doc_id": pa.array(docs, pa.int64())})
 
 
+def q_fp_search(sf_dir: str) -> pa.Table:
+    """FP-search type: BM25-scored conjunctive top-k (MOL/FP/SS triad)."""
+    s = _searcher(sf_dir)
+    qids, ranks, docs = [], [], []
+    for qid, q in BOOL_QUERIES[:3]:             # reuse the AND query set
+        for r, (d, _) in enumerate(s.search_fp_scored(q, 10)):
+            qids.append(qid)
+            ranks.append(r)
+            docs.append(d)
+    return pa.table({"query_id": pa.array(qids, pa.int64()),
+                     "rank": pa.array(ranks, pa.int64()),
+                     "doc_id": pa.array(docs, pa.int64())})
+
+
 def q_screen_verify(sf_dir: str) -> pa.Table:
     """Two-phase substructure-search analog: BM25 screen (capped) ->
     conjunctive verify, hits carry the screen score."""
@@ -702,6 +716,44 @@ ORDER BY 1, 2
 
 _ANN_IDS = ", ".join(str(i) for i in ANN_QUERY_IDS)
 
+def _fp_search_sql() -> str:
+    terms_vals = ", ".join(
+        f"({qid}, '{t}')" for qid, q in BOOL_QUERIES[:3] for t in sorted(set(q.split())))
+    nq = ", ".join(f"({qid}, {len(set(q.split()))})" for qid, q in BOOL_QUERIES[:3])
+    return f"""
+WITH docs AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+dl AS (SELECT doc_id, len(toks) AS dl FROM docs),
+stats AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+                 CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+tok AS (SELECT doc_id, unnest(toks) AS term FROM docs),
+tf AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf FROM tok GROUP BY 1, 2),
+df AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
+q(query_id, term) AS (VALUES {terms_vals}),
+qn(query_id, n_terms) AS (VALUES {nq}),
+qualified AS (
+  SELECT t.query_id, t.doc_id FROM (
+    SELECT q.query_id, tf.doc_id, count(*) AS hit
+    FROM q JOIN tf ON tf.term = q.term GROUP BY 1, 2) t
+  JOIN qn ON qn.query_id = t.query_id WHERE t.hit = qn.n_terms),
+scores AS (
+  SELECT q.query_id, tf.doc_id,
+         SUM( ln(1.0 + (s.n - df.df + 0.5) / (df.df + 0.5))
+              * (tf.tf * (1.2 + 1.0))
+              / (tf.tf + 1.2 * ((1.0 - 0.75) + (0.75 * dl.dl) / s.avgdl)) ) AS score
+  FROM q JOIN tf ON tf.term = q.term
+  JOIN df ON df.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s GROUP BY 1, 2),
+ranked AS (
+  SELECT s.query_id, s.doc_id,
+         row_number() OVER (PARTITION BY s.query_id
+                            ORDER BY CAST(s.score AS REAL) DESC, s.doc_id ASC) - 1 AS rank
+  FROM scores s JOIN qualified USING (query_id, doc_id))
+SELECT query_id::BIGINT AS query_id, rank::BIGINT AS rank, doc_id
+FROM ranked WHERE rank < 10 ORDER BY 1, 2
+"""
+
+
 def _screen_verify_sql() -> str:
     terms_vals = ", ".join(
         f"({qid}, '{t}')" for qid, q, _ in SSV_QUERIES for t in sorted(set(q.split())))
@@ -788,6 +840,7 @@ SELECT count(*)::BIGINT AS n_docs,
 """,
     "bm25_topk": _bm25_sql(),
     "search_and": _bool_sql("and"),
+    "fp_search": _fp_search_sql(),
     "screen_verify": _screen_verify_sql(),
     "boolean_query": """
 WITH docs AS (SELECT doc_id, lower(lang) AS lang,
@@ -925,6 +978,7 @@ QUERIES = {
     "bm25_topk": q_bm25_topk,
     "search_and": q_search_and,
     "fielded_search": q_fielded_search,
+    "fp_search": q_fp_search,
     "screen_verify": q_screen_verify,
     "boolean_query": q_boolean_query,
     "search_or": q_search_or,

@@ -583,6 +583,29 @@ class Searcher:
                 out = out[~np.isin(out, ex, assume_unique=True)]
         return out
 
+    def search_fp_scored(self, query: str, k: int) -> list[tuple[int, float]]:
+        """The reference's FP-search type (``searchMoleculesByFingerprintMatch``
+        :607-637): BooleanQuery MUST over every query term, scored, top-k —
+        i.e. BM25 top-k restricted to docs containing ALL query terms.
+        Implemented as an uncapped screen + conjunctive verify (exact)."""
+        and_docs = self.search_and(query)
+        if and_docs.size == 0 or k <= 0:
+            return []
+        _, cursors = self._cursors(query)
+        terms = sorted(cursors)
+        acc = np.zeros(and_docs.size, dtype=np.float64)
+        for t in terms:                         # ascending clause order
+            c = cursors[t]
+            pos = np.searchsorted(c.docs, and_docs)
+            pos_c = np.minimum(pos, c.docs.size - 1)
+            hit = c.docs[pos_c] == and_docs
+            w = np.where(hit, c.weight_vector()[pos_c], 0.0)
+            for _ in range(c.mult):
+                acc = acc + w
+        s32 = acc.astype(np.float32)
+        order = np.lexsort((and_docs, -s32.astype(np.float64)))[:k]
+        return [(int(and_docs[i]), float(s32[i])) for i in order]
+
     # ------------------------------------------------- two-phase screen/verify
     def search_screen_verify(self, query: str, k: int,
                              prescreen_multiplier: int = 10,

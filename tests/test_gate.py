@@ -73,7 +73,7 @@ def _entry_names():
     "term_df", "doc_lengths", "top_terms", "lang_counts", "quality_scores",
     "doc_fingerprints", "langid", "row_range_filter", "exact_dedup",
     "token_jaccard_pairs", "index_stats", "bm25_topk", "search_and",
-    "fielded_search", "screen_verify", "boolean_query", "search_or", "search_exact", "point_lookup", "tumbling_hourly",
+    "fielded_search", "screen_verify", "boolean_query", "fp_search", "search_or", "search_exact", "point_lookup", "tumbling_hourly",
     "sessionize", "grouped_topn", "events_type_stats", "orders_by_segment",
     "ann_topk", "ann_threshold", "embedding_dup_pairs", "media_features",
 ])
