@@ -121,3 +121,33 @@ class OracleIndex:
         for t in terms:
             out.update(d for d, _ in self.postings.get(t, ()))
         return sorted(out)
+
+    def search_fp_scored(self, query: str, k: int) -> list[tuple[int, np.float32]]:
+        """FP-search analog: BM25-scored conjunctive top-k."""
+        allowed = set(self.search_and(query))
+        if not allowed or k <= 0:
+            return []
+        scored = self.score_all(query)
+        items = [(d, s) for d, s in scored.items() if d in allowed]
+        items.sort(key=lambda kv: (-float(kv[1]), kv[0]))
+        return items[:k]
+
+    def search_boolean(self, query: str) -> list[int]:
+        """+MUST / -MUST_NOT / SHOULD doc-set semantics (Lucene BooleanQuery)."""
+        musts, must_nots, shoulds = [], [], []
+        for raw in query.split():
+            if raw.startswith("+") and len(raw) > 1:
+                musts.extend(analyze_text(raw[1:], self.cfg))
+            elif raw.startswith("-") and len(raw) > 1:
+                must_nots.extend(analyze_text(raw[1:], self.cfg))
+            else:
+                shoulds.extend(analyze_text(raw, self.cfg))
+        if musts:
+            out = set(self.search_and(" ".join(musts)))
+        elif shoulds:
+            out = set(self.search_or(" ".join(shoulds)))
+        else:
+            return []
+        for t in set(must_nots):
+            out -= {d for d, _ in self.postings.get(t, ())}
+        return sorted(out)

@@ -132,3 +132,45 @@ def test_random_corpus_engine_matches_oracle(ray_session, tmp_path_factory, seed
         assert s.topk_exhaustive(q, k) == want, (seed, q)
         assert s.search_and(q).tolist() == oi.search_and(q)
         assert s.search_or(q).tolist() == oi.search_or(q)
+
+
+@pytest.mark.parametrize("seed", [404, 505])
+def test_random_corpus_extended_search_types(ray_session, tmp_path_factory, seed):
+    """FP-scored conjunctive top-k + boolean MUST/MUST_NOT/SHOULD +
+    screen/verify vs the oracle on random corpora."""
+    import pyarrow.parquet as pq
+
+    from org_rdkit_lucene_ray.pipelines.build import build_index, plan_fragments
+    from org_rdkit_lucene_ray.pipelines.query import Searcher
+    from org_rdkit_lucene_ray.synth import write_pages_dir
+
+    rng = np.random.default_rng(seed)
+    d = tmp_path_factory.mktemp(f"ext_pages_{seed}")
+    write_pages_dir(str(d), n_docs=250, n_fragments=3, seed=seed,
+                    dup_url_frac=0.0)
+    idx = tmp_path_factory.mktemp(f"ext_idx_{seed}")
+    build_index(str(d), str(idx),
+                cfg=IndexConfig(docs_per_segment=64, term_buckets=4,
+                                block_size=16),
+                dedup=False)
+    oi = OracleIndex()
+    for fr in plan_fragments(str(d)):
+        t = pq.read_table(fr["path"], columns=["text"])
+        for i in range(t.num_rows):
+            oi.add(fr["base"] + i, t["text"][i].as_py())
+    s = Searcher(str(idx))
+    vocab_terms = sorted(oi.postings)
+    for _ in range(12):
+        pick = lambda: vocab_terms[int(rng.integers(0, len(vocab_terms)))]
+        q_and = f"{pick()} {pick()}"
+        k = int(rng.integers(1, 15))
+        got = [(dd, float(np.float32(sc))) for dd, sc in s.search_fp_scored(q_and, k)]
+        want = [(dd, float(sc)) for dd, sc in oi.search_fp_scored(q_and, k)]
+        assert got == want, (seed, q_and)
+        q_bool = f"+{pick()} {pick()} -{pick()}"
+        assert s.search_boolean(q_bool).tolist() == oi.search_boolean(q_bool), (seed, q_bool)
+        # screen/verify with an uncapped screen == fp_search doc set prefix
+        sv = s.search_screen_verify(q_and, k, prescreen_multiplier=10_000)
+        assert [d for d, _ in sv] == sorted(
+            [d for d, _ in want], key=lambda dd: (
+                -float(dict(want)[dd]), dd))[:len(sv)] or sv == []
