@@ -43,7 +43,11 @@ REGISTRY: dict[str, AnalyzerConfig] = {
     "standard": AnalyzerConfig(name="standard"),
     "standard_en_stop": AnalyzerConfig(name="standard_en_stop", stopwords=ENGLISH_STOPWORDS),
     "whitespace": AnalyzerConfig(name="whitespace", lowercase=False, token_pattern=r"[^\s]+"),
-    "keyword": AnalyzerConfig(name="keyword", lowercase=False, token_pattern=r".+"),
+    # keyword semantics = index the WHOLE value verbatim: DOTALL pattern so
+    # newlines don't split, max_token_len=0 (falsy => unlimited) so long
+    # values aren't silently dropped (Lucene KeywordAnalyzer analog).
+    "keyword": AnalyzerConfig(name="keyword", lowercase=False,
+                              token_pattern=r"(?s).+", max_token_len=0),
 }
 
 
@@ -76,7 +80,9 @@ def analyze_text(text: str, cfg: AnalyzerConfig) -> list[str]:
     stop = set(cfg.stopwords)
     return [
         t for t in toks
-        if cfg.min_token_len <= len(t) <= cfg.max_token_len and t not in stop
+        if cfg.min_token_len <= len(t)
+        and (not cfg.max_token_len or len(t) <= cfg.max_token_len)
+        and t not in stop
     ]
 
 

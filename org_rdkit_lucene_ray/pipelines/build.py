@@ -319,6 +319,21 @@ class FragmentTokenizer:
             n = t.num_rows
             if self.id_column:
                 doc_ids = t[self.id_column].to_numpy().astype(np.int64)
+                # CONSTRAINT: id_column is an assertion of positional
+                # identity, not a free mapping. Segment routing (Phase B) and
+                # dedup-loser ids are derived from the fragment's positional
+                # range [base, base+rows); out-of-position ids would be
+                # silently dropped from the index, so fail loudly instead.
+                expect = base + offset + np.arange(n, dtype=np.int64)
+                if not np.array_equal(doc_ids, expect):
+                    bad = int(np.flatnonzero(doc_ids != expect)[0])
+                    raise ValueError(
+                        f"fragment {fid} ({path}) row-group {rg}: id_column "
+                        f"'{self.id_column}' must equal the positional doc id "
+                        f"(fragment base + row offset); row {bad} has "
+                        f"{int(doc_ids[bad])}, expected {int(expect[bad])}. "
+                        "Drop id_column to use positional ids, or renumber "
+                        "the input so ids are the global row index.")
             else:
                 doc_ids = base + offset + np.arange(n, dtype=np.int64)
             offset += n

@@ -590,9 +590,11 @@ def q_media_features(sf_dir: str) -> rd.Dataset:
 # SQL oracles
 # ---------------------------------------------------------------------------
 def _bm25_sql() -> str:
+    # one VALUES row PER OCCURRENCE: the engine adds one BM25 contribution
+    # per repeated query term (cursor mult), so the oracle must too
     terms_vals = ", ".join(
         f"({qid}, '{t}')"
-        for qid, q, _ in BM25_QUERIES for t in sorted(set(q.split())))
+        for qid, q, _ in BM25_QUERIES for t in sorted(q.split()))
     k_vals = ", ".join(f"({qid}, {k})" for qid, _, k in BM25_QUERIES)
     return f"""
 WITH docs AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
@@ -717,8 +719,10 @@ ORDER BY 1, 2
 _ANN_IDS = ", ".join(str(i) for i in ANN_QUERY_IDS)
 
 def _fp_search_sql() -> str:
+    # scores use one row per occurrence (engine mult semantics);
+    # qualification counts DISTINCT terms (conjunctive containment)
     terms_vals = ", ".join(
-        f"({qid}, '{t}')" for qid, q in BOOL_QUERIES[:3] for t in sorted(set(q.split())))
+        f"({qid}, '{t}')" for qid, q in BOOL_QUERIES[:3] for t in sorted(q.split()))
     nq = ", ".join(f"({qid}, {len(set(q.split()))})" for qid, q in BOOL_QUERIES[:3])
     return f"""
 WITH docs AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
@@ -729,11 +733,12 @@ tok AS (SELECT doc_id, unnest(toks) AS term FROM docs),
 tf AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf FROM tok GROUP BY 1, 2),
 df AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
 q(query_id, term) AS (VALUES {terms_vals}),
+qd AS (SELECT DISTINCT query_id, term FROM q),
 qn(query_id, n_terms) AS (VALUES {nq}),
 qualified AS (
   SELECT t.query_id, t.doc_id FROM (
-    SELECT q.query_id, tf.doc_id, count(*) AS hit
-    FROM q JOIN tf ON tf.term = q.term GROUP BY 1, 2) t
+    SELECT qd.query_id, tf.doc_id, count(*) AS hit
+    FROM qd JOIN tf ON tf.term = qd.term GROUP BY 1, 2) t
   JOIN qn ON qn.query_id = t.query_id WHERE t.hit = qn.n_terms),
 scores AS (
   SELECT q.query_id, tf.doc_id,
@@ -756,7 +761,7 @@ FROM ranked WHERE rank < 10 ORDER BY 1, 2
 
 def _screen_verify_sql() -> str:
     terms_vals = ", ".join(
-        f"({qid}, '{t}')" for qid, q, _ in SSV_QUERIES for t in sorted(set(q.split())))
+        f"({qid}, '{t}')" for qid, q, _ in SSV_QUERIES for t in sorted(q.split()))
     nq = ", ".join(f"({qid}, {len(set(q.split()))}, {k}, {k * SSV_MULT})"
                    for qid, q, k in SSV_QUERIES)
     return f"""
@@ -768,6 +773,7 @@ tok AS (SELECT doc_id, unnest(toks) AS term FROM docs),
 tf AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf FROM tok GROUP BY 1, 2),
 df AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
 q(query_id, term) AS (VALUES {terms_vals}),
+qd AS (SELECT DISTINCT query_id, term FROM q),
 qk(query_id, n_terms, k, n_screen) AS (VALUES {nq}),
 scores AS (
   SELECT q.query_id, tf.doc_id,
@@ -785,8 +791,8 @@ screened AS (
   FROM scores),
 qualified AS (
   SELECT t.query_id, t.doc_id FROM (
-    SELECT q.query_id, tf.doc_id, count(*) AS hit
-    FROM q JOIN tf ON tf.term = q.term GROUP BY 1, 2) t
+    SELECT qd.query_id, tf.doc_id, count(*) AS hit
+    FROM qd JOIN tf ON tf.term = qd.term GROUP BY 1, 2) t
   JOIN qk ON qk.query_id = t.query_id WHERE t.hit = qk.n_terms),
 verified AS (
   SELECT s.query_id, s.doc_id,
@@ -897,8 +903,8 @@ FROM events GROUP BY 1, 2 ORDER BY 1, 2
     "sessionize": """
 WITH gaps AS (
   SELECT user_id, ts,
-         CASE WHEN epoch(ts) - lag(epoch(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-                   > 1800 OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   > 1800 * 1000000 OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
               THEN 1 ELSE 0 END AS new_sess
   FROM events)
 SELECT user_id, count(*)::BIGINT AS n_events, sum(new_sess)::BIGINT AS n_sessions,

@@ -55,12 +55,20 @@ class _TermCursor:
 
     Doc ids are globally ascending because segments are doc-id-range
     partitions visited in ascending segment order (SURVEY §2.9 ordering
-    invariant)."""
+    invariant).
+
+    ``blk_maxw`` is the EXACT per-block maximum of the live float64 weight
+    vector (computed at decode time in :meth:`Searcher._decode_term`), NOT
+    the encode-time ``bm_max_tfn``. Encode-time bounds are relative to the
+    encoding generation's avgdl; on a multi-generation index the query-time
+    avgdl can exceed it, making stored bounds non-admissible (true weights
+    above the bound => block-max pruning could drop genuine top-k hits).
+    Live-derived bounds are exact for the current avgdl and tombstone set."""
 
     __slots__ = ("term", "docs", "tfs", "dls", "blk_first", "blk_last",
-                 "blk_maxtfn", "idf", "mult", "pos", "weights", "max_ub", "_k1", "_b", "_avgdl")
+                 "blk_maxw", "idf", "mult", "pos", "weights", "max_ub", "_k1", "_b", "_avgdl")
 
-    def __init__(self, term, docs, tfs, dls, blk_first, blk_last, blk_maxtfn,
+    def __init__(self, term, docs, tfs, dls, blk_first, blk_last, blk_maxw,
                  idf, mult, bm25: BM25Params, avgdl: float, weights=None):
         self.term = term
         self.docs = docs
@@ -68,15 +76,14 @@ class _TermCursor:
         self.dls = dls
         self.blk_first = blk_first
         self.blk_last = blk_last
-        self.blk_maxtfn = blk_maxtfn
+        self.blk_maxw = blk_maxw
         self.idf = idf
         self.mult = mult
         self.pos = 0
         self.weights = weights
         self._k1, self._b, self._avgdl = bm25.k1, bm25.b, avgdl
-        # admissible per-term bound: idf*(k1+1)*max block tfn (already
-        # rounded UP to float32 at encode time), times the clause multiplier
-        self.max_ub = mult * idf * (bm25.k1 + 1.0) * float(blk_maxtfn.max())
+        # admissible per-term bound: exact max block weight x clause multiplier
+        self.max_ub = mult * float(blk_maxw.max())
 
     # -- scoring -------------------------------------------------------------
     def weight_vector(self) -> np.ndarray:
@@ -115,9 +122,9 @@ class _TermCursor:
         """Upper bound of this clause's contribution at ``doc`` using the
         block-max metadata of the block containing ``doc``."""
         i = int(np.searchsorted(self.blk_last, doc, side="left"))
-        if i >= self.blk_maxtfn.size:
+        if i >= self.blk_maxw.size:
             return 0.0
-        return self.mult * self.idf * (self._k1 + 1.0) * float(self.blk_maxtfn[i])
+        return self.mult * float(self.blk_maxw[i])
 
 
 class Searcher:
@@ -140,6 +147,7 @@ class Searcher:
         self.avgdl = float(stats["avgdl"])
         bm = self.manifest["config"]["bm25"]
         self.bm25 = BM25Params(k1=bm["k1"], b=bm["b"])
+        self.block_size = int(self.manifest["config"]["block_size"])
         qa = self.manifest["config"]["query_analyzer"]
         qa = {k: tuple(v) if isinstance(v, list) else v for k, v in qa.items()}
         self.query_cfg = AnalyzerConfig(**qa)
@@ -233,7 +241,16 @@ class Searcher:
     # --------------------------------------------------------------- cursors
     def _decode_term(self, term: str):
         """Concatenate this term's chunks across segments (ascending sid);
-        cached (LRU) with the term's weight vector."""
+        cached (LRU) with the term's weight vector + LIVE block-max bounds.
+
+        Block bounds are derived HERE from the exact float64 weight vector,
+        not read from the stored ``bm_max_tfn``: stored bounds were encoded
+        with that generation's own avgdl and are not admissible once a delta
+        generation shifts the combined avgdl (they also stay stale across
+        tombstones). One ``np.maximum.reduceat`` per decode makes them exact
+        for the live (avgdl, deletes) pair — and tighter, so block-max
+        pruning only improves. Stored ``bm_*`` columns remain in the format
+        for offline consumers/debug."""
         if term in self._decode_cache:
             self._decode_cache.move_to_end(term)
             return self._decode_cache[term]
@@ -242,13 +259,18 @@ class Searcher:
             # precompute the per-posting float64 weight vector once per term
             # (same expression as _TermCursor.weight_vector; idf/avgdl are
             # fixed per searcher, so this is query-independent)
-            docs, tfs, dls = dec[0], dec[1], dec[2]
+            docs, tfs, dls = dec
             k1, b = self.bm25.k1, self.bm25.b
             idf = self.idf(term)
             tf = tfs.astype(np.float64)
             K = k1 * ((1.0 - b) + (b * dls.astype(np.float64)) / self.avgdl)
             weights = idf * (tf * (k1 + 1.0)) / (tf + K)
-            dec = dec + (weights,)
+            bs = self.block_size
+            starts = np.arange(0, docs.size, bs)
+            blk_first = docs[starts]
+            blk_last = docs[np.minimum(starts + bs, docs.size) - 1]
+            blk_maxw = np.maximum.reduceat(weights, starts)
+            dec = (docs, tfs, dls, blk_first, blk_last, blk_maxw, weights)
         self._decode_cache[term] = dec
         if len(self._decode_cache) > self._decode_cache_max:
             self._decode_cache.popitem(last=False)
@@ -256,7 +278,7 @@ class Searcher:
 
     def _decode_term_uncached(self, term: str):
         """Concatenate this term's chunks across segments (ascending sid)."""
-        docs_l, tfs_l, dls_l, bf_l, bl_l, bm_l = [], [], [], [], [], []
+        docs_l, tfs_l, dls_l = [], [], []
         for _, tbl, lk in self._segments:
             i = lk.get(term)
             if i is None:
@@ -268,26 +290,18 @@ class Searcher:
             docs_l.append(np.cumsum(deltas, dtype=np.int64))
             tfs_l.append(varint_decode(np.frombuffer(tbl["tf_bytes"][i].as_buffer(), np.uint8), n).view(np.int64))
             dls_l.append(varint_decode(np.frombuffer(tbl["dl_bytes"][i].as_buffer(), np.uint8), n).view(np.int64))
-            # ListScalar.values -> zero-copy Arrow array (as_py() built
-            # Python lists: ~1/3 of cold head-term decode time, profiled)
-            bf_l.append(tbl["bm_first_doc"][i].values.to_numpy(zero_copy_only=False))
-            bl_l.append(tbl["bm_last_doc"][i].values.to_numpy(zero_copy_only=False))
-            bm_l.append(tbl["bm_max_tfn"][i].values.to_numpy(zero_copy_only=False))
         if not docs_l:
             return None
         docs = np.concatenate(docs_l)
         tfs = np.concatenate(tfs_l)
         dls = np.concatenate(dls_l)
-        bf, bl, bm = np.concatenate(bf_l), np.concatenate(bl_l), np.concatenate(bm_l)
         if self._deletes is not None and self._deletes.size:
             keep = ~np.isin(docs, self._deletes)
             if not keep.all():
                 docs, tfs, dls = docs[keep], tfs[keep], dls[keep]
                 if docs.size == 0:
                     return None
-                # block-max metadata keeps stale (admissible: upper bounds
-                # only ever shrink when postings are removed)
-        return (docs, tfs, dls, bf, bl, bm)
+        return (docs, tfs, dls)
 
     def _query_terms(self, query: str) -> list[str]:
         """Tokenize a query, honoring ``field:value`` composite terms for
@@ -521,8 +535,8 @@ class Searcher:
                 pos_c = np.minimum(pos, c.docs.size - 1)
                 hit = c.docs[pos_c] == cand
                 blk = np.searchsorted(c.blk_last, c.docs[pos_c], side="left")
-                blk = np.minimum(blk, c.blk_maxtfn.size - 1)
-                ub = c.mult * c.idf * (c._k1 + 1.0) * c.blk_maxtfn[blk].astype(np.float64)
+                blk = np.minimum(blk, c.blk_maxw.size - 1)
+                ub = c.mult * c.blk_maxw[blk]
                 bound += np.where(hit, ub, 0.0)
             survivors = cand[bound >= theta]
         else:

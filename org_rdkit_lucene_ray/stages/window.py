@@ -76,8 +76,12 @@ def sessionize(events: rd.Dataset, gap_secs: int = 1800,
 
     def per_user(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(ts_col)
-        ts = g[ts_col].astype("int64").to_numpy() // 1_000_000
-        new_session = np.concatenate([[1], (np.diff(ts) > gap_secs).astype(np.int64)])
+        # compare gaps in MICROSECONDS: the SQL oracle's epoch(ts) keeps
+        # fractional seconds, so flooring to whole seconds here could flip a
+        # session boundary for a gap in (gap_secs, gap_secs + 1)
+        ts_us = g[ts_col].astype("int64").to_numpy()
+        new_session = np.concatenate(
+            [[1], (np.diff(ts_us) > gap_secs * 1_000_000).astype(np.int64)])
         return pd.DataFrame({
             key_col: [g[key_col].iloc[0]],
             "n_events": [len(g)],

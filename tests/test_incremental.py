@@ -142,6 +142,45 @@ def test_merge_rank_identical_to_oracle(incr_index):
         assert got == want, q["query"]
 
 
+def test_pre_merge_pruning_admissible_across_avgdl_shift(
+        ray_session, tmp_path_factory):
+    """ADVICE r1 (high): on a multi-generation index the combined avgdl can
+    exceed a generation's encode-time avgdl, making the STORED block-max
+    bounds non-admissible — topk_wand/topk_bmw could prune genuine top-k
+    hits between an add and a merge. Bounds are now derived at decode time
+    from the live weight vector; this test plants a delta whose docs are
+    much longer than the base (combined avgdl >> base encode avgdl) and
+    asserts bmw/wand == exhaustive on the pre-merge index."""
+    import pyarrow as pa
+
+    from org_rdkit_lucene_ray.synth import gen_pages
+
+    def frag_dir(tbl, name):
+        d = tmp_path_factory.mktemp(name)
+        for f in range(2):
+            pq.write_table(tbl.slice(f * (tbl.num_rows // 2), tbl.num_rows // 2),
+                           str(d / f"frag-{f:05d}.parquet"))
+        return str(d)
+
+    base = gen_pages(400, seed=7, dup_url_frac=0.0, near_dup_frac=0.0,
+                     len_mean=2.5, max_len=60)       # short docs
+    delta = gen_pages(200, seed=8, dup_url_frac=0.0, near_dup_frac=0.0,
+                      len_mean=5.5, max_len=400)     # long docs
+    delta = delta.set_column(
+        0, "url", pa.array([u.replace("https://", "https://delta.")
+                            for u in delta["url"].to_pylist()], pa.string()))
+    idx = str(tmp_path_factory.mktemp("avgdl_idx"))
+    m0 = build_index(frag_dir(base, "avgdl_base"), idx, cfg=CFG)
+    add_m = add_documents(idx, frag_dir(delta, "avgdl_delta"))
+    s = Searcher(idx)
+    assert s.avgdl > m0["stats"]["avgdl"] * 1.5, \
+        "fixture must actually shift avgdl upward"
+    for q in gen_queries(n_random=20).to_pylist():
+        want = s.topk_exhaustive(q["query"], int(q["k"]))
+        assert s.topk_bmw(q["query"], int(q["k"])) == want, q["query"]
+        assert s.topk_wand(q["query"], int(q["k"])) == want, q["query"]
+
+
 def _tree_hashes(root):
     out = {}
     for dirpath, _, files in os.walk(root):
