@@ -380,6 +380,44 @@ def q_search_or(sf_dir: str) -> pa.Table:
     return _bool_search(sf_dir, "or")
 
 
+CAPPED_MAX_HITS = 5
+
+
+def q_capped_search(sf_dir: str) -> pa.Table:
+    """K3 hit cap on an uncollected search type (iMaxHits analog,
+    ``ChemicalIndex.java:513``): OR search capped to the first
+    ``CAPPED_MAX_HITS`` hits in ascending doc-id order."""
+    s = _searcher(sf_dir)
+    qids, docs = [], []
+    for qid, q in BOOL_QUERIES:
+        hits = s.search_or(q, max_hits=CAPPED_MAX_HITS)
+        qids.extend([qid] * len(hits))
+        docs.extend(int(d) for d in hits)
+    return pa.table({"query_id": pa.array(qids, pa.int64()),
+                     "doc_id": pa.array(docs, pa.int64())})
+
+
+def q_search_after_page2(sf_dir: str) -> pa.Table:
+    """K2 search-after collector: page 1 = topk(k); page 2 resumes strictly
+    after page 1's last (score, doc_id). Page-2 hits are exactly the global
+    ranks [k, 2k) (oracle: the BM25 ranking windowed to that range)."""
+    s = _searcher(sf_dir)
+    qids, ranks, docs = [], [], []
+    for qid, q, k in BM25_QUERIES:
+        page1 = s.topk(q, k, mode="bmw")
+        if len(page1) < k:      # page 1 exhausted the hit set
+            continue
+        last_doc, last_score = page1[-1]
+        page2 = s.topk(q, k, mode="bmw", after=(last_score, last_doc))
+        for r, (d, _) in enumerate(page2):
+            qids.append(qid)
+            ranks.append(k + r)
+            docs.append(d)
+    return pa.table({"query_id": pa.array(qids, pa.int64()),
+                     "rank": pa.array(ranks, pa.int64()),
+                     "doc_id": pa.array(docs, pa.int64())})
+
+
 def q_search_exact(sf_dir: str) -> pa.Table:
     s = _searcher(sf_dir)
     text = pq.read_table(
@@ -589,9 +627,11 @@ def q_media_features(sf_dir: str) -> rd.Dataset:
 # ---------------------------------------------------------------------------
 # SQL oracles
 # ---------------------------------------------------------------------------
-def _bm25_sql() -> str:
+def _bm25_sql(page: int = 1) -> str:
     # one VALUES row PER OCCURRENCE: the engine adds one BM25 contribution
-    # per repeated query term (cursor mult), so the oracle must too
+    # per repeated query term (cursor mult), so the oracle must too.
+    # ``page`` > 1 models search-after pagination: page p of size k holds
+    # exactly the global ranks [k*(p-1), k*p).
     terms_vals = ", ".join(
         f"({qid}, '{t}')"
         for qid, q, _ in BM25_QUERIES for t in sorted(q.split()))
@@ -624,7 +664,7 @@ ranked AS (
   FROM scores)
 SELECT r.query_id::BIGINT AS query_id, r.rank::BIGINT AS rank, r.doc_id
 FROM ranked r JOIN qk ON qk.query_id = r.query_id
-WHERE r.rank < qk.k
+WHERE r.rank >= qk.k * {page - 1} AND r.rank < qk.k * {page}
 ORDER BY 1, 2
 """
 
@@ -882,6 +922,16 @@ JOIN fqn ON fqn.query_id = t.query_id
 WHERE t.hit = fqn.n_terms ORDER BY 1, 2
 """,
     "search_or": _bool_sql("or"),
+    "capped_search": f"""
+WITH orr AS ({_bool_sql("or").replace("ORDER BY 1, 2", "")}),
+ranked AS (
+  SELECT query_id, doc_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY doc_id) AS rn
+  FROM orr)
+SELECT query_id, doc_id FROM ranked WHERE rn <= {CAPPED_MAX_HITS}
+ORDER BY 1, 2
+""",
+    "search_after_page2": _bm25_sql(page=2),
     "search_exact": f"""
 WITH docs AS (SELECT doc_id, list_sort({_TOKS}) AS key FROM documents)
 SELECT d.doc_id FROM docs d, docs q
@@ -988,6 +1038,8 @@ QUERIES = {
     "screen_verify": q_screen_verify,
     "boolean_query": q_boolean_query,
     "search_or": q_search_or,
+    "capped_search": q_capped_search,
+    "search_after_page2": q_search_after_page2,
     "search_exact": q_search_exact,
     "point_lookup": q_point_lookup,
     "tumbling_hourly": q_tumbling_hourly,

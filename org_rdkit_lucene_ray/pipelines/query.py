@@ -361,20 +361,39 @@ class Searcher:
         sums = np.add.reduceat(ws_s, starts)
         return docs_s[starts], sums.astype(np.float32)
 
-    def topk_exhaustive(self, query: str, k: int) -> list[tuple[int, float]]:
+    @staticmethod
+    def _after_mask(docs: np.ndarray, s32: np.ndarray,
+                    after: tuple[float, int]) -> np.ndarray:
+        """Search-after predicate (K2 collector variant,
+        ``SubstructureScoreDocCollector.java:63-256``, factory ``:268-301``):
+        keep hits STRICTLY after ``(after_score, after_doc)`` in the global
+        (score desc, doc_id asc) order. Comparisons on float32 scores — the
+        same domain the final rank comparator uses."""
+        a_s = np.float32(after[0])
+        a_d = int(after[1])
+        return (s32 < a_s) | ((s32 == a_s) & (docs > a_d))
+
+    def topk_exhaustive(self, query: str, k: int,
+                        after: tuple[float, int] | None = None) -> list[tuple[int, float]]:
         docs, scores = self.score_all(query)
+        if after is not None and docs.size:
+            m = self._after_mask(docs, scores, after)
+            docs, scores = docs[m], scores[m]
         if docs.size == 0:
             return []
         order = np.lexsort((docs, -scores.astype(np.float64)))[:k]
         return [(int(docs[i]), float(scores[i])) for i in order]
 
     # ------------------------------------------------------------------ WAND
-    def topk_wand(self, query: str, k: int) -> list[tuple[int, float]]:
+    def topk_wand(self, query: str, k: int,
+                  after: tuple[float, int] | None = None) -> list[tuple[int, float]]:
         """Block-max WAND: identical results to exhaustive, fewer evaluations.
 
         Pruning is admissible under the tie rule (tie -> larger docID loses;
         docs stream in ascending id, so a candidate tying the heap minimum
-        always loses): skip when bound <= theta."""
+        always loses): skip when bound <= theta. With ``after``, hits at or
+        before the after-position are dropped before heap insertion (they
+        can't raise theta and never reach the result)."""
         occurrences, cursors = self._cursors(query)
         if not cursors or k <= 0:
             return []
@@ -409,11 +428,14 @@ class Searcher:
                     if not c.exhausted and c.doc == pivot_doc:
                         score64 += c.weight_at(c.pos)
                 s32 = float(np.float32(score64))
-                entry = (s32, -pivot_doc)
-                if len(heap) < k:
-                    heapq.heappush(heap, entry)
-                elif entry > heap[0]:
-                    heapq.heapreplace(heap, entry)
+                eligible = after is None or bool(self._after_mask(
+                    np.asarray([pivot_doc]), np.asarray([s32], np.float32), after)[0])
+                if eligible:
+                    entry = (s32, -pivot_doc)
+                    if len(heap) < k:
+                        heapq.heappush(heap, entry)
+                    elif entry > heap[0]:
+                        heapq.heapreplace(heap, entry)
                 for c in at_pivot:
                     c.advance()
             else:
@@ -424,7 +446,8 @@ class Searcher:
         return [(-d, s) for s, d in out]
 
     # ------------------------------------------------- vectorized block-max
-    def topk_bmw(self, query: str, k: int) -> list[tuple[int, float]]:
+    def topk_bmw(self, query: str, k: int,
+                 after: tuple[float, int] | None = None) -> list[tuple[int, float]]:
         """Vectorized block-max dynamic pruning (MaxScore skeleton + BMW
         block bounds) — rank- and score-identical to the oracle, numpy
         throughout (the doc-at-a-time loop in :meth:`topk_wand` evaluates
@@ -468,6 +491,9 @@ class Searcher:
                 touched[c.docs] = True
             docs = np.flatnonzero(touched)
             s32 = acc[docs].astype(np.float32)
+            if after is not None and docs.size:
+                m = self._after_mask(docs, s32, after)
+                docs, s32 = docs[m], s32[m]
             if docs.size > k:
                 part = np.argpartition(-s32, k - 1)[:k]
                 kth = s32[part].min()
@@ -502,11 +528,20 @@ class Searcher:
             boot_parts.append(c.docs[idx])
         boot = np.unique(np.concatenate(boot_parts))
         boot_scores = exact_scores(boot)
-        if boot.size >= k:
+        # with search-after, θ must bound the k-th ELIGIBLE score: hits at
+        # or before the after-position are excluded by the final filter, so
+        # they may not raise the pruning threshold
+        boot32 = boot_scores.astype(np.float32)
+        if after is not None:
+            elig = self._after_mask(boot, boot32, after)
+            elig32 = boot32[elig]
+        else:
+            elig32 = boot32
+        if elig32.size >= k:
             # final comparisons are on float32 scores with doc-id tie-break:
             # a doc whose f32 score TIES the k-th must not be pruned, so the
             # pruning threshold steps one f32 ulp below the k-th f32 score.
-            kth32 = np.sort(boot_scores.astype(np.float32))[-k]
+            kth32 = np.sort(elig32)[-k]
             theta = float(np.nextafter(kth32, np.float32(-np.inf)))
         else:
             theta = float("-inf")
@@ -545,10 +580,14 @@ class Searcher:
         # -- 4. exact scores over bootstrap ∪ survivors
         final_docs = np.unique(np.concatenate([boot, survivors]))
         final_scores = exact_scores(final_docs).astype(np.float32)
+        if after is not None and final_docs.size:
+            m = self._after_mask(final_docs, final_scores, after)
+            final_docs, final_scores = final_docs[m], final_scores[m]
         order = np.lexsort((final_docs, -final_scores.astype(np.float64)))[:k]
         return [(int(final_docs[i]), float(final_scores[i])) for i in order]
 
-    def search_boolean(self, query: str) -> np.ndarray:
+    def search_boolean(self, query: str,
+                       max_hits: int | None = None) -> np.ndarray:
         """Lucene-style boolean query over the free-query surface (J5 +
         BooleanQuery MUST/MUST_NOT/SHOULD, ``ChemicalIndex.java:466-491``,
         ``:538-554``, ``:607-637``):
@@ -595,7 +634,7 @@ class Searcher:
             ex = docs_of(t)
             if ex.size:
                 out = out[~np.isin(out, ex, assume_unique=True)]
-        return out
+        return out if max_hits is None else out[:max_hits]
 
     def search_fp_scored(self, query: str, k: int) -> list[tuple[int, float]]:
         """The reference's FP-search type (``searchMoleculesByFingerprintMatch``
@@ -656,17 +695,26 @@ class Searcher:
                     break
         return out
 
-    def topk(self, query: str, k: int, mode: str = "bmw") -> list[tuple[int, float]]:
+    def topk(self, query: str, k: int, mode: str = "bmw",
+             after: tuple[float, int] | None = None) -> list[tuple[int, float]]:
+        """Top-k with optional search-after pagination: ``after`` is the
+        ``(score, doc_id)`` of the LAST hit of the previous page; results
+        resume strictly after it in (score desc, doc_id asc) order."""
         if mode == "bmw":
-            return self.topk_bmw(query, k)
+            return self.topk_bmw(query, k, after=after)
         if mode == "wand":
-            return self.topk_wand(query, k)
-        return self.topk_exhaustive(query, k)
+            return self.topk_wand(query, k, after=after)
+        return self.topk_exhaustive(query, k, after=after)
 
     # --------------------------------------------- reference-API search peers
-    def search_and(self, query: str) -> np.ndarray:
+    def search_and(self, query: str, max_hits: int | None = None) -> np.ndarray:
         """J3: conjunctive containment (BooleanQuery MUST over terms,
-        ``ChemicalIndex.java:607-637``) — sorted posting intersection."""
+        ``ChemicalIndex.java:607-637``) — sorted posting intersection.
+
+        ``max_hits`` mirrors the reference's ``iMaxHits`` cap
+        (``ChemicalIndex.java:513``, used at ``LuceneBenchmark.java:358-365``):
+        at most that many hits are returned, in ascending doc-id order —
+        a head-term query over a web-scale index stays bounded."""
         terms = set(self._query_terms(query))
         if not terms:
             return np.zeros(0, np.int64)
@@ -682,17 +730,19 @@ class Searcher:
             out = out[np.isin(out, s, assume_unique=True)]
             if out.size == 0:
                 break
-        return out
+        return out if max_hits is None else out[:max_hits]
 
-    def search_or(self, query: str) -> np.ndarray:
-        """J4: disjunctive union (BooleanQuery SHOULD, ``:538-554``)."""
+    def search_or(self, query: str, max_hits: int | None = None) -> np.ndarray:
+        """J4: disjunctive union (BooleanQuery SHOULD, ``:538-554``);
+        ``max_hits`` caps per the iMaxHits contract (see search_and)."""
         terms = set(self._query_terms(query))
         parts = [d[0] for t in terms if (d := self._decode_term(t)) is not None]
         if not parts:
             return np.zeros(0, np.int64)
-        return np.unique(np.concatenate(parts))
+        out = np.unique(np.concatenate(parts))
+        return out if max_hits is None else out[:max_hits]
 
-    def search_exact(self, text: str) -> np.ndarray:
+    def search_exact(self, text: str, max_hits: int | None = None) -> np.ndarray:
         """J2: exact-match after canonicalization. Canonical form = the token
         multiset (the analyzer is our 'canonical SMILES',
         ``ChemicalIndex.java:574-589``): doc matches iff it has exactly the
@@ -714,7 +764,7 @@ class Searcher:
             out = cand if out is None else out[np.isin(out, cand, assume_unique=True)]
             if out.size == 0:
                 return out
-        return out
+        return out if max_hits is None else out[:max_hits]
 
     def _fwd_files(self) -> list[str]:
         out = []

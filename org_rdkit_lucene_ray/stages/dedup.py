@@ -202,6 +202,35 @@ def exact_jaccard(tokens_a: list[str], tokens_b: list[str], shingle: int = 3) ->
     return len(sa & sb) / len(sa | sb)
 
 
+def _distinct_pairs(pairs_ds: rd.Dataset) -> rd.Dataset:
+    """Dedupe candidate pairs across bands — a groupby over (a, b): the
+    shuffle moves 16 B/pair, never document content. MATERIALIZED: the
+    result is the (small) candidate set, consumed twice (id collection +
+    verify); without this the whole LSH chain would re-execute per
+    consumer."""
+    from ray.data.aggregate import Count
+
+    return pairs_ds.groupby(["a", "b"]).aggregate(
+        Count(alias_name="n_bands")).materialize()
+
+
+def _candidate_ids(pairs_ds: rd.Dataset) -> list[int]:
+    """Distinct doc ids appearing in any candidate pair. The driver holds
+    ONLY this int64 id list (the broadcast-small-side key set), bounded by
+    2x the candidate count — the standard LSH operating regime
+    (pairs << corpus). Document payloads never ride the driver."""
+    def ids_of(t: pa.Table) -> pa.Table:
+        both = pa.concat_arrays([t["a"].combine_chunks().cast(pa.int64()),
+                                 t["b"].combine_chunks().cast(pa.int64())])
+        return pa.table({"doc_id": pc.unique(both)})
+
+    from ray.data.aggregate import Count
+
+    rows = (pairs_ds.map_batches(ids_of, batch_format="pyarrow")
+            .groupby("doc_id").aggregate(Count()).take_all())
+    return sorted(int(r["doc_id"]) for r in rows)
+
+
 def minhash_dup_pairs(
     docs: rd.Dataset,
     *,
@@ -216,44 +245,82 @@ def minhash_dup_pairs(
     """Full MinHash-LSH near-dup pipeline -> verified pairs
     ``(a, b, jaccard)`` with a < b, jaccard >= threshold.
 
-    Shape: map_batches(signatures) -> groupby(band, band_hash) -> candidate
-    pairs -> exact-Jaccard verify against the (pushdown-read) texts of just
-    the candidate doc ids — a broadcast-small-side join. Candidate volume is
-    logged (no silent caps)."""
+    Shape (everything distributed; the driver only ever holds the candidate
+    ID LIST and the final result):
+
+    1. map_batches(signatures) -> groupby(band, band_hash) -> per-bucket
+       candidate pairs -> groupby(a, b) distinct;
+    2. shingle sets of JUST the candidate docs computed by a filtered
+       map_batches over the corpus, then ``ray.put``-broadcast (bounded by
+       the candidate count; at larger candidate volumes swap the broadcast
+       for a hash-partitioned join on doc id — same surrounding stages);
+    3. exact-Jaccard verify INSIDE map_batches over the pairs Dataset
+       (sorted-uint64 intersect per pair; no driver pair loop).
+    Candidate volume is logged (no silent caps)."""
+    import ray
+
     band_ds = docs.map_batches(
         MinHashStage,
         fn_constructor_kwargs=dict(num_perm=num_perm, bands=bands, shingle=shingle,
                                    text_col=text_col, id_col=id_col),
         batch_format="pyarrow", concurrency=concurrency or auto_concurrency(),
     )
-    cand = (
+    pairs_ds = _distinct_pairs(
         band_ds.groupby(["band", "band_hash"])
-        .map_groups(_pairs_of_group, batch_format="pyarrow")
-    ).take_all()
-    pairs = sorted({(r["a"], r["b"]) for r in cand})
-    logger.info("minhash-lsh: %d candidate pairs after band dedup", len(pairs))
-    if not pairs:
-        return pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
-                         "jaccard": pa.array([], pa.float64())})
-    need = sorted({d for p in pairs for d in p})
-    tok_map: dict[int, list[str]] = {}
-    sub = docs.map_batches(
-        lambda t: t.filter(pc.is_in(t[id_col], value_set=pa.array(need, pa.int64()))),
-        batch_format="pyarrow",
-    ).select_columns([id_col, text_col]).take_all()
-    cfg = REGISTRY["standard"]
-    from org_rdkit_lucene_ray.functions.analyze import analyze_text
-    for row in sub:
-        tok_map[row[id_col]] = analyze_text(row[text_col], cfg)
-    out_a, out_b, out_j = [], [], []
-    for a, b in pairs:
-        j = exact_jaccard(tok_map.get(a, []), tok_map.get(b, []), shingle)
-        if j >= threshold:
-            out_a.append(a)
-            out_b.append(b)
-            out_j.append(round(j, 6))
-    return pa.table({"a": pa.array(out_a, pa.int64()), "b": pa.array(out_b, pa.int64()),
-                     "jaccard": pa.array(out_j, pa.float64())})
+        .map_groups(_pairs_of_group, batch_format="pyarrow"))
+    need = _candidate_ids(pairs_ds)
+    logger.info("minhash-lsh: %d candidate docs in distinct pairs", len(need))
+    empty = pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
+                      "jaccard": pa.array([], pa.float64())})
+    if not need:
+        return empty
+
+    need_arr = pa.array(need, pa.int64())
+
+    def shingles_of(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_in(pc.cast(t[id_col], pa.int64()), value_set=need_arr))
+        toks = tokenize_column(t[text_col].combine_chunks(), REGISTRY["standard"])
+        sh = [np.sort(_shingle_hashes(d, shingle)) for d in toks.to_pylist()]
+        return pa.table({
+            "doc_id": pc.cast(t[id_col], pa.int64()),
+            "sh": pa.array([s.tolist() for s in sh], pa.list_(pa.uint64())),
+        })
+
+    sh_rows = docs.map_batches(shingles_of, batch_format="pyarrow").take_all()
+    sh_ref = ray.put({int(r["doc_id"]): np.asarray(r["sh"], np.uint64)
+                      for r in sh_rows})
+
+    class VerifyJaccard:
+        def __init__(self):
+            self.lut = ray.get(sh_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            a = t["a"].to_numpy()
+            b = t["b"].to_numpy()
+            jac = np.empty(a.size, dtype=np.float64)
+            for i in range(a.size):      # per PAIR (not per doc): sorted
+                sa = self.lut.get(int(a[i]))   # uint64 intersect, vectorized
+                sb = self.lut.get(int(b[i]))   # within the pair
+                if sa is None or sb is None or (sa.size == 0 and sb.size == 0):
+                    jac[i] = 1.0 if (sa is not None and sb is not None) else 0.0
+                    continue
+                inter = np.intersect1d(sa, sb, assume_unique=True).size
+                jac[i] = inter / (sa.size + sb.size - inter)
+            keep = jac >= threshold
+            return pa.table({
+                "a": pa.array(a[keep], pa.int64()),
+                "b": pa.array(b[keep], pa.int64()),
+                "jaccard": pa.array(np.round(jac[keep], 6), pa.float64()),
+            })
+
+    verified = pairs_ds.map_batches(
+        VerifyJaccard, batch_format="pyarrow",
+        concurrency=concurrency or auto_concurrency()).take_all()
+    if not verified:
+        return empty
+    out = pa.Table.from_pylist(verified).select(["a", "b", "jaccard"])
+    order = pc.sort_indices(out, sort_keys=[("a", "ascending"), ("b", "ascending")])
+    return out.take(order)
 
 
 # ------------------------------------------------------------------- simhash
@@ -285,10 +352,13 @@ def simhash_dup_pairs(docs: rd.Dataset, *, max_hamming: int = 3,
                       concurrency: int | None = None) -> pa.Table:
     """SimHash near-dup pairs: 4 x 16-bit band buckets (pigeonhole-complete
     for Hamming distance <= 3) -> groupby bucket -> verify Hamming."""
+    # materialized: (id, simhash) is 16 B/doc and is consumed twice (band
+    # chain + candidate LUT); at cluster scale this would be written
+    # hash-partitioned to Parquet instead — same two consumers
     sig = docs.map_batches(
         SimHashStage, fn_constructor_kwargs=dict(text_col=text_col),
         batch_format="pyarrow", concurrency=concurrency or auto_concurrency(),
-    ).select_columns([id_col, "simhash"])
+    ).select_columns([id_col, "simhash"]).materialize()
 
     def to_bands(t: pa.Table) -> pa.Table:
         h = t["simhash"].to_numpy().astype(np.uint64)
@@ -304,31 +374,58 @@ def simhash_dup_pairs(docs: rd.Dataset, *, max_hamming: int = 3,
             }))
         return pa.concat_tables(parts)
 
-    cand = (
+    import ray
+
+    pairs_ds = _distinct_pairs(
         sig.map_batches(to_bands, batch_format="pyarrow")
         .groupby(["band", "band_hash"])
-        .map_groups(_pairs_of_group, batch_format="pyarrow")
-    ).take_all()
-    pairs = sorted({(r["a"], r["b"]) for r in cand})
-    logger.info("simhash: %d candidate pairs", len(pairs))
-    if not pairs:
-        return pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
-                         "hamming": pa.array([], pa.int32())})
-    need = sorted({d for p in pairs for d in p})
+        .map_groups(_pairs_of_group, batch_format="pyarrow"))
+    need = _candidate_ids(pairs_ds)
+    logger.info("simhash: %d candidate docs in distinct pairs", len(need))
+    empty = pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
+                      "hamming": pa.array([], pa.int32())})
+    if not need:
+        return empty
+    # broadcast the (tiny: 16 B/candidate) id -> simhash LUT; verify the
+    # Hamming distance INSIDE map_batches over the pairs Dataset (vectorized
+    # popcount via uint8 bit_count), never on the driver
+    need_arr = pa.array(need, pa.int64())
     lut_rows = sig.map_batches(
-        lambda t: t.filter(pc.is_in(t[id_col], value_set=pa.array(need, pa.int64()))),
+        lambda t: t.filter(pc.is_in(pc.cast(t[id_col], pa.int64()),
+                                    value_set=need_arr)),
         batch_format="pyarrow",
     ).take_all()
-    lut = {r[id_col]: np.uint64(r["simhash"]) for r in lut_rows}
-    out_a, out_b, out_h = [], [], []
-    for a, b in pairs:
-        d = int(bin(int(lut[a]) ^ int(lut[b])).count("1"))
-        if d <= max_hamming:
-            out_a.append(a)
-            out_b.append(b)
-            out_h.append(d)
-    return pa.table({"a": pa.array(out_a, pa.int64()), "b": pa.array(out_b, pa.int64()),
-                     "hamming": pa.array(out_h, pa.int32())})
+    lut_ref = ray.put({int(r[id_col]): np.uint64(r["simhash"]) for r in lut_rows})
+
+    class VerifyHamming:
+        def __init__(self):
+            self.lut = ray.get(lut_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            a = t["a"].to_numpy()
+            b = t["b"].to_numpy()
+            ha = np.array([self.lut[int(x)] for x in a], dtype=np.uint64)
+            hb = np.array([self.lut[int(x)] for x in b], dtype=np.uint64)
+            x = (ha ^ hb).view(np.uint8).reshape(-1, 8)
+            dist = np.unpackbits(x, axis=1).sum(axis=1).astype(np.int32)
+            keep = dist <= max_hamming
+            return pa.table({
+                "a": pa.array(a[keep], pa.int64()),
+                "b": pa.array(b[keep], pa.int64()),
+                "hamming": pa.array(dist[keep], pa.int32()),
+            })
+
+    verified = pairs_ds.map_batches(
+        VerifyHamming, batch_format="pyarrow",
+        concurrency=concurrency or auto_concurrency()).take_all()
+    if not verified:
+        return empty
+    out = pa.Table.from_pylist(verified).select(["a", "b", "hamming"])
+    out = pa.table({"a": pc.cast(out["a"], pa.int64()),
+                    "b": pc.cast(out["b"], pa.int64()),
+                    "hamming": pc.cast(out["hamming"], pa.int32())})
+    order = pc.sort_indices(out, sort_keys=[("a", "ascending"), ("b", "ascending")])
+    return out.take(order)
 
 
 # ------------------------------------------------------- exact jaccard oracle

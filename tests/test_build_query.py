@@ -66,6 +66,38 @@ def test_topk_rank_identical_wand_and_exhaustive(searcher, oracle_index):
     assert n_nonempty > len(queries) * 0.7
 
 
+def test_search_after_pagination(searcher):
+    """K2 search-after: paging with after=(score, doc) of the previous
+    page's last hit reproduces the single-shot ranking, page by page, in
+    every scoring mode."""
+    for q in ["baba cece", "dodi", "baba dodi cece", "zezezeze baba"]:
+        full = searcher.topk(q, 30, mode="exhaustive")
+        for mode in ("bmw", "wand", "exhaustive"):
+            pages, after = [], None
+            while True:
+                page = searcher.topk(q, 7, mode=mode, after=after)
+                if not page:
+                    break
+                pages.extend(page)
+                if len(page) < 7:
+                    break
+                after = (page[-1][1], page[-1][0])
+            assert pages[:len(full)] == full, (q, mode)
+
+
+def test_max_hits_cap(searcher):
+    """K3 iMaxHits: capped searches return the first N hits in ascending
+    doc-id order; uncapped results are unchanged."""
+    for q in ["baba", "baba cece"]:
+        full_or = searcher.search_or(q)
+        assert searcher.search_or(q, max_hits=3).tolist() == full_or[:3].tolist()
+        full_and = searcher.search_and(q)
+        assert searcher.search_and(q, max_hits=2).tolist() == full_and[:2].tolist()
+        bl = searcher.search_boolean("+" + q.split()[0])
+        assert searcher.search_boolean("+" + q.split()[0], max_hits=4).tolist() \
+            == bl[:4].tolist()
+
+
 def test_tie_break_comparator(searcher, oracle_index):
     """score desc, doc_id asc (SubstructureHitQueue.java:113-118)."""
     q = "baba"
