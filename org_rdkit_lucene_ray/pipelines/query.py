@@ -127,6 +127,42 @@ class _TermCursor:
         return self.mult * float(self.blk_maxw[i])
 
 
+class _SortedTermIndex:
+    """Zero-copy binary search over a term-SORTED Arrow string column.
+
+    Replaces the r1 ``{term: row}`` Python dicts (built with ``to_pylist``
+    per chunk): per-actor memory was ∝ vocabulary and startup was per-row
+    Python. Here the dictionary IS the Arrow column — only the int32 offset
+    view and a memoryview of the UTF-8 data buffer are kept; a lookup is
+    ~log2(n) tiny byte-slice compares (chunk files are written term-sorted,
+    ``build.py`` Phase B)."""
+
+    __slots__ = ("offs", "data", "n")
+
+    def __init__(self, terms: pa.Array):
+        if isinstance(terms, pa.ChunkedArray):
+            terms = terms.combine_chunks()
+        self.n = len(terms)
+        bufs = terms.buffers()
+        self.offs = np.frombuffer(bufs[1], np.int32)[terms.offset: terms.offset + self.n + 1]
+        self.data = memoryview(bufs[2])
+
+    def find(self, term: str) -> int | None:
+        q = term.encode("utf-8")
+        lo, hi = 0, self.n
+        offs, data = self.offs, self.data
+        while lo < hi:
+            mid = (lo + hi) >> 1
+            v = bytes(data[offs[mid]:offs[mid + 1]])
+            if v < q:
+                lo = mid + 1
+            elif v > q:
+                hi = mid
+            else:
+                return mid
+        return None
+
+
 class Searcher:
     """Open one index generation and answer the reference's search surface.
 
@@ -153,46 +189,52 @@ class Searcher:
         self.query_cfg = AnalyzerConfig(**qa)
         check_query_compat(self.manifest, self.query_cfg.fingerprint())
 
-        # segment dictionaries: term -> per-segment row locator. Loaded once
-        # per actor (T3). Chunk tables stay as Arrow (posting blobs decoded
-        # lazily per query). A generation may include parent generations
-        # (log-structured incremental adds, pipelines/merge.py); segment ids
-        # are globally unique and doc-range-ordered across included gens.
+        # segment dictionaries: term -> per-chunk row locator, grouped by
+        # term bucket (a term lives in exactly ONE bucket across every
+        # segment, so a lookup probes only its bucket's chunk tables).
+        # Loaded once per actor (T3); columns stay zero-copy Arrow — the
+        # term dictionary is a _SortedTermIndex over the term-sorted chunk
+        # column, NOT a Python dict (web-scale vocabularies). A generation
+        # may include parent generations (log-structured incremental adds,
+        # pipelines/merge.py); segment ids are globally unique and
+        # doc-range-ordered across included gens.
         self._index_dir = index_dir
         self._gdirs: list[str] = [
             os.path.join(index_dir, g)
             for g in self.manifest.get("includes", [self.manifest["generation"]])
         ]
         self._shard = shard
-        self._segments: list[tuple[int, pa.Table, dict[str, int]]] = []
+        self._term_buckets = int(self.manifest["config"]["term_buckets"])
+        self._by_bucket: dict[int, list[tuple[int, pa.Table, _SortedTermIndex]]] = {}
+        n_chunks = 0
         for gd in self._gdirs:
             for sid in list_segment_ids(gd):
                 if shard is not None and sid % shard[1] != shard[0]:
                     continue
-                tabs = [pq.read_table(f) for f in list_chunk_files(gd, sid)]
-                if not tabs:
-                    continue
-                tbl = pa.concat_tables(tabs).combine_chunks()
-                lookup = {t: i for i, t in enumerate(tbl["term"].to_pylist())}
-                self._segments.append((sid, tbl, lookup))
-        self._segments.sort(key=lambda x: x[0])
-        # sharded scoring needs GLOBAL df — from the df table, not the
-        # shard's partial chunk counts
-        self._global_df: dict[str, int] | None = None
-        if shard is not None:
-            # sum df tables across included generations (same stale-stats
-            # semantics as the unsharded per-chunk df sum)
-            self._global_df = {}
-            for gd in self._gdirs:
-                df_dir = os.path.join(gd, "df")
-                if not os.path.isdir(df_dir):
-                    continue
-                for f in sorted(os.listdir(df_dir)):
-                    if not f.endswith(".parquet"):
+                for f in list_chunk_files(gd, sid):
+                    bucket = int(os.path.basename(f)[len("bucket-"):-len(".parquet")])
+                    tbl = pq.read_table(f)
+                    if tbl.num_rows == 0:
                         continue
-                    t = pq.read_table(os.path.join(df_dir, f))
-                    for term, d in zip(t["term"].to_pylist(), t["df"].to_pylist()):
-                        self._global_df[term] = self._global_df.get(term, 0) + int(d)
+                    self._by_bucket.setdefault(bucket, []).append(
+                        (sid, tbl, _SortedTermIndex(tbl["term"])))
+                    n_chunks += 1
+        for lst in self._by_bucket.values():
+            lst.sort(key=lambda x: x[0])       # ascending segment order
+        self._n_chunks = n_chunks
+        self._bucket_cache: dict[str, int] = {}
+        # sharded scoring needs GLOBAL df — from the df table, not the
+        # shard's partial chunk counts. Kept Arrow-native: a term-sorted
+        # (term, df) table + binary search, not a vocab-sized Python dict.
+        self._gdf_index: _SortedTermIndex | None = None
+        self._gdf_vals: np.ndarray | None = None
+        if shard is not None:
+            dfs = self._read_df_tables()
+            if dfs is not None:
+                order = pc.sort_indices(dfs["term"])
+                dfs = dfs.take(order)
+                self._gdf_index = _SortedTermIndex(dfs["term"])
+                self._gdf_vals = dfs["df"].to_numpy()
         # tombstones (upserted-away docs): masked at decode time; like
         # Lucene, they still count in df/avgdl until a merge drops them.
         del_path = os.path.join(self.gdir, "deletes.parquet")
@@ -207,28 +249,59 @@ class Searcher:
         self._decode_cache: "OrderedDict[str, tuple | None]" = OrderedDict()
         self._decode_cache_max = max(64, warm_top_terms)
         if warm_top_terms:
-            # eagerly decode the highest-df terms (from the per-segment
-            # dictionaries) so a long-lived searcher actor answers head-term
-            # queries without the first-decode hit (T3 warm-up; the
-            # reference's 5 warm-up FP queries, LuceneBenchmark.java:645-664)
-            df_counts: dict[str, int] = {}
-            for _, tbl, _lk in self._segments:
-                for t, d in zip(tbl["term"].to_pylist(),
-                                tbl["df_chunk"].to_numpy(zero_copy_only=False)):
-                    df_counts[t] = df_counts.get(t, 0) + int(d)
-            for t, _ in sorted(df_counts.items(), key=lambda kv: -kv[1])[:warm_top_terms]:
-                self._decode_term(t)
+            # eagerly decode the highest-df terms — from the index's df
+            # TABLE (one Arrow aggregate + select_k), not a vocab-sized
+            # Python dict scan (T3 warm-up; the reference's 5 warm-up FP
+            # queries, LuceneBenchmark.java:645-664)
+            dfs = self._read_df_tables()
+            if dfs is not None:
+                top = dfs.take(pc.select_k_unstable(
+                    dfs, k=min(warm_top_terms, dfs.num_rows),
+                    sort_keys=[("df", "descending")]))
+                for t in top["term"].to_pylist():
+                    self._decode_term(t)
 
     # ------------------------------------------------------------- stats/meta
+    def _read_df_tables(self) -> pa.Table | None:
+        """Concat + combine the per-bucket (term, df) tables across included
+        generations (terms repeat only across generations)."""
+        tabs = []
+        for gd in self._gdirs:
+            df_dir = os.path.join(gd, "df")
+            if not os.path.isdir(df_dir):
+                continue
+            tabs.extend(pq.read_table(os.path.join(df_dir, f))
+                        for f in sorted(os.listdir(df_dir))
+                        if f.endswith(".parquet"))
+        if not tabs:
+            return None
+        t = pa.concat_tables(tabs)
+        if len(self._gdirs) > 1:
+            g = t.group_by("term").aggregate([("df", "sum")])
+            t = pa.table({"term": g["term"], "df": g["df_sum"]})
+        return t
+
+    def _term_bucket(self, term: str) -> int:
+        b = self._bucket_cache.get(term)
+        if b is None:
+            from org_rdkit_lucene_ray.pipelines.build import stable_term_hash
+
+            # int() BEFORE the modulo: a scalar np.uint64 % python-int
+            # promotes to float64 and silently loses precision
+            b = int(stable_term_hash([term])[0]) % self._term_buckets
+            self._bucket_cache[term] = b
+        return b
+
     def df(self, term: str) -> int:
-        if self._global_df is not None:
-            return self._global_df.get(term, 0)
+        if self._gdf_vals is not None:
+            i = self._gdf_index.find(term)
+            return 0 if i is None else int(self._gdf_vals[i])
         d = self._df_cache.get(term)
         if d is None:
             d = sum(
                 tbl["df_chunk"][i].as_py()
-                for _, tbl, lk in self._segments
-                if (i := lk.get(term)) is not None
+                for _, tbl, tix in self._by_bucket.get(self._term_bucket(term), [])
+                if (i := tix.find(term)) is not None
             )
             self._df_cache[term] = d
         return d
@@ -277,10 +350,11 @@ class Searcher:
         return dec
 
     def _decode_term_uncached(self, term: str):
-        """Concatenate this term's chunks across segments (ascending sid)."""
+        """Concatenate this term's chunks across segments (ascending sid);
+        only the term's own bucket is probed (one binary search per chunk)."""
         docs_l, tfs_l, dls_l = [], [], []
-        for _, tbl, lk in self._segments:
-            i = lk.get(term)
+        for _, tbl, tix in self._by_bucket.get(self._term_bucket(term), []):
+            i = tix.find(term)
             if i is None:
                 continue
             n = tbl["df_chunk"][i].as_py()
