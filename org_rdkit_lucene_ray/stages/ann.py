@@ -236,45 +236,60 @@ def embedding_dup_pairs(ds: rd.Dataset, *, threshold: float = 0.95,
     """Exact embedding-cosine near-duplicate pairs: all (a < b) with
     cosine(a, b) >= threshold.
 
-    Shape: the normalized matrix is built once per batch; each batch
-    multiplies against the ray.put-broadcast full matrix (per-batch rows x
-    all columns), keeping only upper-triangle hits — O(n^2) flops but
-    streaming in row blocks, never materializing an n x n matrix. For
-    corpora where n^2 is prohibitive use :func:`embedding_dup_pairs_ivf`.
-    """
+    Shape: block x block PAIR TILING in the object store. The (id,
+    embedding) projection is materialized as Arrow block refs (distributed
+    object-store memory — NEVER concatenated on the driver, the r1
+    anti-pattern); one raw Ray task per unordered block pair (i <= j)
+    fetches exactly two blocks, normalizes, and keeps upper-triangle hits.
+    Raw tasks are justified here: a self-join over block pairs is the one
+    shape ``map_batches`` can't express (the guidance's 'shared index'
+    escape hatch). O(n^2/2) flops total, O(block^2) memory per task. For
+    corpora where n^2 flops are prohibitive use
+    :func:`embedding_dup_pairs_ivf` (same output contract, bounded recall
+    loss)."""
+    empty = pa.table({"a": pa.array([], pa.int64()),
+                      "b": pa.array([], pa.int64())})
+    mat = ds.select_columns([id_col, emb_col]).materialize()
+    refs = mat.to_arrow_refs()
+    if not refs:
+        return empty
+
+    @ray.remote
+    def tile(ta: pa.Table, tb: pa.Table, diagonal: bool) -> pa.Table:
+        ids_a = ta[id_col].to_numpy()
+        A = _normalize(_emb_matrix(ta, emb_col))
+        if diagonal:
+            ids_b, B = ids_a, A
+        else:
+            ids_b = tb[id_col].to_numpy()
+            B = _normalize(_emb_matrix(tb, emb_col))
+        sims = A @ B.T
+        rows, cols = np.nonzero(sims >= threshold)
+        if diagonal:
+            m = rows < cols        # position upper-triangle: each pair once
+            rows, cols = rows[m], cols[m]
+        a, b = ids_a[rows], ids_b[cols]
+        swap = a > b
+        a[swap], b[swap] = b[swap], a[swap]
+        keep = a < b                               # drop self-id pairs
+        return pa.table({"a": pa.array(a[keep], pa.int64()),
+                         "b": pa.array(b[keep], pa.int64())})
+
+    futs = []
+    for i in range(len(refs)):
+        futs.append(tile.remote(refs[i], refs[i], True))
+        for j in range(i + 1, len(refs)):
+            futs.append(tile.remote(refs[i], refs[j], False))
+    tabs = [t for t in ray.get(futs) if t.num_rows]
+    if not tabs:
+        return empty
+    out = pa.concat_tables(tabs)
+    # a pair appears in exactly one covering tile (block pairs are
+    # disjoint), so no dedup needed — just the deterministic sort
     import pyarrow.compute as pc
 
-    all_rows = pa.concat_tables(
-        ds.select_columns([id_col, emb_col])
-        .iter_batches(batch_format="pyarrow", batch_size=None))
-    ids_all = all_rows[id_col].to_numpy()
-    M = _normalize(_emb_matrix(all_rows, emb_col))
-    ref = ray.put({"ids": ids_all, "M": M})
-
-    class PairFinder:
-        def __init__(self):
-            state = ray.get(ref)
-            self.ids = state["ids"]
-            self.M = state["M"]
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            ids = batch[id_col].to_numpy()
-            E = _normalize(_emb_matrix(batch, emb_col))
-            sims = E @ self.M.T                        # (b, n)
-            rows, cols = np.nonzero(sims >= threshold)
-            a = ids[rows]
-            b = self.ids[cols]
-            keep = a < b                                # dedup + drop self
-            return pa.table({
-                "a": pa.array(a[keep], pa.int64()),
-                "b": pa.array(b[keep], pa.int64()),
-            })
-
-    out = ds.map_batches(
-        PairFinder, batch_format="pyarrow", batch_size=1024,
-        concurrency=concurrency or auto_concurrency(),
-    ).to_pandas()
-    return _pairs_table(out)
+    order = pc.sort_indices(out, sort_keys=[("a", "ascending"), ("b", "ascending")])
+    return out.take(order)
 
 
 def embedding_dup_pairs_ivf(ds: rd.Dataset, *, threshold: float = 0.95,
