@@ -311,24 +311,51 @@ class FragmentTokenizer:
 
     def _field_postings(self, t: pa.Table, doc_ids: np.ndarray,
                         dl: pa.Array) -> pa.Table | None:
-        """J5 fielded terms: one ``col:value`` posting per metadata column
-        (tf=1; dl = the doc's TEXT length so fielded clauses score with the
-        same normalization — Lucene analog: per-field terms, shared doc)."""
+        """J5 fielded terms: ``col:value`` postings per metadata column
+        (dl = the doc's TEXT length so fielded clauses score with the same
+        normalization — Lucene analog: per-field terms, shared doc).
+
+        Scalar columns emit one posting per doc (tf=1). LIST-typed columns
+        are MULTI-VALUED fields (the reference's ``name`` synonym field,
+        ``ChemicalIndex.java:828-833``, searched at ``:538-554``): one
+        ``col:value`` term per element, tf = the value's multiplicity in
+        the list (Lucene multi-valued tf semantics)."""
         if not self.cfg.field_columns:
             return None
         parts = []
+        dl_np = np.asarray(dl)
         for col in self.cfg.field_columns:
-            vals = pc.utf8_lower(pc.cast(t[col], pa.string()))
-            terms = pc.binary_join_element_wise(
-                pa.array([col] * len(doc_ids)), vals, ":")
-            # join produces "col" + ":" + value via separator-last semantics:
-            # binary_join_element_wise(a, b, sep) = a sep b
-            parts.append(pa.table({
-                "term": terms,
-                "doc_id": pa.array(doc_ids, pa.int64()),
-                "tf": pa.array(np.ones(len(doc_ids), np.int32)),
-                "dl": dl,
-            }))
+            arr = t[col].combine_chunks()
+            if pa.types.is_list(arr.type) or pa.types.is_large_list(arr.type):
+                flat = pc.utf8_lower(pc.cast(arr.values, pa.string()))
+                parents = pc.list_parent_indices(arr).to_numpy(zero_copy_only=False)
+                terms = pc.binary_join_element_wise(
+                    pa.array([col] * len(flat)), flat, ":")
+                pairs = pa.table({
+                    "term": terms,
+                    "doc_id": pa.array(doc_ids[parents], pa.int64()),
+                    "dl": pa.array(dl_np[parents], pa.int32()),
+                })
+                g = pairs.group_by(["doc_id", "term", "dl"]).aggregate(
+                    [("term", "count")])
+                parts.append(pa.table({
+                    "term": g["term"],
+                    "doc_id": pc.cast(g["doc_id"], pa.int64()),
+                    "tf": pc.cast(g["term_count"], pa.int32()),
+                    "dl": g["dl"],
+                }))
+            else:
+                vals = pc.utf8_lower(pc.cast(arr, pa.string()))
+                terms = pc.binary_join_element_wise(
+                    pa.array([col] * len(doc_ids)), vals, ":")
+                # join produces "col" + ":" + value via separator-last
+                # semantics: binary_join_element_wise(a, b, sep) = a sep b
+                parts.append(pa.table({
+                    "term": terms,
+                    "doc_id": pa.array(doc_ids, pa.int64()),
+                    "tf": pa.array(np.ones(len(doc_ids), np.int32)),
+                    "dl": dl,
+                }))
         return pa.concat_tables(parts)
 
     def _process_fragment(self, frag: dict) -> dict:

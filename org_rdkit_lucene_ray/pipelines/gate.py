@@ -122,6 +122,72 @@ def _searcher(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# multi-valued (list-typed) field index: documents + a derived `tags`
+# list<string> column (the reference's multi-valued `name` synonym field,
+# ChemicalIndex.java:828-833). tags = [lang, length bucket, first token] —
+# deterministic and DuckDB-expressible so the gate has an unnest oracle.
+# ---------------------------------------------------------------------------
+_LIST_INDEX_CACHE: dict[str, str] = {}
+
+FIELDED_LIST_QUERIES: list[tuple[int, str]] = [
+    (0, "tags:en hash"),          # list element AND text term
+    (1, "tags:lb0 window"),
+    (2, "tags:de"),               # list element alone
+]
+
+
+def _derive_tags(t: pa.Table) -> pa.Table:
+    from org_rdkit_lucene_ray.functions.analyze import analyze_text
+
+    langs = [x.lower() for x in t["lang"].to_pylist()]
+    texts = t["text"].to_pylist()
+    cfg = REGISTRY["standard"]
+    tags = []
+    for lg, tx in zip(langs, texts):
+        toks = analyze_text(tx, cfg)
+        tags.append([lg, f"lb{len(tx) // 100}", toks[0] if toks else "none"])
+    return t.append_column("tags", pa.array(tags, pa.list_(pa.string())))
+
+
+def gate_list_index(sf_dir: str) -> str:
+    idx = _LIST_INDEX_CACHE.get(sf_dir)
+    if idx is None:
+        derived = tempfile.mkdtemp(prefix="orl_gate_tags_")
+        src = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                            columns=["doc_id", "text", "lang"])
+        pq.write_table(_derive_tags(src),
+                       os.path.join(derived, "documents.parquet"))
+        idx = tempfile.mkdtemp(prefix="orl_gate_lidx_")
+        cfg = IndexConfig(docs_per_segment=4096, term_buckets=8, block_size=64,
+                          field_columns=("tags",))
+        from org_rdkit_lucene_ray.pipelines.build import build_index
+
+        build_index(
+            [os.path.join(derived, "documents.parquet")],
+            idx, cfg=cfg, use_html=False, text_column="text",
+            url_column=None, ts_column=None, lang_column="lang",
+            id_column="doc_id", dedup=False, verify_extraction=False,
+        )
+        _LIST_INDEX_CACHE[sf_dir] = idx
+    return idx
+
+
+def q_fielded_list_search(sf_dir: str) -> pa.Table:
+    """Multi-valued field search: `tags:value` composite terms where tags is
+    a list<string> column — one posting per list element."""
+    from org_rdkit_lucene_ray.pipelines.query import Searcher
+
+    s = Searcher(gate_list_index(sf_dir))
+    qids, docs = [], []
+    for qid, q in FIELDED_LIST_QUERIES:
+        hits = s.search_and(q)
+        qids.extend([qid] * len(hits))
+        docs.extend(int(d) for d in hits)
+    return pa.table({"query_id": pa.array(qids, pa.int64()),
+                     "doc_id": pa.array(docs, pa.int64())})
+
+
+# ---------------------------------------------------------------------------
 # corpus-statistics / per-doc transforms
 # ---------------------------------------------------------------------------
 def q_term_df(sf_dir: str) -> rd.Dataset:
@@ -922,6 +988,24 @@ JOIN fqn ON fqn.query_id = t.query_id
 WHERE t.hit = fqn.n_terms ORDER BY 1, 2
 """,
     "search_or": _bool_sql("or"),
+    "fielded_list_search": f"""
+WITH base AS (SELECT doc_id, lower(lang) AS lang, text, {_TOKS} AS toks
+              FROM documents),
+tags AS (SELECT doc_id,
+                unnest([lang, 'lb' || CAST(length(text) // 100 AS VARCHAR),
+                        coalesce(toks[1], 'none')]) AS tag
+         FROM base),
+tok AS (SELECT DISTINCT doc_id, unnest(toks) AS term FROM base),
+q0 AS (SELECT DISTINCT t.doc_id FROM tags t JOIN tok k ON k.doc_id = t.doc_id
+       WHERE t.tag = 'en' AND k.term = 'hash'),
+q1 AS (SELECT DISTINCT t.doc_id FROM tags t JOIN tok k ON k.doc_id = t.doc_id
+       WHERE t.tag = 'lb0' AND k.term = 'window'),
+q2 AS (SELECT DISTINCT doc_id FROM tags WHERE tag = 'de')
+SELECT 0::BIGINT AS query_id, doc_id FROM q0
+UNION ALL SELECT 1, doc_id FROM q1
+UNION ALL SELECT 2, doc_id FROM q2
+ORDER BY 1, 2
+""",
     "capped_search": f"""
 WITH orr AS ({_bool_sql("or").replace("ORDER BY 1, 2", "")}),
 ranked AS (
@@ -1038,6 +1122,7 @@ QUERIES = {
     "screen_verify": q_screen_verify,
     "boolean_query": q_boolean_query,
     "search_or": q_search_or,
+    "fielded_list_search": q_fielded_list_search,
     "capped_search": q_capped_search,
     "search_after_page2": q_search_after_page2,
     "search_exact": q_search_exact,

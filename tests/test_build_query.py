@@ -98,6 +98,43 @@ def test_max_hits_cap(searcher):
             == bl[:4].tolist()
 
 
+def test_multi_valued_field_postings(ray_session, tmp_path_factory):
+    """List-typed field columns index one `col:value` term per element with
+    tf = the value's multiplicity (Lucene multi-valued field semantics,
+    ChemicalIndex.java:828-833)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from org_rdkit_lucene_ray.config import IndexConfig
+    from org_rdkit_lucene_ray.pipelines.build import build_index
+
+    t = pa.table({
+        "url": pa.array([f"u{i}" for i in range(4)]),
+        "warc_ts": pa.array([0, 1, 2, 3], pa.timestamp("us")),
+        "text": pa.array(["alpha beta", "beta gamma", "alpha", "delta"]),
+        "lang": pa.array(["en"] * 4),
+        "tags": pa.array([["news", "Tech"], ["tech", "tech"], [], ["news"]],
+                         pa.list_(pa.string())),
+    })
+    d = tmp_path_factory.mktemp("mv_pages")
+    pq.write_table(t, str(d / "p.parquet"))
+    idx = str(tmp_path_factory.mktemp("mv_idx"))
+    cfg = IndexConfig(docs_per_segment=256, term_buckets=8, block_size=32,
+                      field_columns=("tags",))
+    build_index(str(d), idx, cfg=cfg, use_html=False, dedup=False,
+                verify_extraction=False)
+    s = Searcher(idx)
+    # values lowercase; docs 0 and 1 hold tags:tech, docs 0 and 3 tags:news
+    assert s.search_and("tags:tech").tolist() == [0, 1]
+    assert s.search_and("tags:news").tolist() == [0, 3]
+    assert s.search_and("tags:news alpha").tolist() == [0]
+    assert s.df("tags:tech") == 2
+    # multiplicity: doc 1 lists "tech" twice -> tf 2
+    dec = s._decode_term("tags:tech")
+    tf_by_doc = dict(zip(dec[0].tolist(), dec[1].tolist()))
+    assert tf_by_doc[1] == 2 and tf_by_doc[0] == 1
+
+
 def test_tie_break_comparator(searcher, oracle_index):
     """score desc, doc_id asc (SubstructureHitQueue.java:113-118)."""
     q = "baba"
