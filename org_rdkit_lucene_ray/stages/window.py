@@ -12,7 +12,6 @@ provides exactly that.
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data as rd
@@ -72,36 +71,62 @@ def tumbling_window_agg(events: rd.Dataset, width_secs: int = 3600,
 def sessionize(events: rd.Dataset, gap_secs: int = 1800,
                key_col: str = "user_id", ts_col: str = "ts") -> rd.Dataset:
     """Per-key session stats: a new session starts when the gap from the
-    previous event exceeds ``gap_secs``. groupby(key) -> sorted map_groups."""
+    previous event exceeds ``gap_secs``. groupby(key) -> sorted map_groups.
 
-    def per_user(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(ts_col)
-        # compare gaps in MICROSECONDS: the SQL oracle's epoch(ts) keeps
-        # fractional seconds, so flooring to whole seconds here could flip a
-        # session boundary for a gap in (gap_secs, gap_secs + 1)
-        ts_us = g[ts_col].astype("int64").to_numpy()
-        new_session = np.concatenate(
-            [[1], (np.diff(ts_us) > gap_secs * 1_000_000).astype(np.int64)])
-        return pd.DataFrame({
-            key_col: [g[key_col].iloc[0]],
-            "n_events": [len(g)],
-            "n_sessions": [int(new_session.sum())],
-            "first_ts": [g[ts_col].min()],
-            "last_ts": [g[ts_col].max()],
+    Arrow-native throughout (no per-group pandas conversion), and only
+    (key, ts) rides the shuffle — the other event columns are projected
+    away before the groupby."""
+
+    def per_user(g: pa.Table) -> pa.Table:
+        ts = pc.cast(g[ts_col], pa.timestamp("us")).combine_chunks()
+        # compare gaps in MICROSECONDS: the SQL oracle's epoch keeps
+        # fractional seconds, so flooring to whole seconds here could flip
+        # a session boundary for a gap in (gap_secs, gap_secs + 1)
+        ts_us = np.sort(ts.cast(pa.int64()).to_numpy())
+        n_sessions = 1 + int(
+            (np.diff(ts_us) > gap_secs * 1_000_000).sum()) if ts_us.size else 0
+        return pa.table({
+            key_col: g[key_col].slice(0, 1).combine_chunks(),
+            "n_events": pa.array([ts_us.size], pa.int64()),
+            "n_sessions": pa.array([n_sessions], pa.int64()),
+            "first_ts": pa.array([ts_us[0]], pa.int64()).cast(pa.timestamp("us")),
+            "last_ts": pa.array([ts_us[-1]], pa.int64()).cast(pa.timestamp("us")),
         })
 
-    return events.groupby(key_col).map_groups(per_user, batch_format="pandas")
+    return (events.select_columns([key_col, ts_col])
+            .groupby(key_col).map_groups(per_user, batch_format="pyarrow"))
 
 
 def grouped_topn(events: rd.Dataset, n: int = 2, key_col: str = "event_type",
                  value_col: str = "value", id_col: str = "event_id") -> rd.Dataset:
     """Top-n rows per group by (value desc, id asc) — the K1/K2 bounded-PQ
-    comparator applied to a generic grouped table."""
+    comparator applied to a generic grouped table.
 
-    def topn(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values([value_col, id_col], ascending=[False, True]).head(n)
-        g = g.copy()
-        g["rank"] = np.arange(len(g), dtype=np.int32)
-        return g
+    A PARTIAL top-n runs inside ``map_batches`` before the shuffle (the
+    same partial+final shape as ``tumbling_window_agg``): at most
+    n x keys x batches rows reach the groupby instead of every event —
+    a batch row outside its batch's per-key top-n can't be in the global
+    top-n. The final per-group top-n is Arrow-native."""
 
-    return events.groupby(key_col).map_groups(topn, batch_format="pandas")
+    def keep_topn(t: pa.Table, is_final: bool) -> pa.Table:
+        order = pc.sort_indices(t, sort_keys=[
+            (key_col, "ascending"), (value_col, "descending"),
+            (id_col, "ascending")])
+        t = t.take(order)
+        kidx = pc.dictionary_encode(
+            t[key_col].combine_chunks()).indices.to_numpy(zero_copy_only=False)
+        starts = np.flatnonzero(
+            np.concatenate([[True], kidx[1:] != kidx[:-1]])) if len(kidx) \
+            else np.zeros(0, np.int64)
+        bounds = np.concatenate([starts, [len(kidx)]])
+        rank = np.arange(len(kidx)) - np.repeat(starts, np.diff(bounds))
+        keep = rank < n
+        t = t.filter(pa.array(keep))
+        if is_final:
+            t = t.append_column("rank", pa.array(rank[keep].astype(np.int32)))
+        return t
+
+    partial = events.map_batches(
+        lambda t: keep_topn(t, False), batch_format="pyarrow")
+    return partial.groupby(key_col).map_groups(
+        lambda g: keep_topn(g, True), batch_format="pyarrow")

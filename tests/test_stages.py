@@ -248,8 +248,11 @@ def test_sessionize(ray_session):
     ds = rd.from_pandas(df).repartition(4)
     out = sessionize(ds, gap_secs=600).to_pandas().sort_values("user_id")
     for uid, g in df.groupby("user_id"):
-        ts = np.sort(g["ts"].astype("int64").to_numpy() // 1_000_000)
-        n_sessions = 1 + int((np.diff(ts) > 600).sum())
+        # pandas ts is ns; engine normalizes to MICROSECONDS and compares
+        # the gap against gap_secs * 1e6 (true-seconds semantics, matching
+        # the SQL oracle's epoch_us — ADVICE r1)
+        ts_us = np.sort(g["ts"].astype("int64").to_numpy() // 1_000)
+        n_sessions = 1 + int((np.diff(ts_us) > 600 * 1_000_000).sum())
         row = out[out.user_id == uid].iloc[0]
         assert row["n_events"] == len(g)
         assert row["n_sessions"] == n_sessions
