@@ -224,11 +224,9 @@ def _candidate_ids(pairs_ds: rd.Dataset) -> list[int]:
                                  t["b"].combine_chunks().cast(pa.int64())])
         return pa.table({"doc_id": pc.unique(both)})
 
-    from ray.data.aggregate import Count
-
-    rows = (pairs_ds.map_batches(ids_of, batch_format="pyarrow")
-            .groupby("doc_id").aggregate(Count()).take_all())
-    return sorted(int(r["doc_id"]) for r in rows)
+    rows = pairs_ds.map_batches(ids_of, batch_format="pyarrow").take_all()
+    return np.unique(np.asarray([r["doc_id"] for r in rows],
+                                dtype=np.int64)).tolist()
 
 
 def minhash_dup_pairs(
