@@ -160,30 +160,48 @@ _LANG_PROFILES: dict[str, tuple[str, ...]] = {
 
 
 class LangIdStage:
-    """Heuristic language-ID actor stage (stateful: profiles + regex compiled
-    once per actor, T1 analog). CJK detection by unicode block; otherwise the
-    profile with the highest stopword hit-rate; 'und' when no evidence."""
+    """Heuristic language-ID actor stage (stateful: profiles compiled once
+    per actor, T1 analog). CJK detection by unicode block; otherwise the
+    profile with the highest DISTINCT-stopword hit count ('und' when no
+    evidence); ties resolve in profile order (en, es, de, fr) — exactly the
+    oracle's CASE chain.
+
+    Vectorized: tokens filtered to the profile-word union (pc.is_in), the
+    (doc, word) pairs deduped with one Arrow group_by, per-language counts
+    via np.bincount — no per-document Python loop."""
 
     def __init__(self):
-        self.profiles = {k: frozenset(v) for k, v in _LANG_PROFILES.items()}
+        self._langs = list(_LANG_PROFILES)
+        words = sorted({w for p in _LANG_PROFILES.values() for w in p})
+        self._words = pa.array(words, pa.string())
+        self._word_lang = np.zeros((len(words), len(self._langs)), dtype=bool)
+        for li, lang in enumerate(self._langs):
+            prof = set(_LANG_PROFILES[lang])
+            for wi, w in enumerate(words):
+                self._word_lang[wi, li] = w in prof
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
         texts = batch["text"].combine_chunks()
-        cjk = pc.match_substring_regex(texts, pattern=r"[一-鿿぀-ヿ]")
+        cjk = pc.match_substring_regex(
+            texts, pattern=r"[一-鿿぀-ヿ]").to_numpy(zero_copy_only=False)
         toks = tokenize_column(texts, REGISTRY["standard"])
-        langs = []
-        for has_cjk, doc in zip(cjk.to_pylist(), toks.to_pylist()):
-            if has_cjk:
-                langs.append("zh")
-                continue
-            if not doc:
-                langs.append("und")
-                continue
-            s = set(doc)
-            best, hits = "und", 0
-            for lang, prof in self.profiles.items():
-                h = len(s & prof)
-                if h > hits:
-                    best, hits = lang, h
-            langs.append(best)
-        return batch.append_column("lang_pred", pa.array(langs, pa.string()))
+        flat = pc.list_flatten(toks)
+        parents = pc.list_parent_indices(toks)
+        keep = pc.is_in(flat, value_set=self._words)
+        pairs = pa.table({"p": parents.filter(keep), "w": flat.filter(keep)})
+        distinct = pairs.group_by(["p", "w"]).aggregate([])
+        p = distinct["p"].to_numpy(zero_copy_only=False).astype(np.int64)
+        widx = pc.index_in(distinct["w"], value_set=self._words) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        counts = np.zeros((n, len(self._langs)), dtype=np.int64)
+        for li in range(len(self._langs)):
+            m = self._word_lang[widx, li]
+            if m.any():
+                counts[:, li] = np.bincount(p[m], minlength=n)
+        best = np.argmax(counts, axis=1)        # first max wins: CASE order
+        hit = counts[np.arange(n), best] > 0
+        lang_arr = np.asarray(self._langs, dtype=object)[best]
+        out = np.where(cjk, "zh", np.where(hit, lang_arr, "und"))
+        return batch.append_column(
+            "lang_pred", pa.array(out.astype(object), pa.string()))
