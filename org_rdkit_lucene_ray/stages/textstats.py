@@ -116,27 +116,39 @@ def md5_fingerprint_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
 def rolling_fingerprint_batch(batch: pa.Table, text_col: str = "text",
                               window: int = 8) -> pa.Table:
     """Append ``fp_roll`` — min of polynomial rolling hashes over token
-    ``window``-grams (a winnowing-style document sketch). Deterministic;
-    numpy-vectorized per document."""
+    ``window``-grams (a winnowing-style document sketch). Deterministic.
+
+    Token hashing is ONE vectorized FNV pass over the whole batch's flat
+    token column (``stable_term_hash``); only the per-doc window combine
+    remains a (numpy) loop. Values are byte-identical to the r1 per-token
+    Python path (same FNV-1a)."""
+    from org_rdkit_lucene_ray.pipelines.build import stable_term_hash
+
     cfg = REGISTRY["standard"]
     toks = tokenize_column(batch[text_col].combine_chunks(), cfg)
+    flat = pc.list_flatten(toks)
+    H = stable_term_hash(flat) if len(flat) else np.zeros(0, np.uint64)
+    counts = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
+    starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
     out = np.zeros(batch.num_rows, dtype=np.uint64)
     B = np.uint64(1099511628211)
-    for i, doc in enumerate(toks.to_pylist()):
-        if not doc:
-            continue
-        h = np.array([hash_token(t) for t in doc], dtype=np.uint64)
-        if len(h) < window:
-            acc = np.uint64(14695981039346656037)
-            for v in h:
-                acc = (acc * B) ^ v
-            out[i] = acc
-        else:
-            grams = np.lib.stride_tricks.sliding_window_view(h, window)
-            acc = np.full(grams.shape[0], 14695981039346656037, dtype=np.uint64)
-            for k in range(window):
-                acc = (acc * B) ^ grams[:, k]
-            out[i] = acc.min()
+    with np.errstate(over="ignore"):
+        for i in range(batch.num_rows):
+            c = int(counts[i])
+            if c == 0:
+                continue
+            h = H[starts[i]:starts[i] + c]
+            if c < window:
+                acc = np.uint64(14695981039346656037)
+                for v in h:
+                    acc = (acc * B) ^ v
+                out[i] = acc
+            else:
+                grams = np.lib.stride_tricks.sliding_window_view(h, window)
+                acc = np.full(grams.shape[0], 14695981039346656037, dtype=np.uint64)
+                for k in range(window):
+                    acc = (acc * B) ^ grams[:, k]
+                out[i] = acc.min()
     return batch.append_column("fp_roll", pa.array(out.astype(np.int64), pa.int64()))
 
 
