@@ -226,8 +226,17 @@ def q_top_terms(sf_dir: str) -> pa.Table:
         .groupby("term")
         .aggregate(Sum("c", alias_name="total_tf"))
     )
-    top = agg.sort(key=["total_tf", "term"], descending=[True, False]).limit(50)
-    rows = top.take_all()
+
+    # top-50 without a full distributed sort: per-block select_k, then a
+    # tiny (<= 50 x blocks rows) driver-side final merge
+    def block_top(t: pa.Table) -> pa.Table:
+        idx = pc.select_k_unstable(t, k=min(50, t.num_rows), sort_keys=[
+            ("total_tf", "descending"), ("term", "ascending")])
+        return t.take(idx)
+
+    rows = agg.map_batches(block_top, batch_format="pyarrow").take_all()
+    rows.sort(key=lambda r: (-r["total_tf"], r["term"]))
+    rows = rows[:50]
     return pa.table({"term": pa.array([r["term"] for r in rows], pa.string()),
                      "total_tf": pa.array([r["total_tf"] for r in rows], pa.int64())})
 
