@@ -186,6 +186,30 @@ class MinHashStage:
         return self.band_rows(ids[nonempty], sig[nonempty])
 
 
+# task-fn wrappers with a per-worker-process stage cache: the sketch
+# stages' state (seeded permutation params) is light, so Ray's warm worker
+# processes beat a dedicated actor pool (~1-2s pool startup per run on
+# this sandbox; the heavyweight-analyzer case can still use the classes
+# directly as map_batches actor stages)
+_STAGE_CACHE: dict[tuple, object] = {}
+
+
+def _minhash_task(t: pa.Table, *, params: dict) -> pa.Table:
+    key = ("minhash",) + tuple(sorted(params.items()))
+    st = _STAGE_CACHE.get(key)
+    if st is None:
+        st = _STAGE_CACHE[key] = MinHashStage(**params)
+    return st(t)
+
+
+def _simhash_task(t: pa.Table, *, text_col: str) -> pa.Table:
+    key = ("simhash", text_col)
+    st = _STAGE_CACHE.get(key)
+    if st is None:
+        st = _STAGE_CACHE[key] = SimHashStage(text_col=text_col)
+    return st(t)
+
+
 def _pairs_of_group(group: pa.Table) -> pa.Table:
     ids = np.unique(group["doc_id"].to_numpy())
     if ids.size < 2:
@@ -200,6 +224,24 @@ def exact_jaccard(tokens_a: list[str], tokens_b: list[str], shingle: int = 3) ->
     if not sa and not sb:
         return 1.0
     return len(sa & sb) / len(sa | sb)
+
+
+# per-worker-process cache of fetched broadcast objects (task-fn analog of
+# fetching in an actor's __init__ — same object is never deserialized twice
+# by one worker process)
+_BCAST_CACHE: dict[str, object] = {}
+
+
+def _bcast(ref):
+    import ray
+
+    key = ref.hex()
+    obj = _BCAST_CACHE.get(key)
+    if obj is None:
+        if len(_BCAST_CACHE) >= 8:     # bound worker-process memory
+            _BCAST_CACHE.clear()
+        obj = _BCAST_CACHE[key] = ray.get(ref)
+    return obj
 
 
 def _distinct_pairs(pairs_ds: rd.Dataset) -> rd.Dataset:
@@ -258,10 +300,11 @@ def minhash_dup_pairs(
     import ray
 
     band_ds = docs.map_batches(
-        MinHashStage,
-        fn_constructor_kwargs=dict(num_perm=num_perm, bands=bands, shingle=shingle,
-                                   text_col=text_col, id_col=id_col),
-        batch_format="pyarrow", concurrency=concurrency or auto_concurrency(),
+        _minhash_task,
+        fn_kwargs=dict(params=dict(num_perm=num_perm, bands=bands,
+                                   shingle=shingle, text_col=text_col,
+                                   id_col=id_col)),
+        batch_format="pyarrow",
     )
     pairs_ds = _distinct_pairs(
         band_ds.groupby(["band", "band_hash"])
@@ -288,32 +331,30 @@ def minhash_dup_pairs(
     sh_ref = ray.put({int(r["doc_id"]): np.asarray(r["sh"], np.uint64)
                       for r in sh_rows})
 
-    class VerifyJaccard:
-        def __init__(self):
-            self.lut = ray.get(sh_ref)
-
-        def __call__(self, t: pa.Table) -> pa.Table:
-            a = t["a"].to_numpy()
-            b = t["b"].to_numpy()
-            jac = np.empty(a.size, dtype=np.float64)
-            for i in range(a.size):      # per PAIR (not per doc): sorted
-                sa = self.lut.get(int(a[i]))   # uint64 intersect, vectorized
-                sb = self.lut.get(int(b[i]))   # within the pair
-                if sa is None or sb is None or (sa.size == 0 and sb.size == 0):
-                    jac[i] = 1.0 if (sa is not None and sb is not None) else 0.0
-                    continue
-                inter = np.intersect1d(sa, sb, assume_unique=True).size
-                jac[i] = inter / (sa.size + sb.size - inter)
-            keep = jac >= threshold
-            return pa.table({
-                "a": pa.array(a[keep], pa.int64()),
-                "b": pa.array(b[keep], pa.int64()),
-                "jaccard": pa.array(np.round(jac[keep], 6), pa.float64()),
-            })
+    def verify_jaccard(t: pa.Table) -> pa.Table:
+        # task fn (Ray's warm worker processes + _BCAST_CACHE), not an
+        # actor pool: a second pool's startup dominated small-corpus runs
+        lut = _bcast(sh_ref)
+        a = t["a"].to_numpy()
+        b = t["b"].to_numpy()
+        jac = np.empty(a.size, dtype=np.float64)
+        for i in range(a.size):          # per PAIR (not per doc): sorted
+            sa = lut.get(int(a[i]))      # uint64 intersect, vectorized
+            sb = lut.get(int(b[i]))      # within the pair
+            if sa is None or sb is None or (sa.size == 0 and sb.size == 0):
+                jac[i] = 1.0 if (sa is not None and sb is not None) else 0.0
+                continue
+            inter = np.intersect1d(sa, sb, assume_unique=True).size
+            jac[i] = inter / (sa.size + sb.size - inter)
+        keep = jac >= threshold
+        return pa.table({
+            "a": pa.array(a[keep], pa.int64()),
+            "b": pa.array(b[keep], pa.int64()),
+            "jaccard": pa.array(np.round(jac[keep], 6), pa.float64()),
+        })
 
     verified = pairs_ds.map_batches(
-        VerifyJaccard, batch_format="pyarrow",
-        concurrency=concurrency or auto_concurrency()).take_all()
+        verify_jaccard, batch_format="pyarrow").take_all()
     if not verified:
         return empty
     out = pa.Table.from_pylist(verified).select(["a", "b", "jaccard"])
@@ -354,8 +395,8 @@ def simhash_dup_pairs(docs: rd.Dataset, *, max_hamming: int = 3,
     # chain + candidate LUT); at cluster scale this would be written
     # hash-partitioned to Parquet instead — same two consumers
     sig = docs.map_batches(
-        SimHashStage, fn_constructor_kwargs=dict(text_col=text_col),
-        batch_format="pyarrow", concurrency=concurrency or auto_concurrency(),
+        _simhash_task, fn_kwargs=dict(text_col=text_col),
+        batch_format="pyarrow",
     ).select_columns([id_col, "simhash"]).materialize()
 
     def to_bands(t: pa.Table) -> pa.Table:
@@ -395,27 +436,23 @@ def simhash_dup_pairs(docs: rd.Dataset, *, max_hamming: int = 3,
     ).take_all()
     lut_ref = ray.put({int(r[id_col]): np.uint64(r["simhash"]) for r in lut_rows})
 
-    class VerifyHamming:
-        def __init__(self):
-            self.lut = ray.get(lut_ref)
-
-        def __call__(self, t: pa.Table) -> pa.Table:
-            a = t["a"].to_numpy()
-            b = t["b"].to_numpy()
-            ha = np.array([self.lut[int(x)] for x in a], dtype=np.uint64)
-            hb = np.array([self.lut[int(x)] for x in b], dtype=np.uint64)
-            x = (ha ^ hb).view(np.uint8).reshape(-1, 8)
-            dist = np.unpackbits(x, axis=1).sum(axis=1).astype(np.int32)
-            keep = dist <= max_hamming
-            return pa.table({
-                "a": pa.array(a[keep], pa.int64()),
-                "b": pa.array(b[keep], pa.int64()),
-                "hamming": pa.array(dist[keep], pa.int32()),
-            })
+    def verify_hamming(t: pa.Table) -> pa.Table:
+        lut = _bcast(lut_ref)
+        a = t["a"].to_numpy()
+        b = t["b"].to_numpy()
+        ha = np.array([lut[int(x)] for x in a], dtype=np.uint64)
+        hb = np.array([lut[int(x)] for x in b], dtype=np.uint64)
+        x = (ha ^ hb).view(np.uint8).reshape(-1, 8)
+        dist = np.unpackbits(x, axis=1).sum(axis=1).astype(np.int32)
+        keep = dist <= max_hamming
+        return pa.table({
+            "a": pa.array(a[keep], pa.int64()),
+            "b": pa.array(b[keep], pa.int64()),
+            "hamming": pa.array(dist[keep], pa.int32()),
+        })
 
     verified = pairs_ds.map_batches(
-        VerifyHamming, batch_format="pyarrow",
-        concurrency=concurrency or auto_concurrency()).take_all()
+        verify_hamming, batch_format="pyarrow").take_all()
     if not verified:
         return empty
     out = pa.Table.from_pylist(verified).select(["a", "b", "hamming"])
