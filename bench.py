@@ -79,7 +79,11 @@ def bench_headline(sf: str, num_cpus: int) -> dict:
     pages = corpus_dir(sf)
     idx = f"/tmp/orl_bench_index_{sf}_{num_cpus}_{os.getpid()}"
     shutil.rmtree(idx, ignore_errors=True)
-    cfg = IndexConfig(docs_per_segment=16_384, term_buckets=max(8, num_cpus),
+    # term_buckets fixed per corpus (env-overridable), NOT per cpu count:
+    # a cpu-dependent bucket count would change the task decomposition
+    # between scaling runs and confound the efficiency measurement
+    buckets = int(os.environ.get("RAY_GRAFT_TERM_BUCKETS", "0")) or max(8, num_cpus)
+    cfg = IndexConfig(docs_per_segment=16_384, term_buckets=buckets,
                       block_size=128)
     t0 = time.perf_counter()
     manifest = build_index(pages, idx, cfg=cfg)

@@ -229,6 +229,53 @@ def test_crash_resume_byte_identical(ray_session, pages_dir, tmp_path_factory):
     assert _tree_hashes(os.path.join(gdir2, "segments")) == control
 
 
+def test_merge_crash_resume(ray_session, pages_dir, tmp_path_factory):
+    """A merge killed mid-flight resumes by skip-if-exists: rerunning after
+    deleting the new generation's manifest + a slice of its outputs
+    reproduces the same stats and file set as an uninterrupted merge."""
+    import pyarrow as pa
+
+    from org_rdkit_lucene_ray.synth import gen_pages
+
+    paths = _frag_paths(pages_dir)[:4]
+    delta = gen_pages(120, seed=55, dup_url_frac=0.0, near_dup_frac=0.0)
+    delta = delta.set_column(
+        0, "url", pa.array([u.replace("https://", "https://delta.")
+                            for u in delta["url"].to_pylist()], pa.string()))
+    ddir = tmp_path_factory.mktemp("mcr_delta")
+    pq.write_table(delta, str(ddir / "d.parquet"))
+
+    idx = str(tmp_path_factory.mktemp("mcr_idx"))
+    build_index(paths, idx, cfg=CFG)
+    add_documents(idx, str(ddir))
+    control = merge_generations(idx)
+    gdir = os.path.join(idx, control["generation"])
+    # "crash": drop the manifest, two chunk files and one fwd fragment,
+    # and point CURRENT back at the pre-merge generation
+    os.remove(os.path.join(gdir, "manifest.json"))
+    seg_root = os.path.join(gdir, "segments")
+    removed = 0
+    for seg in sorted(os.listdir(seg_root)):
+        for f in sorted(os.listdir(os.path.join(seg_root, seg))):
+            if removed < 2:
+                os.remove(os.path.join(seg_root, seg, f))
+                removed += 1
+    fwd = os.path.join(gdir, "fwd")
+    os.remove(os.path.join(fwd, sorted(os.listdir(fwd))[0]))
+    from org_rdkit_lucene_ray.state.segment import set_current_generation
+
+    set_current_generation(idx, control["stats"]["merged_from"][-1])
+
+    resumed = merge_generations(idx)
+    assert resumed["generation"] == control["generation"]
+    assert resumed["stats"]["n_docs"] == control["stats"]["n_docs"]
+    assert resumed["stats"]["n_postings"] == control["stats"]["n_postings"]
+    assert resumed["stats"]["n_terms"] == control["stats"]["n_terms"]
+    s = Searcher(idx)
+    assert s.n_docs == control["stats"]["n_docs"]
+    assert len(s.topk("baba", 5)) == 5
+
+
 def test_extract_error_threshold_aborts(ray_session, tmp_path_factory):
     """M12 analog: per-record mismatches tolerated up to a threshold, then
     the job aborts with a clear error."""
