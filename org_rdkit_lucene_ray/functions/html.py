@@ -92,3 +92,71 @@ def is_empty_after_trimming(arr: pa.Array | pa.ChunkedArray) -> pa.Array:
     """Analog of ``StringUtils.isEmptyAfterTrimming`` (``util/StringUtils.java:171``)."""
     trimmed = pc.utf8_trim_whitespace(arr)
     return pc.or_kleene(pc.is_null(arr), pc.equal(trimmed, ""))
+
+
+# --------------------------------------------------------------- M2: records
+# Record serializer — the inverse of M1 with a property exclusion list
+# (reference ``SDFRecord.java:192-212``: molblock + "> <prop>" blocks minus
+# excluded properties, "$$$$" terminator). Web analog: a WARC-style record
+# whose header fields are the page's metadata columns and whose body is the
+# raw html. Only needed for round-trip tests / write-back-to-pages paths.
+_RECORD_MAGIC = "WARC/1.0"
+_RECORD_FIELDS = ("url", "warc_ts", "lang")   # header order is canonical
+_RECORD_HEADERS = {"url": "WARC-Target-URI", "warc_ts": "WARC-Date",
+                   "lang": "X-Lang"}
+# serialize with Arrow strftime, whose %S already includes the (us-unit)
+# fractional seconds; parse with Python strptime, which needs explicit %f
+_TS_FORMAT_ARROW = "%Y-%m-%dT%H:%M:%S"
+_TS_FORMAT_PY = "%Y-%m-%dT%H:%M:%S.%f"
+
+
+def serialize_records(batch: pa.Table, exclude: tuple[str, ...] = ()) -> pa.Array:
+    """Rows -> canonical record text (one string per row), vectorized.
+
+    ``exclude`` drops header fields by column name (the reference's property
+    exclusion list). The html body is appended verbatim after a blank line;
+    records round-trip through :func:`parse_record` byte-identically."""
+    n = batch.num_rows
+    parts: list[pa.Array] = [pa.array([_RECORD_MAGIC + "\n"] * n)]
+    for col in _RECORD_FIELDS:
+        if col in exclude or col not in batch.column_names:
+            continue
+        if col == "warc_ts":
+            vals = pc.strftime(pc.cast(batch[col], pa.timestamp("us")),
+                               format=_TS_FORMAT_ARROW)
+        else:
+            vals = pc.cast(batch[col], pa.string())
+        line = pc.binary_join_element_wise(
+            pa.array([_RECORD_HEADERS[col] + ": "] * n), vals,
+            pa.array(["\n"] * n), "")
+        parts.append(line)
+    body = pc.cast(batch["html"], pa.string()) if "html" in batch.column_names \
+        else pa.array([""] * n)
+    parts.append(pc.binary_join_element_wise(
+        pa.array(["\n"] * n), body, ""))
+    out = parts[0]
+    for p in parts[1:]:
+        out = pc.binary_join_element_wise(out, p, "")
+    return out
+
+
+def parse_record(text: str) -> dict:
+    """Inverse of :func:`serialize_records` for one record string."""
+    from datetime import datetime
+
+    head, _, body = text.partition("\n\n")
+    lines = head.splitlines()
+    if not lines or lines[0] != _RECORD_MAGIC:
+        raise ValueError("not a serialized record (missing magic)")
+    by_header = {v: k for k, v in _RECORD_HEADERS.items()}
+    out: dict = {"html": body}
+    for line in lines[1:]:
+        name, _, val = line.partition(": ")
+        col = by_header.get(name)
+        if col is None:
+            continue
+        if col == "warc_ts":
+            out[col] = datetime.strptime(val, _TS_FORMAT_PY)
+        else:
+            out[col] = val
+    return out

@@ -169,3 +169,27 @@ def test_encode_posting_block_matches_per_term():
         np.testing.assert_array_equal(blk["bm_first_doc"][bo[i]:bo[i + 1]], ref["bm_first_doc"])
         np.testing.assert_array_equal(blk["bm_last_doc"][bo[i]:bo[i + 1]], ref["bm_last_doc"])
         np.testing.assert_array_equal(blk["bm_max_tfn"][bo[i]:bo[i + 1]], ref["bm_max_tfn"])
+
+
+def test_record_serialize_round_trip():
+    """M2 analog (SDFRecord.java:192-212): serialize -> parse is identity,
+    and the exclusion list drops header fields."""
+    import datetime
+
+    import pyarrow as pa
+
+    from org_rdkit_lucene_ray.functions.html import parse_record, serialize_records
+    from org_rdkit_lucene_ray.synth import gen_pages
+
+    t = gen_pages(20, seed=3, dup_url_frac=0.0, near_dup_frac=0.0)
+    recs = serialize_records(t)
+    for i in range(t.num_rows):
+        got = parse_record(recs[i].as_py())
+        assert got["url"] == t["url"][i].as_py()
+        assert got["lang"] == t["lang"][i].as_py()
+        assert got["warc_ts"] == t["warc_ts"][i].as_py()
+        assert got["html"] == t["html"][i].as_py().decode("utf-8")
+    # exclusion list: excluded fields are absent from the parsed record
+    recs2 = serialize_records(t, exclude=("lang",))
+    parsed = parse_record(recs2[0].as_py())
+    assert "lang" not in parsed and parsed["url"] == t["url"][0].as_py()
