@@ -578,7 +578,15 @@ def q_events_type_stats(sf_dir: str) -> rd.Dataset:
 
 def q_orders_by_segment(sf_dir: str) -> rd.Dataset:
     """Broadcast join (small side via ray.put, J7 pattern): orders ->
-    customer.mktsegment lookup inside map_batches, then groupby segment."""
+    customer.mktsegment lookup inside map_batches, then groupby segment.
+
+    Prices are summed as INTEGER CENTS (o_totalprice is a 2-dp decimal):
+    the float64 sum of ~3k values at 7e8 magnitude is order-dependent
+    enough to flip a cent across Ray's nondeterministic aggregation-tree
+    orders (observed: a 1-cent wobble surviving round(x, 2)), while the
+    int64 cents sum is exact and order-independent; the oracle computes
+    the identical cents sum in SQL, so total_price = cents/100.0 is
+    bitwise-equal on both sides."""
     import ray
     from ray.data.aggregate import Count, Sum
 
@@ -593,9 +601,10 @@ def q_orders_by_segment(sf_dir: str) -> rd.Dataset:
 
         def __call__(self, t: pa.Table) -> pa.Table:
             segs = [self.lut.get(k) for k in t["o_custkey"].to_pylist()]
+            cents = np.round(t["o_totalprice"].to_numpy() * 100.0).astype(np.int64)
             return pa.table({
                 "mktsegment": pa.array(segs, pa.string()),
-                "o_totalprice": t["o_totalprice"],
+                "price_cents": pa.array(cents, pa.int64()),
             })
 
     agg = (
@@ -604,14 +613,15 @@ def q_orders_by_segment(sf_dir: str) -> rd.Dataset:
         .map_batches(AttachSegment, batch_format="pyarrow", concurrency=2)
         .groupby("mktsegment")
         .aggregate(Count(alias_name="n_orders"),
-                   Sum("o_totalprice", alias_name="total_price"))
+                   Sum("price_cents", alias_name="total_cents"))
     )
 
     def finish(t: pa.Table) -> pa.Table:
+        cents = t["total_cents"].to_numpy(zero_copy_only=False).astype(np.float64)
         return pa.table({
             "mktsegment": t["mktsegment"],
             "n_orders": pc.cast(t["n_orders"], pa.int64()),
-            "total_price": pc.round(t["total_price"], ndigits=2),
+            "total_price": pa.array(cents / 100.0, pa.float64()),
         })
 
     return agg.map_batches(finish, batch_format="pyarrow")
@@ -1070,7 +1080,8 @@ FROM events GROUP BY event_type ORDER BY event_type
 """,
     "orders_by_segment": """
 SELECT c.c_mktsegment AS mktsegment, count(*)::BIGINT AS n_orders,
-       round(sum(o.o_totalprice), 2) AS total_price
+       CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0
+         AS total_price
 FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
 GROUP BY 1 ORDER BY 1
 """,
