@@ -518,7 +518,9 @@ def q_point_lookup(sf_dir: str) -> pa.Table:
 def q_tumbling_hourly(sf_dir: str) -> rd.Dataset:
     from org_rdkit_lucene_ray.stages.window import tumbling_window_agg
 
-    return tumbling_window_agg(_events(sf_dir), width_secs=3600)
+    # events.value is a 2-dp decimal: exact fixed-point sums (see stage doc)
+    return tumbling_window_agg(_events(sf_dir), width_secs=3600,
+                               value_decimals=2)
 
 
 def q_sessionize(sf_dir: str) -> rd.Dataset:
@@ -555,22 +557,33 @@ def q_grouped_topn(sf_dir: str) -> rd.Dataset:
 
 
 def q_events_type_stats(sf_dir: str) -> rd.Dataset:
-    """A3 per-key averages: partial-friendly Count/Sum/Mean, 4-dp rounded."""
-    from ray.data.aggregate import Count, Mean, Sum
+    """A3 per-key averages via partial-friendly Count/Sum.
 
-    agg = _events(sf_dir, columns=["event_type", "value"]).groupby(
-        "event_type").aggregate(
-        Count(alias_name="n_events"),
-        Sum("value", alias_name="sum_value"),
-        Mean("value", alias_name="mean_value"),
-    )
+    value is a 2-dp decimal: summed as exact int64 cents (order-independent
+    — float sums can wobble across Ray's aggregation orders), then
+    sum = cents/100.0 and mean = sum/n as the identical single-division
+    chain the oracle computes — bitwise-equal with NO rounding."""
+    from ray.data.aggregate import Count, Sum
+
+    def to_cents(t: pa.Table) -> pa.Table:
+        cents = np.round(t["value"].to_numpy() * 100.0).astype(np.int64)
+        return pa.table({"event_type": t["event_type"],
+                         "cents": pa.array(cents, pa.int64())})
+
+    agg = (_events(sf_dir, columns=["event_type", "value"])
+           .map_batches(to_cents, batch_format="pyarrow")
+           .groupby("event_type")
+           .aggregate(Count(alias_name="n_events"),
+                      Sum("cents", alias_name="total_cents")))
 
     def finish(t: pa.Table) -> pa.Table:
+        n = t["n_events"].to_numpy(zero_copy_only=False).astype(np.float64)
+        sums = t["total_cents"].to_numpy(zero_copy_only=False).astype(np.float64) / 100.0
         return pa.table({
             "event_type": t["event_type"],
             "n_events": pc.cast(t["n_events"], pa.int64()),
-            "sum_value": pc.round(t["sum_value"], ndigits=4),
-            "mean_value": pc.round(t["mean_value"], ndigits=4),
+            "sum_value": pa.array(sums, pa.float64()),
+            "mean_value": pa.array(sums / n, pa.float64()),
         })
 
     return agg.map_batches(finish, batch_format="pyarrow")
@@ -1048,9 +1061,9 @@ FROM documents WHERE doc_id = {LOOKUP_DOC}
 SELECT event_type,
        time_bucket(INTERVAL 1 HOUR, ts) AS window_start,
        count(*)::BIGINT AS n_events,
-       round(sum(value), 4) AS sum_value,
-       min(value) AS min_value,
-       max(value) AS max_value
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100 AS sum_value,
+       CAST(min(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100 AS min_value,
+       CAST(max(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100 AS max_value
 FROM events GROUP BY 1, 2 ORDER BY 1, 2
 """,
     "sessionize": """
@@ -1075,7 +1088,9 @@ FROM ranked WHERE rank < 2 ORDER BY event_type, rank
 """,
     "events_type_stats": """
 SELECT event_type, count(*)::BIGINT AS n_events,
-       round(sum(value), 4) AS sum_value, round(avg(value), 4) AS mean_value
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_value,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0
+         / count(*) AS mean_value
 FROM events GROUP BY event_type ORDER BY event_type
 """,
     "orders_by_segment": """

@@ -20,16 +20,29 @@ from ray.data.aggregate import Count, Max, Min, Sum
 
 def tumbling_window_agg(events: rd.Dataset, width_secs: int = 3600,
                         ts_col: str = "ts", key_col: str = "event_type",
-                        value_col: str = "value") -> rd.Dataset:
+                        value_col: str = "value",
+                        value_decimals: int | None = None) -> rd.Dataset:
     """count/sum/min/max of ``value`` per (key, window). Pre-aggregated per
     batch before the groupby so the shuffle moves one row per (key, window,
-    batch), not one per event."""
+    batch), not one per event.
+
+    ``value_decimals``: when the value column is a d-dp decimal stored as
+    float, sum in exact int64 fixed-point (10^d) so the result is
+    order-independent (float sums wobble in the last ulp across Ray's
+    aggregation-tree orders — the orders_by_segment lesson). min/max are
+    selections and need no such treatment."""
+    scale = 10 ** value_decimals if value_decimals is not None else None
 
     def partial(t: pa.Table) -> pa.Table:
         ts_us = pc.cast(pc.cast(t[ts_col], pa.timestamp("us")), pa.int64())
         win = ts_us.to_numpy() // (width_secs * 1_000_000)
+        vals = t[value_col]
+        if scale is not None:
+            vals = pa.array(np.round(
+                t[value_col].to_numpy(zero_copy_only=False) * scale).astype(np.int64))
         g = (
-            t.append_column("window", pa.array(win.astype(np.int64)))
+            pa.table({key_col: t[key_col], "window": pa.array(win.astype(np.int64)),
+                      value_col: vals})
             .group_by([key_col, "window"])
             .aggregate([(value_col, "count"), (value_col, "sum"),
                         (value_col, "min"), (value_col, "max")])
@@ -55,14 +68,23 @@ def tumbling_window_agg(events: rd.Dataset, width_secs: int = 3600,
     )
 
     def finish(t: pa.Table) -> pa.Table:
+        sums = t["sum_value"].to_numpy(zero_copy_only=False)
+        if scale is not None:
+            sums = sums.astype(np.float64) / scale
+            mins = t["min_value"].to_numpy(zero_copy_only=False).astype(np.float64) / scale
+            maxs = t["max_value"].to_numpy(zero_copy_only=False).astype(np.float64) / scale
+        else:
+            sums = np.round(sums, 4)
+            mins = t["min_value"]
+            maxs = t["max_value"]
         return pa.table({
             key_col: t[key_col],
             "window_start": pc.cast(pc.multiply(t["window"], width_secs * 1_000_000),
                                     pa.timestamp("us")),
             "n_events": t["n_events"],
-            "sum_value": pa.array(np.round(t["sum_value"].to_numpy(zero_copy_only=False), 4)),
-            "min_value": t["min_value"],
-            "max_value": t["max_value"],
+            "sum_value": pa.array(sums),
+            "min_value": pa.array(mins) if scale is not None else mins,
+            "max_value": pa.array(maxs) if scale is not None else maxs,
         })
 
     return combined.map_batches(finish, batch_format="pyarrow")
