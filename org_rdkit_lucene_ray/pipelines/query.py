@@ -880,11 +880,24 @@ class Searcher:
         return out
 
 
+def _after_of_batch(batch: pa.Table):
+    """Optional per-query search-after columns (``after_score:float``,
+    ``after_doc:int``; null = first page) — the K2 collector-factory
+    surface at the Dataset level."""
+    names = batch.column_names
+    if "after_score" not in names or "after_doc" not in names:
+        return None
+    return list(zip(batch["after_score"].to_pylist(),
+                    batch["after_doc"].to_pylist()))
+
+
 class SearcherStage:
     """``map_batches`` actor: batch of queries in, top-k result rows out.
 
-    Output schema (FIXTURES.md §3): query_id:int32, rank:int32, doc_id:int64,
-    url:string, score:float32."""
+    Optional per-row ``after_score``/``after_doc`` columns resume each
+    query strictly after that (score, doc) position (search-after
+    pagination). Output schema (FIXTURES.md §3): query_id:int32,
+    rank:int32, doc_id:int64, url:string, score:float32."""
 
     def __init__(self, index_dir: str, mode: str = "bmw", default_k: int = 10,
                  resolve_urls: bool = True, generation: str | None = None,
@@ -898,10 +911,14 @@ class SearcherStage:
     def __call__(self, batch: pa.Table) -> pa.Table:
         qids, ranks, docs, scores = [], [], [], []
         ks = batch["k"].to_pylist() if "k" in batch.column_names else None
+        afters = _after_of_batch(batch)
         for i, (qid, q) in enumerate(zip(batch["query_id"].to_pylist(),
                                          batch["query"].to_pylist())):
             k = int(ks[i]) if ks else self.default_k
-            hits = self.searcher.topk(q, k, mode=self.mode)
+            after = None
+            if afters is not None and afters[i][0] is not None:
+                after = (float(afters[i][0]), int(afters[i][1]))
+            hits = self.searcher.topk(q, k, mode=self.mode, after=after)
             for r, (d, s) in enumerate(hits):
                 qids.append(qid)
                 ranks.append(r)
@@ -935,10 +952,17 @@ class ShardSearcherStage:
     def __call__(self, batch: pa.Table) -> pa.Table:
         qids, docs, scores, ks = [], [], [], []
         kcol = batch["k"].to_pylist() if "k" in batch.column_names else None
+        afters = _after_of_batch(batch)
         for i, (qid, q) in enumerate(zip(batch["query_id"].to_pylist(),
                                          batch["query"].to_pylist())):
             k = int(kcol[i]) if kcol else self.default_k
-            for d, s in self.searcher.topk(q, k, mode=self.mode):
+            after = None
+            if afters is not None and afters[i][0] is not None:
+                after = (float(afters[i][0]), int(afters[i][1]))
+            # per-shard after-filter + cross-shard merge == global
+            # search-after: the after predicate is per-doc, so each global
+            # page-2 doc is in its own shard's after-filtered top-k
+            for d, s in self.searcher.topk(q, k, mode=self.mode, after=after):
                 qids.append(qid)
                 docs.append(d)
                 scores.append(s)

@@ -98,6 +98,33 @@ def test_max_hits_cap(searcher):
             == bl[:4].tolist()
 
 
+def test_search_after_distributed_surfaces(ray_session, built_index, searcher):
+    """after_score/after_doc columns page run_queries and topk_sharded
+    identically to the single-searcher search-after."""
+    import pyarrow as pa
+
+    from org_rdkit_lucene_ray.pipelines.query import topk_sharded
+
+    idx, _ = built_index
+    q = "baba cece"
+    page1 = searcher.topk(q, 5)
+    want_page2 = searcher.topk(q, 5, after=(page1[-1][1], page1[-1][0]))
+    queries = pa.table({
+        "query_id": pa.array([0], pa.int32()),
+        "query": pa.array([q], pa.string()),
+        "k": pa.array([5], pa.int32()),
+        "after_score": pa.array([page1[-1][1]], pa.float64()),
+        "after_doc": pa.array([page1[-1][0]], pa.int64()),
+    })
+    out = run_queries(str(idx), queries, resolve_urls=False,
+                      concurrency=1).to_pandas().sort_values("rank")
+    assert list(zip(out["doc_id"], out["score"])) == \
+        [(d, np.float32(s)) for d, s in want_page2]
+    sh = topk_sharded(str(idx), queries, n_shards=2).to_pandas().sort_values("rank")
+    assert list(zip(sh["doc_id"], sh["score"])) == \
+        [(d, np.float32(s)) for d, s in want_page2]
+
+
 def test_multi_valued_field_postings(ray_session, tmp_path_factory):
     """List-typed field columns index one `col:value` term per element with
     tf = the value's multiplicity (Lucene multi-valued field semantics,
