@@ -259,6 +259,22 @@ def q_quality_scores(sf_dir: str) -> rd.Dataset:
     )
 
 
+QUALITY_FILTER_MIN = 0.7
+
+
+def q_quality_filter(sf_dir: str) -> rd.Dataset:
+    """Corpus curation filter: docs whose composite quality score clears the
+    bar (the export pipeline's predicate; scores are bitwise-SQL-parity, so
+    the threshold comparison selects identical rows)."""
+    from org_rdkit_lucene_ray.pipelines.export import filter_by_quality
+
+    return (
+        filter_by_quality(_docs(sf_dir, columns=["doc_id", "text"]),
+                          QUALITY_FILTER_MIN)
+        .select_columns(["doc_id", "quality"])
+    )
+
+
 def q_doc_fingerprints(sf_dir: str) -> rd.Dataset:
     from org_rdkit_lucene_ray.stages.textstats import md5_fingerprint_batch
 
@@ -965,6 +981,11 @@ GROUP BY term ORDER BY total_tf DESC, term ASC LIMIT 50
 """,
     "lang_counts": "SELECT lang, count(*)::BIGINT AS n_docs FROM documents GROUP BY lang ORDER BY lang",
     "quality_scores": _QUALITY_SQL,
+    "quality_filter": f"""
+WITH q AS ({_QUALITY_SQL})
+SELECT doc_id, quality FROM q WHERE quality >= {QUALITY_FILTER_MIN}
+ORDER BY doc_id
+""",
     "doc_fingerprints": "SELECT doc_id, md5(text) AS fp_md5 FROM documents ORDER BY doc_id",
     "langid": _LANGID_SQL,
     "row_range_filter": """
@@ -1142,6 +1163,7 @@ QUERIES = {
     "top_terms": q_top_terms,
     "lang_counts": q_lang_counts,
     "quality_scores": q_quality_scores,
+    "quality_filter": q_quality_filter,
     "doc_fingerprints": q_doc_fingerprints,
     "langid": q_langid,
     "row_range_filter": q_row_range_filter,

@@ -4,6 +4,7 @@ windows / multimodal plumbing) against plain numpy/pandas oracles."""
 from __future__ import annotations
 
 import hashlib
+import os
 
 import numpy as np
 import pandas as pd
@@ -336,3 +337,44 @@ def test_embedding_dup_pairs(ray_session):
     got_ivf = set(zip(ivf["a"].to_pylist(), ivf["b"].to_pylist()))
     assert got_ivf <= set(want)                 # no false positives
     assert len(got_ivf) >= 0.8 * len(want)      # near-identical pairs co-cluster
+
+
+# ---------------------------------------------------------------- export
+def test_export_curated_partitioned_resume(ray_session, tmp_path_factory):
+    """Quality-filtered export lands lang-partitioned Parquet, resumable
+    per fragment (skip-if-exists on the _done marker)."""
+    import duckdb
+    import pyarrow.parquet as pq
+
+    from org_rdkit_lucene_ray.pipelines.export import export_curated
+    from org_rdkit_lucene_ray.synth import gen_pages
+
+    t = gen_pages(300, seed=11, dup_url_frac=0.0, near_dup_frac=0.0)
+    src = tmp_path_factory.mktemp("exp_pages")
+    for f in range(3):
+        pq.write_table(t.slice(f * 100, 100), str(src / f"p-{f:05d}.parquet"))
+    out = str(tmp_path_factory.mktemp("exp_out"))
+
+    m1 = export_curated(str(src), out, min_quality=0.6)
+    assert m1["resumed"] == 0
+    con = duckdb.connect()
+    want = con.execute(
+        f"SELECT count(*) FROM read_parquet('{src}/*.parquet') "
+        "WHERE 1=1").fetchone()[0]
+    got = con.execute(
+        f"SELECT count(*) FROM read_parquet('{out}/lang=*/*.parquet')").fetchone()[0]
+    assert got == m1["rows_kept"] <= want
+    assert m1["rows_kept"] > 0
+    # partition dirs exist and carry only their language
+    langs = [d for d in os.listdir(out) if d.startswith("lang=")]
+    assert len(langs) >= 2
+    one = con.execute(
+        f"SELECT DISTINCT lang FROM read_parquet('{out}/{langs[0]}/*.parquet')"
+    ).fetchall()
+    assert one == [(langs[0].split("=")[1],)]
+
+    # resume: drop one fragment's marker + outputs -> only that one re-runs
+    os.remove(os.path.join(out, ".done-000001"))
+    m2 = export_curated(str(src), out, min_quality=0.6)
+    assert m2["resumed"] == 2
+    assert m2["rows_kept"] == m1["rows_kept"]
