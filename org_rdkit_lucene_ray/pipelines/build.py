@@ -500,17 +500,23 @@ def _tokenize_fragments_task(batch: pa.Table, *, ctor_kwargs: dict) -> pa.Table:
 
 
 def _write_bucketed_postings(postings: pa.Table, path: str, buckets: int) -> int:
-    """Write a fragment's postings sorted by (bucket, term, doc_id) with ONE
-    ROW GROUP PER BUCKET — the write side of the storage-partitioned
-    exchange that replaces the groupby-term shuffle (encode tasks read one
-    bucket via row-group statistics pruning). Atomic: temp + rename."""
+    """Write a fragment's postings clustered by bucket with ONE ROW GROUP
+    PER BUCKET — the write side of the storage-partitioned exchange that
+    replaces the groupby-term shuffle (encode tasks read one bucket via
+    row-group statistics pruning). Atomic: temp + rename.
+
+    Within a bucket, rows are ordered by (term-HASH, doc_id), not by the
+    term string: bucket contiguity is all the layout contract requires
+    (encode re-sorts its slice by (term, doc_id) anyway, and same-term
+    rows stay adjacent under the hash), while a 3-key numeric np.lexsort
+    is ~4x faster than the Arrow string sort it replaces."""
     import uuid
 
-    bucket = (stable_term_hash(postings["term"]) % buckets).astype(np.int32)
+    h = stable_term_hash(postings["term"])
+    bucket = (h % buckets).astype(np.int32)
     postings = postings.append_column("bucket", pa.array(bucket))
-    order = pc.sort_indices(postings, sort_keys=[
-        ("bucket", "ascending"), ("term", "ascending"), ("doc_id", "ascending")])
-    postings = postings.take(order)
+    order = np.lexsort((postings["doc_id"].to_numpy(), h, bucket))
+    postings = postings.take(pa.array(order))
     os.makedirs(os.path.dirname(path), exist_ok=True)
     tmp = os.path.join(os.path.dirname(path), f".tmp-{uuid.uuid4().hex}")
     bk = postings["bucket"].to_numpy()
@@ -644,8 +650,8 @@ def encode_segments(work_dir: str, gdir: str, cfg: IndexConfig, avgdl: float) ->
             t = pa.concat_tables(tabs)
             if t.num_rows == 0:
                 continue
-            # per-fragment slices are (term, doc_id)-sorted; re-sort the
-            # concatenation (cheap k-way; Arrow sort on mostly-sorted input)
+            # per-fragment slices are hash-grouped (same-term rows adjacent,
+            # term order scrambled); one Arrow sort restores (term, doc_id)
             order = pc.sort_indices(t, sort_keys=[("term", "ascending"),
                                                   ("doc_id", "ascending")])
             out.append(encode_chunk_table(t.take(order), gdir, sid, b, cfg, avgdl))
