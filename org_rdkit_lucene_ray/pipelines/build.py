@@ -512,7 +512,11 @@ def _write_bucketed_postings(postings: pa.Table, path: str, buckets: int) -> int
     is ~4x faster than the Arrow string sort it replaces."""
     import uuid
 
-    h = stable_term_hash(postings["term"])
+    # hash the DICTIONARY (distinct terms, ~2 orders of magnitude fewer
+    # than posting rows), then scatter through the indices
+    td = pc.dictionary_encode(postings["term"].combine_chunks())
+    idx = td.indices.to_numpy(zero_copy_only=False)
+    h = stable_term_hash(td.dictionary)[idx]
     bucket = (h % buckets).astype(np.int32)
     postings = postings.append_column("bucket", pa.array(bucket))
     order = np.lexsort((postings["doc_id"].to_numpy(), h, bucket))
