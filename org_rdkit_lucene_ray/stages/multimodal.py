@@ -91,6 +91,43 @@ class MediaFeatureStage:
         })
 
 
+class ResizeStage:
+    """Actor-pool stage: image payload -> fixed (width x height x channels)
+    payload. The real decode→resize→encode chain is stubbed (no codec libs
+    in this container); the fake emits a deterministic byte surface of
+    EXACTLY ``width*height*channels`` bytes (the input bytes tiled/cut via
+    ``np.resize``), so downstream stages exercise real-shaped data and the
+    object-store sizing is faithful. Output keeps MEDIA_SCHEMA with the
+    resized payload + ``width``/``height`` metadata columns."""
+
+    def __init__(self, width: int = 64, height: int = 64, channels: int = 3,
+                 decoder: str = "fake"):
+        if decoder == "real":
+            raise NotImplementedError(
+                "real image codecs are not available in this environment; "
+                "plug a decode+resize+encode callable here (loaded once per "
+                "actor)")
+        self.width = width
+        self.height = height
+        self.channels = channels
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n_out = self.width * self.height * self.channels
+        payloads = []
+        for p in batch["payload"].to_pylist():
+            src = np.frombuffer(p or b"\x00", dtype=np.uint8)
+            payloads.append(np.resize(src, n_out).tobytes())
+        out = pa.array(payloads, pa.binary())
+        return pa.table({
+            "media_id": pc.cast(batch["media_id"], pa.int64()),
+            "mime": batch["mime"],
+            "payload": out,
+            "n_bytes": pc.cast(pc.binary_length(out), pa.int64()),
+            "width": pa.array([self.width] * batch.num_rows, pa.int32()),
+            "height": pa.array([self.height] * batch.num_rows, pa.int32()),
+        })
+
+
 class FrameSampleStage:
     """Actor-pool stage: video-shaped payload -> K evenly spaced "frames"
     (byte slices standing in for decoded frames; a real decoder replaces

@@ -378,3 +378,20 @@ def test_export_curated_partitioned_resume(ray_session, tmp_path_factory):
     m2 = export_curated(str(src), out, min_quality=0.6)
     assert m2["resumed"] == 2
     assert m2["rows_kept"] == m1["rows_kept"]
+
+
+def test_resize_stage_plumbing(ray_session):
+    from org_rdkit_lucene_ray.stages.multimodal import ResizeStage, attach_payload
+
+    t = _docs_table()
+    media = attach_payload(t)
+    out = ResizeStage(width=8, height=4, channels=3)(media)
+    assert out.num_rows == t.num_rows
+    assert set(out["n_bytes"].to_pylist()) == {8 * 4 * 3}
+    assert out["width"].to_pylist() == [8] * t.num_rows
+    # deterministic: same payload -> same resized bytes
+    again = ResizeStage(width=8, height=4, channels=3)(media)
+    assert out["payload"].to_pylist() == again["payload"].to_pylist()
+    import pytest as _pt
+    with _pt.raises(NotImplementedError):
+        ResizeStage(decoder="real")
