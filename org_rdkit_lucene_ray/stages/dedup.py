@@ -111,6 +111,60 @@ def _shingle_hashes(tokens: list[str], shingle: int) -> np.ndarray:
     return np.unique(acc)
 
 
+def _batch_shingles(toks: pa.ListArray, shingle: int) -> tuple[np.ndarray, np.ndarray]:
+    """Whole-batch distinct shingle hashes -> (parents, hashes), both sorted
+    by (parent, hash). Value-identical to calling :func:`_shingle_hashes`
+    per doc (unit-tested), but fully vectorized: ONE FNV pass over the flat
+    token column, one k-loop over gram positions per length class, one
+    lexsort for the per-doc distinct — no per-document Python."""
+    from org_rdkit_lucene_ray.pipelines.build import stable_term_hash
+
+    flat = pc.list_flatten(toks)
+    n_docs = len(toks)
+    counts = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
+    if len(flat) == 0:
+        return np.zeros(0, np.int64), np.zeros(0, np.uint64)
+    th = stable_term_hash(flat)              # same FNV-1a as _fnv1a_tokens
+    starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    B = np.uint64(1099511628211)
+    OFF = np.uint64(14695981039346656037)
+    parts_p, parts_h = [], []
+    with np.errstate(over="ignore"):
+        # docs with >= `shingle` tokens: every in-doc gram start position
+        long_docs = np.flatnonzero(counts >= shingle)
+        if long_docs.size:
+            n_grams = counts[long_docs] - shingle + 1
+            gram_doc = np.repeat(long_docs, n_grams)
+            bounds = np.concatenate([[0], np.cumsum(n_grams)])
+            intra = np.arange(bounds[-1]) - np.repeat(bounds[:-1], n_grams)
+            gpos = starts[gram_doc] + intra
+            acc = np.full(gpos.size, OFF, dtype=np.uint64)
+            for k in range(shingle):
+                acc = (acc * B) ^ th[gpos + k]
+            parts_p.append(gram_doc)
+            parts_h.append(acc)
+        # shorter docs: ONE gram over the whole doc, per length class
+        for L in range(1, shingle):
+            sel = np.flatnonzero(counts == L)
+            if not sel.size:
+                continue
+            acc = np.full(sel.size, OFF, dtype=np.uint64)
+            for k in range(L):
+                acc = (acc * B) ^ th[starts[sel] + k]
+            parts_p.append(sel)
+            parts_h.append(acc)
+    if not parts_p:
+        return np.zeros(0, np.int64), np.zeros(0, np.uint64)
+    parents = np.concatenate(parts_p)
+    hashes = np.concatenate(parts_h)
+    order = np.lexsort((hashes, parents))
+    parents, hashes = parents[order], hashes[order]
+    keep = np.concatenate([[True], (parents[1:] != parents[:-1])
+                           | (hashes[1:] != hashes[:-1])])
+    del n_docs
+    return parents[keep], hashes[keep]
+
+
 class MinHashStage:
     """Actor stage: docs batch -> LSH band rows (doc_id, band, band_hash).
 
@@ -134,21 +188,15 @@ class MinHashStage:
         self.cfg = REGISTRY["standard"]
 
     def signatures(self, texts: pa.Array) -> np.ndarray:
-        """-> (n_docs, num_perm) uint64 signature matrix."""
+        """-> (n_docs, num_perm) uint64 signature matrix. Shingling is the
+        whole-batch vectorized :func:`_batch_shingles`; minima via
+        sorted-parent ``np.minimum.reduceat`` — no per-doc Python."""
         toks = tokenize_column(texts, self.cfg)
-        docs = toks.to_pylist()
-        flat_parts, parents_parts = [], []
-        for i, doc in enumerate(docs):
-            sh = _shingle_hashes(doc, self.shingle)
-            if sh.size:
-                flat_parts.append(sh)
-                parents_parts.append(np.full(sh.size, i, dtype=np.int64))
-        n = len(docs)
+        n = len(toks)
+        parents, flat = _batch_shingles(toks, self.shingle)
         sig = np.full((n, self.num_perm), np.iinfo(np.uint64).max, dtype=np.uint64)
-        if not flat_parts:
+        if not parents.size:
             return sig
-        flat = np.concatenate(flat_parts)
-        parents = np.concatenate(parents_parts)           # already sorted
         starts = np.flatnonzero(np.concatenate([[True], parents[1:] != parents[:-1]]))
         present = parents[starts]
         x = (flat % np.uint64(_MERSENNE)).astype(np.uint64)
@@ -321,10 +369,18 @@ def minhash_dup_pairs(
     def shingles_of(t: pa.Table) -> pa.Table:
         t = t.filter(pc.is_in(pc.cast(t[id_col], pa.int64()), value_set=need_arr))
         toks = tokenize_column(t[text_col].combine_chunks(), REGISTRY["standard"])
-        sh = [np.sort(_shingle_hashes(d, shingle)) for d in toks.to_pylist()]
+        parents, hashes = _batch_shingles(toks, shingle)
+        counts = np.zeros(t.num_rows, dtype=np.int64)
+        if parents.size:
+            u, c = np.unique(parents, return_counts=True)
+            counts[u] = c
+        offsets = np.concatenate([[0], np.cumsum(counts)])
+        # hashes are sorted within each doc (lexsort in _batch_shingles)
         return pa.table({
             "doc_id": pc.cast(t[id_col], pa.int64()),
-            "sh": pa.array([s.tolist() for s in sh], pa.list_(pa.uint64())),
+            "sh": pa.ListArray.from_arrays(
+                pa.array(offsets, pa.int64()).cast(pa.int32()),
+                pa.array(hashes, pa.uint64())),
         })
 
     sh_rows = docs.map_batches(shingles_of, batch_format="pyarrow").take_all()

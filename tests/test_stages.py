@@ -395,3 +395,19 @@ def test_resize_stage_plumbing(ray_session):
     import pytest as _pt
     with _pt.raises(NotImplementedError):
         ResizeStage(decoder="real")
+
+
+def test_batch_shingles_match_per_doc():
+    """_batch_shingles is value-identical to per-doc _shingle_hashes."""
+    from org_rdkit_lucene_ray.functions.analyze import tokenize_column
+    from org_rdkit_lucene_ray.stages.dedup import _batch_shingles, _shingle_hashes
+
+    t = _docs_table()
+    texts = list(t["text"].to_pylist()) + ["", "one", "two words", "a b c"]
+    arr = pa.array(texts, pa.string())
+    toks = tokenize_column(arr, REGISTRY["standard"])
+    parents, hashes = _batch_shingles(toks, shingle=3)
+    for i, doc in enumerate(toks.to_pylist()):
+        want = np.sort(_shingle_hashes(doc, 3))
+        got = hashes[parents == i]
+        assert got.tolist() == want.tolist(), i
