@@ -78,9 +78,10 @@ class IndexConfig:
     bm25: BM25Params = field(default_factory=BM25Params)
     index_analyzer: AnalyzerConfig = field(default_factory=AnalyzerConfig)
     query_analyzer: AnalyzerConfig = field(default_factory=AnalyzerConfig)
-    # extra sub-salt inside a segment when a single (segment, term) group is
-    # still too large; 1 = off. Group width bound = docs_per_segment / sub_salt.
-    sub_salt: int = 1
+    # NOTE: a per-(segment, term) "sub-salt" knob existed in r1 but was
+    # never applied — docs_per_segment already bounds the widest encode
+    # task (smaller segments = finer doc-range salting), so the knob was
+    # removed rather than carried as dead configuration.
     # metadata columns indexed as composite "col:value" terms (J5 multi-field
     # query surface, MultiFieldQueryParser analog ChemicalIndex.java:466-491)
     field_columns: tuple[str, ...] = ()
@@ -95,6 +96,5 @@ class IndexConfig:
             "index_analyzer_fp": self.index_analyzer.fingerprint(),
             "query_analyzer": asdict(self.query_analyzer),
             "query_analyzer_fp": self.query_analyzer.fingerprint(),
-            "sub_salt": self.sub_salt,
             "field_columns": list(self.field_columns),
         }

@@ -71,7 +71,6 @@ def _cfg_from_manifest(m: dict) -> IndexConfig:
         bm25=BM25Params(**c["bm25"]),
         index_analyzer=mk(c["index_analyzer"]),
         query_analyzer=mk(c["query_analyzer"]),
-        sub_salt=c.get("sub_salt", 1),
         field_columns=tuple(c.get("field_columns", ())),
     )
 
