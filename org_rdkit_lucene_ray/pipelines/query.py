@@ -1035,6 +1035,11 @@ def run_queries(
 
         concurrency = max(1, int(ray.cluster_resources().get("CPU", 4)) // 2) \
             if ray.is_initialized() else 2
+    # a small query table arrives as ONE block; without a repartition the
+    # actor pool would receive a single task and run on one actor
+    n_blocks = max(int(concurrency) if not isinstance(concurrency, tuple)
+                   else concurrency[1], 1) * 2
+    ds = ds.repartition(n_blocks)
     return ds.map_batches(
         SearcherStage,
         fn_constructor_kwargs=dict(index_dir=index_dir, mode=mode, resolve_urls=resolve_urls),
