@@ -849,6 +849,31 @@ class Searcher:
                            if f.endswith(".parquet"))
         return out
 
+    def _fwd_ranges(self) -> list[tuple[str, int, int]]:
+        """(path, min_doc, max_doc) per forward fragment, from Parquet
+        footer statistics — cached once per searcher so point lookups and
+        url resolution only open files whose doc range overlaps the
+        request (fragments hold contiguous doc ranges by construction)."""
+        if not hasattr(self, "_fwd_range_cache"):
+            out = []
+            for p in self._fwd_files():
+                md = pq.read_metadata(p)
+                los, his = [], []
+                for rg in range(md.num_row_groups):
+                    col = md.row_group(rg).column(0)     # doc_id is column 0
+                    st = col.statistics
+                    if st is None or not st.has_min_max:
+                        los, his = [None], [None]
+                        break
+                    los.append(st.min)
+                    his.append(st.max)
+                if los and los[0] is None:
+                    out.append((p, -(1 << 62), 1 << 62))   # stats missing: scan
+                else:
+                    out.append((p, int(min(los)), int(max(his))))
+            self._fwd_range_cache = out
+        return self._fwd_range_cache
+
     def _not_deleted(self, t: pa.Table) -> pa.Table:
         if self._deletes is None or not self._deletes.size or not t.num_rows:
             return t
@@ -863,12 +888,18 @@ class Searcher:
         return pa.concat_tables(tabs)
 
     def resolve_urls(self, doc_ids: list[int]) -> dict[int, str]:
-        """J7: top-k doc ids -> urls via pushdown read of the forward index."""
+        """J7: top-k doc ids -> urls via pushdown read of JUST the forward
+        fragments whose footer doc range overlaps the requested ids."""
         if not doc_ids:
             return {}
         ids = sorted(set(int(d) for d in doc_ids))
+        ids_np = np.asarray(ids, dtype=np.int64)
         out: dict[int, str] = {}
-        for p in self._fwd_files():
+        for p, lo, hi in self._fwd_ranges():
+            # any requested id inside this fragment's [lo, hi]?
+            i = int(np.searchsorted(ids_np, lo, side="left"))
+            if i >= ids_np.size or ids_np[i] > hi:
+                continue
             t = pq.read_table(
                 p, columns=["doc_id", "url"],
                 filters=[("doc_id", ">=", ids[0]), ("doc_id", "<=", ids[-1])],
