@@ -174,3 +174,42 @@ def test_random_corpus_extended_search_types(ray_session, tmp_path_factory, seed
         assert [d for d, _ in sv] == sorted(
             [d for d, _ in want], key=lambda dd: (
                 -float(dict(want)[dd]), dd))[:len(sv)] or sv == []
+
+
+@pytest.mark.parametrize("seed", [606, 707])
+def test_random_corpus_search_after_paging(ray_session, tmp_path_factory, seed):
+    """Paging with after=(last score, last doc) reconstructs the full
+    ranking with no gaps or duplicates, for every page size and mode, on
+    random corpora (K2 search-after collector)."""
+    from org_rdkit_lucene_ray.pipelines.build import build_index
+    from org_rdkit_lucene_ray.pipelines.query import Searcher
+    from org_rdkit_lucene_ray.synth import write_pages_dir
+
+    rng = np.random.default_rng(seed)
+    d = tmp_path_factory.mktemp(f"pg_pages_{seed}")
+    write_pages_dir(str(d), n_docs=220, n_fragments=2, seed=seed,
+                    dup_url_frac=0.0)
+    idx = tmp_path_factory.mktemp(f"pg_idx_{seed}")
+    build_index(str(d), str(idx),
+                cfg=IndexConfig(docs_per_segment=64, term_buckets=4,
+                                block_size=16),
+                dedup=False)
+    s = Searcher(str(idx))
+    from org_rdkit_lucene_ray.synth import vocab
+
+    words = vocab(200)
+    for _ in range(8):
+        q = " ".join(words[int(rng.integers(0, 40))] for _ in range(int(rng.integers(1, 4))))
+        full = s.topk(q, 500, mode="exhaustive")
+        page_size = int(rng.integers(1, 9))
+        for mode in ("bmw", "wand", "exhaustive"):
+            pages, after = [], None
+            while True:
+                page = s.topk(q, page_size, mode=mode, after=after)
+                if not page:
+                    break
+                pages.extend(page)
+                if len(page) < page_size:
+                    break
+                after = (page[-1][1], page[-1][0])
+            assert pages == full, (seed, q, mode, page_size)
