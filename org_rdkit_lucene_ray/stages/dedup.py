@@ -120,7 +120,6 @@ def _batch_shingles(toks: pa.ListArray, shingle: int) -> tuple[np.ndarray, np.nd
     from org_rdkit_lucene_ray.pipelines.build import stable_term_hash
 
     flat = pc.list_flatten(toks)
-    n_docs = len(toks)
     counts = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
     if len(flat) == 0:
         return np.zeros(0, np.int64), np.zeros(0, np.uint64)
@@ -161,7 +160,6 @@ def _batch_shingles(toks: pa.ListArray, shingle: int) -> tuple[np.ndarray, np.nd
     parents, hashes = parents[order], hashes[order]
     keep = np.concatenate([[True], (parents[1:] != parents[:-1])
                            | (hashes[1:] != hashes[:-1])])
-    del n_docs
     return parents[keep], hashes[keep]
 
 
