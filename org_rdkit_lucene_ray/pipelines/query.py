@@ -557,13 +557,13 @@ class Searcher:
         total = sum(c.docs.size for c in curs)
         if total > span // 16 and span <= 64_000_000:
             acc = np.zeros(span, dtype=np.float64)
-            touched = np.zeros(span, dtype=bool)
             for c in curs:                         # ascending term order
                 w = c.weight_vector()
                 for _ in range(c.mult):
                     acc[c.docs] += w
-                touched[c.docs] = True
-            docs = np.flatnonzero(touched)
+            # BM25 weights are strictly positive (idf > 0 even at df == N),
+            # so acc != 0 IS the touched set — no separate bool scatter
+            docs = np.flatnonzero(acc)
             s32 = acc[docs].astype(np.float32)
             if after is not None and docs.size:
                 m = self._after_mask(docs, s32, after)
