@@ -229,6 +229,58 @@ def test_crash_resume_byte_identical(ray_session, pages_dir, tmp_path_factory):
     assert _tree_hashes(os.path.join(gdir2, "segments")) == control
 
 
+def test_chained_deltas_three_generations(ray_session, pages_dir, tmp_path_factory):
+    """Two sequential add_documents calls -> three live generations; the
+    searcher unions all three with correct cross-generation upsert masking,
+    and a final merge compacts to exact stats."""
+    import pyarrow as pa
+
+    from org_rdkit_lucene_ray.synth import gen_pages
+
+    def frag(tbl, name):
+        d = tmp_path_factory.mktemp(name)
+        pq.write_table(tbl, str(d / "p.parquet"))
+        return str(d)
+
+    base = gen_pages(300, seed=21, dup_url_frac=0.0, near_dup_frac=0.0)
+    d1 = gen_pages(100, seed=22, dup_url_frac=0.0, near_dup_frac=0.0)
+    d2 = gen_pages(100, seed=23, dup_url_frac=0.0, near_dup_frac=0.0)
+    # d1 upserts 10 base urls; d2 upserts 5 base urls AND 5 d1 urls
+    base_urls = base["url"].to_pylist()
+    u1 = [u.replace("https://", "https://d1.") for u in d1["url"].to_pylist()]
+    for i in range(10):
+        u1[i * 7] = base_urls[i]
+    d1 = d1.set_column(0, "url", pa.array(u1, pa.string()))
+    u2 = [u.replace("https://", "https://d2.") for u in d2["url"].to_pylist()]
+    for i in range(5):
+        u2[i * 9] = base_urls[50 + i]
+        u2[i * 9 + 1] = u1[i * 7 + 1]       # a d1 url (non-upserted one)
+    d2 = d2.set_column(0, "url", pa.array(u2, pa.string()))
+
+    idx = str(tmp_path_factory.mktemp("chain_idx"))
+    build_index(frag(base, "chain_base"), idx, cfg=CFG)
+    add_documents(idx, frag(d1, "chain_d1"))
+    m2 = add_documents(idx, frag(d2, "chain_d2"))
+    assert m2["includes"] == ["gen-000000", "gen-000001", "gen-000002"]
+
+    s = Searcher(idx)
+    # every upserted url resolves to exactly ONE live doc (the newest)
+    for u in [base_urls[0], base_urls[50], u2[1]]:
+        t = s.lookup_pk(u)
+        assert t.num_rows == 1, u
+    # deletes accumulate across the chain: 10 base + 5 base + 5 d1
+    assert read_deletes(idx).size == 20
+    pre = {int(d) for d in s.search_or("baba cece dodi")}
+
+    merged = merge_generations(idx)
+    assert merged["stats"]["n_docs"] == 300 + 100 + 100 - 20
+    s2 = Searcher(idx)
+    assert {int(d) for d in s2.search_or("baba cece dodi")} == pre
+    for q in gen_queries(n_random=10).to_pylist():
+        assert s2.topk_bmw(q["query"], int(q["k"])) == \
+            s2.topk_exhaustive(q["query"], int(q["k"])), q["query"]
+
+
 def test_merge_crash_resume(ray_session, pages_dir, tmp_path_factory):
     """A merge killed mid-flight resumes by skip-if-exists: rerunning after
     deleting the new generation's manifest + a slice of its outputs
