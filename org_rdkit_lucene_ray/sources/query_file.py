@@ -68,3 +68,64 @@ def write_results_csv(results: rd.Dataset, out_dir: str) -> None:
     (``LuceneBenchmark.java:435-500``); a distributed sink writes one shard
     per block instead — same rows, no lock."""
     results.write_csv(out_dir)
+
+
+# ------------------------------------------------------------- S4 ini config
+BENCHMARK_DEFAULTS = {
+    "first_row": "0",
+    "last_row": "-1",              # -1 = to end (reference uses lastRow)
+    "searches_per_type": "1",
+    "thread_count": "1",
+    "search_types": "FP,SS,MOL",
+    "k": "10",
+}
+
+
+def read_benchmark_config(path: str, *, time_stamp: str = "time") -> dict:
+    """Java-Properties-style benchmark config reader — the S4 analog of
+    ``LuceneBenchmark.readConfigFile`` (``LuceneBenchmark.java:716-745``):
+    ``key=value`` lines, ``#``/``!`` comments, defaults layering
+    (:data:`BENCHMARK_DEFAULTS`), and ``%key%`` placeholder substitution in
+    ``result_csv`` (the reference substitutes querySmilesFile/indexDir/
+    threadCount/searchesPerType/searchTypes/firstRow/lastRow plus the
+    ``%time%`` run stamp — injected here via ``time_stamp`` so outputs stay
+    deterministic under test)."""
+    props = dict(BENCHMARK_DEFAULTS)
+    with open(path) as fh:
+        for line in fh:
+            line = line.strip()
+            if not line or line[0] in "#!":
+                continue
+            if "=" in line:
+                k, _, v = line.partition("=")
+                props[k.strip()] = v.strip()
+    rc = props.get("result_csv", "")
+    for k, v in sorted(props.items()):
+        rc = rc.replace(f"%{k}%", v)
+    rc = rc.replace("%time%", time_stamp)
+    if rc:
+        props["result_csv"] = rc
+    return props
+
+
+def run_benchmark_config(config_path: str, *, time_stamp: str = "time") -> dict:
+    """End-to-end ``-benchmark`` analog: ini config -> query-file reader
+    (row range, seeded shuffle) -> searcher actor pool -> CSV results sink
+    (``LuceneBenchmark.java:630-714`` condensed to one Dataset pipeline).
+    Returns the parsed config + result row count."""
+    from org_rdkit_lucene_ray.pipelines.query import run_queries
+
+    cfg = read_benchmark_config(config_path, time_stamp=time_stamp)
+    last = int(cfg["last_row"])
+    queries = read_query_file(
+        cfg["query_file"],
+        first_row=int(cfg["first_row"]),
+        last_row=None if last < 0 else last,
+        default_k=int(cfg["k"]),
+        shuffle_seed=int(cfg["shuffle_seed"]) if "shuffle_seed" in cfg else None,
+    )
+    res = run_queries(cfg["index_dir"], queries,
+                      concurrency=int(cfg["thread_count"]))
+    write_results_csv(res, cfg["result_csv"])
+    n = sum(1 for f in __import__("os").listdir(cfg["result_csv"]))
+    return {"config": cfg, "result_files": n}

@@ -90,3 +90,45 @@ def test_fielded_search(ray_session, pages_dir, tmp_path_factory):
     assert hits and all(d in set(fwd["doc_id"].to_pylist()) for d, _ in hits)
     # unknown field prefix falls back to plain analysis (no crash)
     assert isinstance(s.search_or("nofield:xx baba").tolist(), list)
+
+def test_benchmark_config_reader(tmp_path):
+    """S4 ini analog: defaults layering + %key%/%time% substitution."""
+    from org_rdkit_lucene_ray.sources.query_file import read_benchmark_config
+
+    ini = tmp_path / "bench.ini"
+    ini.write_text(
+        "# comment\n"
+        "! also a comment\n"
+        "query_file = /data/queries.txt\n"
+        "index_dir=/data/idx\n"
+        "thread_count = 6\n"
+        "result_csv = /out/run-%thread_count%t-%time%.csv\n"
+    )
+    cfg = read_benchmark_config(str(ini), time_stamp="20260817")
+    assert cfg["thread_count"] == "6"
+    assert cfg["searches_per_type"] == "1"        # default layered in
+    assert cfg["result_csv"] == "/out/run-6t-20260817.csv"
+
+
+def test_run_benchmark_config_end_to_end(ray_session, built_index, tmp_path):
+    """ini -> query file -> searcher pool -> CSV sink, one call."""
+    from org_rdkit_lucene_ray.sources.query_file import run_benchmark_config
+
+    idx, _ = built_index
+    qf = tmp_path / "queries.txt"
+    qf.write_text("baba cece\ndodi\nbaba\tdodi cece\n")
+    out = tmp_path / "results"
+    ini = tmp_path / "bench.ini"
+    ini.write_text(
+        f"query_file = {qf}\nindex_dir = {idx}\nthread_count = 1\n"
+        f"k = 5\nresult_csv = {out}\n"
+    )
+    r = run_benchmark_config(str(ini))
+    assert r["result_files"] >= 1
+    import glob
+
+    import pandas as pd
+
+    rows = pd.concat([pd.read_csv(f) for f in glob.glob(f"{out}/*.csv")])
+    assert {"query_id", "rank", "doc_id", "score"} <= set(rows.columns)
+    assert len(rows) > 0
