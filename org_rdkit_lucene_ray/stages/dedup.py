@@ -123,7 +123,11 @@ def _batch_shingles(toks: pa.ListArray, shingle: int) -> tuple[np.ndarray, np.nd
     counts = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
     if len(flat) == 0:
         return np.zeros(0, np.int64), np.zeros(0, np.uint64)
-    th = stable_term_hash(flat)              # same FNV-1a as _fnv1a_tokens
+    # hash the token DICTIONARY (vocab-sized), scatter through the indices
+    # — same FNV-1a values as _fnv1a_tokens, ~vocab/occurrences less work
+    enc = pc.dictionary_encode(flat)
+    th = stable_term_hash(enc.dictionary)[
+        enc.indices.to_numpy(zero_copy_only=False)]
     starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
     B = np.uint64(1099511628211)
     OFF = np.uint64(14695981039346656037)
