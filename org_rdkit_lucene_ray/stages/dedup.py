@@ -19,7 +19,12 @@ al., WWW 2007 for the Hamming-band trick).
 Scale notes are inline: signatures/bands flow through ``groupby`` shuffles;
 only verified-candidate handling assumes "near-dup pairs << corpus", the
 standard LSH operating regime. Candidate counts are logged, never silently
-capped.
+capped. SimHash hot buckets (statistically homogeneous corpora concentrate
+simhashes) are handled losslessly — identical-hash clusters compress to
+star pairs, oversized distinct buckets refine by pigeonhole sub-banding —
+and a per-bucket candidate ceiling turns the truly degenerate case (the
+answer itself is quadratic) into an explicit, actionable error instead of
+an object-store blowup.
 """
 
 from __future__ import annotations
@@ -422,33 +427,214 @@ def minhash_dup_pairs(
 
 # ------------------------------------------------------------------- simhash
 class SimHashStage:
-    """64-bit SimHash per doc (token-instance weighted), vectorized via
-    unpackbits + reduceat. Appends ``simhash:int64``."""
+    """64-bit SimHash per doc (token-instance weighted), vectorized
+    BATCH-WIDE: dictionary-hashed token FNVs -> unpackbits over the whole
+    flat token column -> per-doc bit sums via ``np.add.reduceat`` over the
+    (sorted) parent runs — no per-document Python. Appends
+    ``simhash:int64``; values identical to the r1 per-doc path."""
 
     def __init__(self, text_col: str = "text"):
         self.text_col = text_col
         self.cfg = REGISTRY["standard"]
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        from org_rdkit_lucene_ray.pipelines.build import stable_term_hash
+
         toks = tokenize_column(batch[self.text_col].combine_chunks(), self.cfg)
-        docs = toks.to_pylist()
         out = np.zeros(batch.num_rows, dtype=np.uint64)
-        for i, doc in enumerate(docs):
-            if not doc:
-                continue
-            h = _fnv1a_tokens(doc)
-            bits = np.unpackbits(h.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little")
-            votes = bits.astype(np.int64).sum(axis=0) * 2 - len(doc)
-            word = np.packbits((votes > 0).astype(np.uint8), bitorder="little")
-            out[i] = word.view(np.uint64)[0]
+        flat = pc.list_flatten(toks)
+        if len(flat):
+            # token hashes come from the DICTIONARY (the former per-token
+            # Python FNV was the hot cost); the per-doc bit voting stays a
+            # small-slice loop — a batch-wide unpackbits would materialize
+            # a 64x int64 blow-up of the token stream (measured pathological)
+            enc = pc.dictionary_encode(flat)
+            h = stable_term_hash(enc.dictionary)[
+                enc.indices.to_numpy(zero_copy_only=False)]
+            counts = pc.list_value_length(toks).to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            bounds = np.concatenate([[0], np.cumsum(counts)])
+            for i in np.flatnonzero(counts > 0):
+                hd = h[bounds[i]:bounds[i + 1]]
+                bits = np.unpackbits(hd.view(np.uint8).reshape(-1, 8),
+                                     axis=1, bitorder="little")
+                votes = bits.astype(np.int64).sum(axis=0) * 2 - hd.size
+                word = np.packbits((votes > 0).astype(np.uint8),
+                                   bitorder="little")
+                out[i] = word.view(np.uint64)[0]
         return batch.append_column("simhash", pa.array(out.astype(np.int64), pa.int64()))
+
+
+def _simhash_group_pairs(group: pa.Table, *, max_hamming: int,
+                         refine_threshold: int = 2048) -> pa.Table:
+    """Candidate pairs of one band bucket, HOT-BUCKET SAFE.
+
+    Small buckets -> all pairs (the vanilla LSH path). Oversized buckets
+    (topically-homogeneous corpora concentrate simhashes; measured: a
+    single 16-bit band bucket holding 120k of 400k docs => 7e9 naive
+    pairs) are handled in two steps that lose no dedup information:
+
+    1. IDENTICAL simhashes collapse to hamming-0 equivalence classes,
+       emitted as STAR pairs (min id x each member): O(n) pairs encode
+       the same keep/drop decision as the O(n^2) clique (logged, per the
+       no-silent-caps policy); one representative per class continues.
+    2. Distinct values still oversized are refined RECURSIVELY by
+       sub-banding the not-yet-keyed bits: a pair clean in this band has
+       <= max_hamming diffs in the remaining bits, so splitting them into
+       ``max_hamming + 1`` sub-bands pigeonholes one clean sub-band —
+       refinement finds every qualifying representative pair; distinct
+       values guarantee the recursion makes progress."""
+    ids = group["doc_id"].to_numpy()
+    h = group["simhash"].to_numpy().astype(np.uint64)
+    band = int(group["band"][0].as_py())
+    # bits already consumed by the top-level band key
+    used = frozenset(band * 16 + k for k in range(16))
+    budget = _PairBudget(_MAX_BUCKET_PAIRS)
+    return _refine_pairs(ids, h, used, max_hamming, refine_threshold,
+                         budget=budget)
+
+
+# Per-bucket candidate ceiling: if ONE band bucket legitimately produces
+# more candidate pairs than this, the corpus is DEGENERATE at the chosen
+# max_hamming (near-everything is mutually near — the true answer is
+# quadratic, e.g. statistically homogeneous synthetic text); filling the
+# object store with the quadratic answer helps nobody, so fail loudly
+# with guidance instead (explicit error, not a silent cap).
+_MAX_BUCKET_PAIRS = 20_000_000
+
+
+class _PairBudget:
+    __slots__ = ("left",)
+
+    def __init__(self, n: int):
+        self.left = n
+
+    def spend(self, n: int) -> None:
+        self.left -= n
+        if self.left < 0:
+            raise ValueError(
+                "simhash candidate pairs exceed the per-bucket ceiling "
+                f"({_MAX_BUCKET_PAIRS:,}): at this max_hamming the corpus is "
+                "dominated by mutually-near documents (the true pair set is "
+                "quadratic). Run exact dedup first, lower max_hamming, or "
+                "switch to a cluster-representative output.")
+
+
+_EMPTY_PAIRS = None
+
+
+def _empty_pairs() -> pa.Table:
+    return pa.table({"a": pa.array([], pa.int64()),
+                     "b": pa.array([], pa.int64())})
+
+
+def _dedupe_pairs(parts: list[pa.Table]) -> pa.Table:
+    parts = [p for p in parts if p.num_rows]
+    if not parts:
+        return _empty_pairs()
+    out = pa.concat_tables(parts)
+    a = out["a"].to_numpy()
+    b = out["b"].to_numpy()
+    o = np.lexsort((b, a))
+    a, b = a[o], b[o]
+    keep = np.concatenate([[True], (a[1:] != a[:-1]) | (b[1:] != b[:-1])])
+    return pa.table({"a": pa.array(a[keep], pa.int64()),
+                     "b": pa.array(b[keep], pa.int64())})
+
+
+def _refine_pairs(ids: np.ndarray, h: np.ndarray, used_bits: frozenset,
+                  max_hamming: int, refine_threshold: int,
+                  budget: "_PairBudget | None" = None) -> pa.Table:
+    ids = np.asarray(ids)
+    order = np.argsort(ids)
+    ids, h = ids[order], h[order]
+    # dedupe doc ids (defensive; upstream emits one row per doc per band)
+    keep = np.concatenate([[True], ids[1:] != ids[:-1]]) if ids.size else \
+        np.zeros(0, bool)
+    ids, h = ids[keep], h[keep]
+    n = ids.size
+    if n < 2:
+        return _empty_pairs()
+    if n <= refine_threshold:
+        ii, jj = np.triu_indices(n, k=1)
+        if budget is not None:
+            budget.spend(ii.size)
+        return pa.table({"a": pa.array(ids[ii], pa.int64()),
+                         "b": pa.array(ids[jj], pa.int64())})
+    # 1. collapse IDENTICAL hashes: hamming-0 clusters are equivalence
+    #    classes -> star pairs (min id x members) + one representative each
+    o = np.lexsort((ids, h))
+    hs, is_ = h[o], ids[o]
+    first = np.concatenate([[True], hs[1:] != hs[:-1]])
+    cluster_of = np.cumsum(first) - 1
+    rep_ids = is_[first]                    # min id per cluster (ids asc per h)
+    parts = []
+    multi = np.flatnonzero(np.bincount(cluster_of) > 1)
+    if multi.size:
+        mask = np.isin(cluster_of, multi) & ~first
+        stars_a = rep_ids[cluster_of[mask]]
+        stars_b = is_[mask]
+        if budget is not None:
+            budget.spend(stars_a.size)
+        parts.append(pa.table({"a": pa.array(stars_a, pa.int64()),
+                               "b": pa.array(stars_b, pa.int64())}))
+        logger.info("simhash: %d identical-hash clusters (largest %d) -> star pairs",
+                    multi.size, int(np.bincount(cluster_of).max()))
+    rep_h = hs[first]
+    m = rep_ids.size
+    if m < 2:
+        return _dedupe_pairs(parts)
+    if m <= refine_threshold:
+        so = np.argsort(rep_ids)
+        rid = rep_ids[so]
+        ii, jj = np.triu_indices(m, k=1)
+        if budget is not None:
+            budget.spend(ii.size)
+        parts.append(pa.table({"a": pa.array(rid[ii], pa.int64()),
+                               "b": pa.array(rid[jj], pa.int64())}))
+        return _dedupe_pairs(parts)
+    # 2. DISTINCT values still oversized: pigeonhole sub-banding over the
+    #    not-yet-keyed bits (any clean pair has a clean sub-band).
+    #    Distinct values guarantee progress: some sub-band splits them.
+    free = [b for b in range(64) if b not in used_bits]
+    if not free:                           # unreachable for distinct values
+        so = np.argsort(rep_ids)
+        rid = rep_ids[so]
+        ii, jj = np.triu_indices(m, k=1)
+        if budget is not None:
+            budget.spend(ii.size)
+        parts.append(pa.table({"a": pa.array(rid[ii], pa.int64()),
+                               "b": pa.array(rid[jj], pa.int64())}))
+        return _dedupe_pairs(parts)
+    n_sub = max_hamming + 1
+    sub_size = (len(free) + n_sub - 1) // n_sub
+    for s in range(n_sub):
+        bits = free[s * sub_size:(s + 1) * sub_size]
+        if not bits:
+            continue
+        key = np.zeros(m, dtype=np.uint64)
+        for k, b in enumerate(bits):
+            key |= ((rep_h >> np.uint64(b)) & np.uint64(1)) << np.uint64(k)
+        ko = np.argsort(key, kind="stable")
+        ks = key[ko]
+        bstarts = np.flatnonzero(np.concatenate([[True], ks[1:] != ks[:-1]]))
+        bounds = np.concatenate([bstarts, [m]])
+        for i in range(bstarts.size):
+            sel = ko[bounds[i]:bounds[i + 1]]
+            if sel.size < 2:
+                continue
+            parts.append(_refine_pairs(
+                rep_ids[sel], rep_h[sel], used_bits | frozenset(bits),
+                max_hamming, refine_threshold, budget=budget))
+    return _dedupe_pairs(parts)
 
 
 def simhash_dup_pairs(docs: rd.Dataset, *, max_hamming: int = 3,
                       text_col: str = "text", id_col: str = "doc_id",
                       concurrency: int | None = None) -> pa.Table:
     """SimHash near-dup pairs: 4 x 16-bit band buckets (pigeonhole-complete
-    for Hamming distance <= 3) -> groupby bucket -> verify Hamming."""
+    for Hamming distance <= 3) -> groupby bucket -> hot-bucket-safe
+    candidate pairs (:func:`_simhash_group_pairs`) -> verify Hamming."""
     # materialized: (id, simhash) is 16 B/doc and is consumed twice (band
     # chain + candidate LUT); at cluster scale this would be written
     # hash-partitioned to Parquet instead — same two consumers
@@ -471,12 +657,16 @@ def simhash_dup_pairs(docs: rd.Dataset, *, max_hamming: int = 3,
             }))
         return pa.concat_tables(parts)
 
+    import functools
+
     import ray
 
     pairs_ds = _distinct_pairs(
         sig.map_batches(to_bands, batch_format="pyarrow")
         .groupby(["band", "band_hash"])
-        .map_groups(_pairs_of_group, batch_format="pyarrow"))
+        .map_groups(functools.partial(_simhash_group_pairs,
+                                      max_hamming=max_hamming),
+                    batch_format="pyarrow"))
     need = _candidate_ids(pairs_ds)
     logger.info("simhash: %d candidate docs in distinct pairs", len(need))
     empty = pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),

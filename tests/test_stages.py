@@ -411,3 +411,62 @@ def test_batch_shingles_match_per_doc():
         want = np.sort(_shingle_hashes(doc, 3))
         got = hashes[parents == i]
         assert got.tolist() == want.tolist(), i
+
+
+def test_simhash_batch_matches_per_doc(ray_session):
+    """Batch-vectorized SimHash is value-identical to the per-doc formula."""
+    from org_rdkit_lucene_ray.functions.analyze import tokenize_column
+    from org_rdkit_lucene_ray.stages.dedup import SimHashStage, _fnv1a_tokens
+
+    t = _docs_table()
+    texts = list(t["text"].to_pylist()) + ["", "solo"]
+    tbl = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                    "text": pa.array(texts, pa.string())})
+    got = SimHashStage()(tbl)["simhash"].to_numpy().astype(np.uint64)
+    toks = tokenize_column(tbl["text"].combine_chunks(), REGISTRY["standard"])
+    for i, doc in enumerate(toks.to_pylist()):
+        if not doc:
+            assert got[i] == 0
+            continue
+        h = _fnv1a_tokens(doc)
+        bits = np.unpackbits(h.view(np.uint8).reshape(-1, 8), axis=1,
+                             bitorder="little")
+        votes = bits.astype(np.int64).sum(axis=0) * 2 - len(doc)
+        want = np.packbits((votes > 0).astype(np.uint8),
+                           bitorder="little").view(np.uint64)[0]
+        assert got[i] == want, i
+
+
+def test_simhash_hot_bucket_refinement():
+    """_refine_pairs: identical-hash clusters -> star pairs; every true
+    near pair (hamming <= 3) among distinct values survives refinement."""
+    from org_rdkit_lucene_ray.stages.dedup import _refine_pairs
+
+    # identical cluster of 100 -> 99 star pairs from the min id
+    ids = np.arange(100, dtype=np.int64)
+    h = np.full(100, 0x1234_5678_9ABC_DEF0, dtype=np.uint64)
+    out = _refine_pairs(ids, h, frozenset(range(16)), 3, refine_threshold=10)
+    assert out.num_rows == 99
+    assert set(out["a"].to_pylist()) == {0}
+    assert sorted(out["b"].to_pylist()) == list(range(1, 100))
+
+    # distinct values with planted near pairs: candidates must cover them
+    rng = np.random.default_rng(3)
+    base = rng.integers(0, 2**63, size=300, dtype=np.int64).astype(np.uint64)
+    h2 = base.copy()
+    planted = []
+    for i in range(0, 40, 2):
+        flip = np.uint64(0)
+        for b in rng.choice(48, size=int(rng.integers(0, 4)), replace=False):
+            flip |= np.uint64(1) << np.uint64(16 + int(b))  # keep band 0 clean
+        h2[i + 1] = h2[i] ^ flip
+        planted.append((i, i + 1))
+    ids2 = np.arange(300, dtype=np.int64)
+    out2 = _refine_pairs(ids2, h2, frozenset(range(16)), 3, refine_threshold=8)
+    # representative mapping: identical pairs (flip==0) become star pairs,
+    # others must appear directly
+    got = set(zip(out2["a"].to_pylist(), out2["b"].to_pylist()))
+    for a, b in planted:
+        xor = int(h2[a] ^ h2[b])
+        if bin(xor).count("1") <= 3 and int((xor & 0xFFFF)) == 0:
+            assert (a, b) in got, (a, b, hex(xor))
