@@ -265,10 +265,23 @@ def _simhash_task(t: pa.Table, *, text_col: str) -> pa.Table:
     return st(t)
 
 
+_MAX_LSH_BUCKET = 20_000
+
+
 def _pairs_of_group(group: pa.Table) -> pa.Table:
     ids = np.unique(group["doc_id"].to_numpy())
     if ids.size < 2:
         return pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())})
+    if ids.size > _MAX_LSH_BUCKET:
+        # a MinHash band bucket this large means huge identical-signature
+        # clusters (mass exact/near-exact duplication): the candidate set
+        # is quadratic by construction. Fail loudly with guidance rather
+        # than silently flooding the object store.
+        raise ValueError(
+            f"LSH band bucket holds {ids.size:,} docs "
+            f"(> {_MAX_LSH_BUCKET:,}): the corpus carries mass-duplicated "
+            "content — run exact dedup first (exact_dedup_groups), then "
+            "near-dup detection on the distinct survivors.")
     ii, jj = np.triu_indices(ids.size, k=1)
     return pa.table({"a": pa.array(ids[ii]), "b": pa.array(ids[jj])})
 
