@@ -470,3 +470,25 @@ def test_simhash_hot_bucket_refinement():
         xor = int(h2[a] ^ h2[b])
         if bin(xor).count("1") <= 3 and int((xor & 0xFFFF)) == 0:
             assert (a, b) in got, (a, b, hex(xor))
+
+
+def test_dedup_degeneracy_guards():
+    """Oversized LSH buckets and over-budget simhash refinement raise
+    explicit, actionable errors instead of emitting quadratic candidates."""
+    from org_rdkit_lucene_ray.stages.dedup import (
+        _MAX_LSH_BUCKET,
+        _PairBudget,
+        _pairs_of_group,
+        _refine_pairs,
+    )
+
+    big = pa.table({"doc_id": pa.array(
+        np.arange(_MAX_LSH_BUCKET + 1, dtype=np.int64))})
+    with pytest.raises(ValueError, match="exact dedup first"):
+        _pairs_of_group(big)
+
+    ids = np.arange(100, dtype=np.int64)
+    h = np.full(100, 7, dtype=np.uint64)       # identical: 99 star pairs
+    with pytest.raises(ValueError, match="per-bucket ceiling"):
+        _refine_pairs(ids, h, frozenset(range(16)), 3, refine_threshold=10,
+                      budget=_PairBudget(50))
