@@ -219,19 +219,13 @@ def compute_dup_losers(fragments: list[dict], work_dir: str) -> str:
         out = []
         for row in batch.to_pylist():
             b = int(row["bucket"])
-            tabs = [pq.read_table(p, columns=["url", "warc_ts_us", "doc_id"],
+            tabs = [pq.read_table(p, columns=["uh", "url", "warc_ts_us", "doc_id"],
                                   filters=[("bucket", "==", b)])
                     for p in slim_files]
             t = pa.concat_tables(tabs)
             if t.num_rows == 0:
                 continue
-            urls = np.asarray(t["url"].to_pylist(), dtype=object)
-            ts = t["warc_ts_us"].to_numpy()
-            ids = t["doc_id"].to_numpy()
-            order = np.lexsort((ids, ts, urls))   # url asc, then (ts, id) asc
-            urls_s, ids_s = urls[order], ids[order]
-            is_last = np.concatenate([urls_s[1:] != urls_s[:-1], [True]])
-            losers = np.sort(ids_s[~is_last])
+            losers = _last_write_wins_losers(t)
             if losers.size:
                 atomic_write_table(
                     pa.table({"doc_id": pa.array(losers, pa.int64())}),
@@ -249,6 +243,44 @@ def compute_dup_losers(fragments: list[dict], work_dir: str) -> str:
     with open(done, "w") as f:
         f.write("ok")
     return losers_dir
+
+
+def _last_write_wins_losers(t: pa.Table) -> np.ndarray:
+    """Doc ids losing the last-write-wins upsert within one url-hash bucket.
+
+    Numeric (url-hash, ts, id) sort + vectorized Arrow string equality
+    between neighbors — no url object array, no object lexsort (the r1
+    hot spot of this wave). Hash collisions could interleave two urls
+    inside one hash run; those runs (neighbors with equal hash but
+    unequal url) are re-resolved with the exact object path (negligible
+    at 64-bit, but correctness never rests on the hash)."""
+    uh = t["uh"].to_numpy()
+    ts = t["warc_ts_us"].to_numpy()
+    ids = t["doc_id"].to_numpy()
+    order = np.lexsort((ids, ts, uh))
+    uh_s, ids_s, ts_s = uh[order], ids[order], ts[order]
+    urls_s = t["url"].combine_chunks().take(pa.array(order))
+    n = len(ids_s)
+    if n < 2:
+        return np.zeros(0, dtype=np.int64)
+    same_uh = uh_s[1:] == uh_s[:-1]
+    eq_url = pc.equal(urls_s.slice(1), urls_s.slice(0, n - 1)) \
+        .to_numpy(zero_copy_only=False)
+    fast_is_last = np.concatenate([~(same_uh & eq_url), [True]])
+    collision = same_uh & ~eq_url
+    if not collision.any():
+        return np.sort(ids_s[~fast_is_last])
+    # whole hash runs containing a collision go through the exact object
+    # path; rows outside them keep the fast logic (bad runs cover entire
+    # hashes, so good/bad neighbors always differ in uh)
+    bad = np.isin(uh_s, np.unique(uh_s[:-1][collision]))
+    losers_good = ids_s[~fast_is_last & ~bad]
+    sub = np.flatnonzero(bad)
+    u_obj = np.asarray(urls_s.take(pa.array(sub)).to_pylist(), dtype=object)
+    o2 = np.lexsort((ids_s[sub], ts_s[sub], u_obj))
+    u2, i2 = u_obj[o2], ids_s[sub][o2]
+    last2 = np.concatenate([u2[1:] != u2[:-1], [True]])
+    return np.sort(np.concatenate([losers_good, i2[~last2]]))
 
 
 def _read_losers_in_range(losers_dir: str | None, lo: int, hi: int) -> np.ndarray:

@@ -228,3 +228,31 @@ def test_topk_sharded_matches_unsharded(ray_session, built_index, oracle_index):
         got = list(zip(got_rows["doc_id"].tolist(),
                        [float(s) for s in got_rows["score"]]))
         assert got == want, q["query"]
+
+
+def test_last_write_wins_losers_with_hash_collisions():
+    """The numeric loser detection resolves url-hash collisions exactly:
+    two DIFFERENT urls sharing a hash never steal each other's winner."""
+    import pyarrow as pa
+
+    from org_rdkit_lucene_ray.pipelines.build import _last_write_wins_losers
+
+    t = pa.table({
+        #              u1    u1    u2(collides w/ u1's hash)  u3   u3
+        "uh":       pa.array([7,    7,    7,                  9,   9], pa.int64()),
+        "url":      pa.array(["a",  "a",  "b",               "c", "c"]),
+        "warc_ts_us": pa.array([10,  20,   15,                 5,   1], pa.int64()),
+        "doc_id":   pa.array([100, 101,  102,                103, 104], pa.int64()),
+    })
+    losers = _last_write_wins_losers(t)
+    # url a: winner 101 (later ts) -> loser 100; url b: single row, no loser;
+    # url c: winner 103 (ts 5 > 1) -> loser 104
+    assert losers.tolist() == [100, 104]
+    # no-collision case exercises the pure fast path
+    t2 = pa.table({
+        "uh": pa.array([1, 1, 2], pa.int64()),
+        "url": pa.array(["x", "x", "y"]),
+        "warc_ts_us": pa.array([1, 2, 3], pa.int64()),
+        "doc_id": pa.array([5, 6, 7], pa.int64()),
+    })
+    assert _last_write_wins_losers(t2).tolist() == [5]
