@@ -17,6 +17,19 @@ import hashlib
 import json
 from dataclasses import dataclass, field, asdict
 
+# On-disk index format identity. ``TERM_HASH_FN`` names the function that
+# assigns terms to buckets (build.stable_term_hash); the searcher probes ONLY
+# the computed bucket, so an index whose buckets were assigned by a different
+# hash opens fine but silently returns empty results. Both values are written
+# into every generation manifest and verified by Searcher / add_documents /
+# merge_generations (state.segment.check_format) — the analog of Lucene's
+# codec-version check on segment open. Bump FORMAT_VERSION whenever bucket
+# assignment, the posting codec, or the manifest layout changes
+# incompatibly. (version 2 = FNV-1a bucket hash, r2; version 1 indexes used
+# pandas siphash and are refused.)
+FORMAT_VERSION = 2
+TERM_HASH_FN = "fnv1a64"
+
 
 @dataclass(frozen=True)
 class BM25Params:
@@ -88,6 +101,8 @@ class IndexConfig:
 
     def manifest_dict(self) -> dict:
         return {
+            "format_version": FORMAT_VERSION,
+            "term_hash": TERM_HASH_FN,
             "docs_per_segment": self.docs_per_segment,
             "term_buckets": self.term_buckets,
             "block_size": self.block_size,

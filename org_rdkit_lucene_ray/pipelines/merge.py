@@ -48,6 +48,7 @@ from org_rdkit_lucene_ray.functions.codec import encode_posting_block, varint_de
 from org_rdkit_lucene_ray.state.segment import (
     SEGMENT_SCHEMA,
     atomic_write_json,
+    check_format,
     atomic_write_table,
     current_generation,
     gen_name,
@@ -60,6 +61,7 @@ from org_rdkit_lucene_ray.state.segment import (
 
 
 def _cfg_from_manifest(m: dict) -> IndexConfig:
+    check_format(m)   # never graft a new generation onto a foreign-hash index
     c = m["config"]
     mk = lambda d: AnalyzerConfig(**{
         k: tuple(v) if isinstance(v, list) else v

@@ -42,6 +42,7 @@ from org_rdkit_lucene_ray.config import AnalyzerConfig, BM25Params
 from org_rdkit_lucene_ray.functions.analyze import analyze_text
 from org_rdkit_lucene_ray.functions.codec import varint_decode
 from org_rdkit_lucene_ray.state.segment import (
+    check_format,
     check_query_compat,
     gen_dir,
     list_chunk_files,
@@ -177,6 +178,7 @@ class Searcher:
                  shard: tuple[int, int] | None = None,
                  warm_top_terms: int = 0):
         self.manifest = read_manifest(index_dir, generation)
+        check_format(self.manifest)   # refuse foreign bucket-hash formats
         self.gdir = gen_dir(index_dir, generation)
         stats = self.manifest["stats"]
         self.n_docs = int(stats["n_docs"])

@@ -116,6 +116,13 @@ def run_benchmark_config(config_path: str, *, time_stamp: str = "time") -> dict:
     from org_rdkit_lucene_ray.pipelines.query import run_queries
 
     cfg = read_benchmark_config(config_path, time_stamp=time_stamp)
+    missing = [k for k in ("query_file", "index_dir", "result_csv")
+               if not cfg.get(k)]
+    if missing:
+        raise ValueError(
+            f"benchmark config {config_path} is missing required key(s) "
+            f"{missing}; it must define query_file, index_dir and "
+            "result_csv (LuceneBenchmark ini contract)")
     last = int(cfg["last_row"])
     queries = read_query_file(
         cfg["query_file"],
@@ -127,5 +134,6 @@ def run_benchmark_config(config_path: str, *, time_stamp: str = "time") -> dict:
     res = run_queries(cfg["index_dir"], queries,
                       concurrency=int(cfg["thread_count"]))
     write_results_csv(res, cfg["result_csv"])
-    n = sum(1 for f in __import__("os").listdir(cfg["result_csv"]))
+    n = sum(1 for f in __import__("os").listdir(cfg["result_csv"])
+            if f.endswith(".csv"))
     return {"config": cfg, "result_files": n}

@@ -517,6 +517,17 @@ _MAX_BUCKET_PAIRS = 20_000_000
 
 
 class _PairBudget:
+    """Net candidate-pair accounting for one band bucket.
+
+    ``spend`` charges pairs when they are MATERIALIZED (leaf all-pairs /
+    star pairs — that is what bounds task memory); ``refund`` returns the
+    duplicates removed by each :func:`_dedupe_pairs` pass, so the net
+    charge converges to the bucket's DISTINCT pair count. Without the
+    refund, a pair clean in several of the ``max_hamming + 1`` pigeonhole
+    sub-bands would be charged once per sub-band and the ceiling could
+    fire ~(max_hamming+1)x early on corpora whose true distinct-pair count
+    is well under it."""
+
     __slots__ = ("left",)
 
     def __init__(self, n: int):
@@ -532,6 +543,9 @@ class _PairBudget:
                 "quadratic). Run exact dedup first, lower max_hamming, or "
                 "switch to a cluster-representative output.")
 
+    def refund(self, n: int) -> None:
+        self.left += n
+
 
 _EMPTY_PAIRS = None
 
@@ -541,7 +555,8 @@ def _empty_pairs() -> pa.Table:
                      "b": pa.array([], pa.int64())})
 
 
-def _dedupe_pairs(parts: list[pa.Table]) -> pa.Table:
+def _dedupe_pairs(parts: list[pa.Table],
+                  budget: "_PairBudget | None" = None) -> pa.Table:
     parts = [p for p in parts if p.num_rows]
     if not parts:
         return _empty_pairs()
@@ -551,6 +566,9 @@ def _dedupe_pairs(parts: list[pa.Table]) -> pa.Table:
     o = np.lexsort((b, a))
     a, b = a[o], b[o]
     keep = np.concatenate([[True], (a[1:] != a[:-1]) | (b[1:] != b[:-1])])
+    n_out = int(keep.sum())
+    if budget is not None:
+        budget.refund(a.size - n_out)   # net charge = distinct pairs
     return pa.table({"a": pa.array(a[keep], pa.int64()),
                      "b": pa.array(b[keep], pa.int64())})
 
@@ -596,7 +614,7 @@ def _refine_pairs(ids: np.ndarray, h: np.ndarray, used_bits: frozenset,
     rep_h = hs[first]
     m = rep_ids.size
     if m < 2:
-        return _dedupe_pairs(parts)
+        return _dedupe_pairs(parts, budget)
     if m <= refine_threshold:
         so = np.argsort(rep_ids)
         rid = rep_ids[so]
@@ -605,7 +623,7 @@ def _refine_pairs(ids: np.ndarray, h: np.ndarray, used_bits: frozenset,
             budget.spend(ii.size)
         parts.append(pa.table({"a": pa.array(rid[ii], pa.int64()),
                                "b": pa.array(rid[jj], pa.int64())}))
-        return _dedupe_pairs(parts)
+        return _dedupe_pairs(parts, budget)
     # 2. DISTINCT values still oversized: pigeonhole sub-banding over the
     #    not-yet-keyed bits (any clean pair has a clean sub-band).
     #    Distinct values guarantee progress: some sub-band splits them.
@@ -618,7 +636,7 @@ def _refine_pairs(ids: np.ndarray, h: np.ndarray, used_bits: frozenset,
             budget.spend(ii.size)
         parts.append(pa.table({"a": pa.array(rid[ii], pa.int64()),
                                "b": pa.array(rid[jj], pa.int64())}))
-        return _dedupe_pairs(parts)
+        return _dedupe_pairs(parts, budget)
     n_sub = max_hamming + 1
     sub_size = (len(free) + n_sub - 1) // n_sub
     for s in range(n_sub):
@@ -639,7 +657,7 @@ def _refine_pairs(ids: np.ndarray, h: np.ndarray, used_bits: frozenset,
             parts.append(_refine_pairs(
                 rep_ids[sel], rep_h[sel], used_bits | frozenset(bits),
                 max_hamming, refine_threshold, budget=budget))
-    return _dedupe_pairs(parts)
+    return _dedupe_pairs(parts, budget)
 
 
 def simhash_dup_pairs(docs: rd.Dataset, *, max_hamming: int = 3,
@@ -647,7 +665,24 @@ def simhash_dup_pairs(docs: rd.Dataset, *, max_hamming: int = 3,
                       concurrency: int | None = None) -> pa.Table:
     """SimHash near-dup pairs: 4 x 16-bit band buckets (pigeonhole-complete
     for Hamming distance <= 3) -> groupby bucket -> hot-bucket-safe
-    candidate pairs (:func:`_simhash_group_pairs`) -> verify Hamming."""
+    candidate pairs (:func:`_simhash_group_pairs`) -> verify Hamming.
+
+    OUTPUT CONTRACT (hot buckets): on corpora where one band bucket exceeds
+    the refine threshold, identical-simhash cliques are STAR-COMPRESSED —
+    each hamming-0 equivalence class emits (min-id x member) pairs instead
+    of its full O(n^2) clique, and only the class representative continues
+    into sub-band refinement. The pair set is therefore equivalent to the
+    exhaustive answer for connected-component keep/drop decisions (same
+    components, same min-id survivors — the dedup use case), but NOT a
+    verbatim pair list: a qualifying pair between a non-representative
+    clique member and a doc outside its clique is represented transitively
+    through the representative, and the exact pairs emitted can depend on
+    how buckets split. Exact-pair consumers should run on corpora below
+    the refine threshold (small buckets take the vanilla all-pairs path,
+    which IS exhaustive) or use :func:`jaccard_pairs_exact`-style oracles.
+    Truly degenerate buckets (distinct-pair count past a 20M ceiling,
+    net-counted after dedup) raise with guidance instead of flooding the
+    object store."""
     # materialized: (id, simhash) is 16 B/doc and is consumed twice (band
     # chain + candidate LUT); at cluster scale this would be written
     # hash-partitioned to Parquet instead — same two consumers
@@ -695,7 +730,13 @@ def simhash_dup_pairs(docs: rd.Dataset, *, max_hamming: int = 3,
                                     value_set=need_arr)),
         batch_format="pyarrow",
     ).take_all()
-    lut_ref = ray.put({int(r[id_col]): np.uint64(r["simhash"]) for r in lut_rows})
+    # stored simhash is the int64 VIEW of the uint64 hash; reinterpret the
+    # bits (np.uint64(negative int) is deprecated and will raise on future
+    # numpy)
+    lut_hashes = np.array([r["simhash"] for r in lut_rows],
+                          np.int64).view(np.uint64)
+    lut_ref = ray.put({int(r[id_col]): h
+                       for r, h in zip(lut_rows, lut_hashes)})
 
     def verify_hamming(t: pa.Table) -> pa.Table:
         lut = _bcast(lut_ref)

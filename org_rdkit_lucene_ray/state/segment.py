@@ -104,6 +104,31 @@ def read_manifest(index_dir: str, gen: str | None = None) -> dict:
         return json.load(f)
 
 
+def check_format(manifest: dict) -> None:
+    """Refuse index generations written under a different on-disk format or
+    term-bucket hash function.
+
+    The searcher probes ONLY ``stable_term_hash(term) % term_buckets``
+    (pipelines/query.py ``_term_bucket``); a generation whose buckets were
+    assigned by a different hash (e.g. the pre-r2 siphash) opens without
+    error but silently misses every term, and ``add_documents`` on it would
+    mix two hash schemes across generations. Lucene gets the equivalent
+    guard from its codec version on segment open."""
+    from org_rdkit_lucene_ray.config import FORMAT_VERSION, TERM_HASH_FN
+
+    c = manifest.get("config", {})
+    got = (c.get("format_version"), c.get("term_hash"))
+    if got != (FORMAT_VERSION, TERM_HASH_FN):
+        raise ValueError(
+            f"index generation {manifest.get('generation')!r} has on-disk "
+            f"format (version={got[0]}, term_hash={got[1]}), but this build "
+            f"reads (version={FORMAT_VERSION}, term_hash={TERM_HASH_FN}). "
+            "Opening it would silently return wrong/empty results (term -> "
+            "bucket assignment differs). Rebuild the index with the current "
+            "code, or pin the engine version that wrote it."
+        )
+
+
 def check_query_compat(manifest: dict, query_analyzer_fp: str) -> None:
     """Refuse queries from a mismatched analyzer — the reference's
     ``FingerprintType.isCompatible`` guard (``FingerprintType.java:578-586``,

@@ -256,3 +256,27 @@ def test_last_write_wins_losers_with_hash_collisions():
         "doc_id": pa.array([5, 6, 7], pa.int64()),
     })
     assert _last_write_wins_losers(t2).tolist() == [5]
+
+
+def test_index_format_version_guard(built_index):
+    """An index written under a different on-disk format / term-bucket hash
+    must be refused loudly (the searcher probes only the computed bucket, so
+    a foreign-hash index would silently return empty results)."""
+    import copy
+
+    from org_rdkit_lucene_ray.state.segment import check_format, read_manifest
+
+    idx, _ = built_index
+    manifest = read_manifest(idx)
+    check_format(manifest)                     # current format passes
+
+    old = copy.deepcopy(manifest)
+    old["config"]["term_hash"] = "siphash13"   # the pre-r2 hasher
+    with pytest.raises(ValueError, match="term_hash"):
+        check_format(old)
+
+    legacy = copy.deepcopy(manifest)
+    del legacy["config"]["format_version"]     # pre-versioning manifest
+    del legacy["config"]["term_hash"]
+    with pytest.raises(ValueError, match="format"):
+        check_format(legacy)

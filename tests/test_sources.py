@@ -132,3 +132,16 @@ def test_run_benchmark_config_end_to_end(ray_session, built_index, tmp_path):
     rows = pd.concat([pd.read_csv(f) for f in glob.glob(f"{out}/*.csv")])
     assert {"query_id", "rank", "doc_id", "score"} <= set(rows.columns)
     assert len(rows) > 0
+
+
+def test_benchmark_config_missing_keys(tmp_path):
+    """A config lacking required keys fails with a clear error naming them,
+    not a bare KeyError."""
+    import pytest
+
+    from org_rdkit_lucene_ray.sources.query_file import run_benchmark_config
+
+    ini = tmp_path / "bad.ini"
+    ini.write_text("thread_count = 2\nindex_dir = /tmp/nowhere\n")
+    with pytest.raises(ValueError, match="query_file"):
+        run_benchmark_config(str(ini))

@@ -492,3 +492,21 @@ def test_dedup_degeneracy_guards():
     with pytest.raises(ValueError, match="per-bucket ceiling"):
         _refine_pairs(ids, h, frozenset(range(16)), 3, refine_threshold=10,
                       budget=_PairBudget(50))
+
+
+def test_pair_budget_nets_to_distinct_pairs():
+    """The per-bucket candidate budget charges NET (post-dedup) pairs: a
+    pair surviving in several pigeonhole sub-bands is charged once, so the
+    ceiling reflects the true distinct candidate count (ADVICE r2)."""
+    from org_rdkit_lucene_ray.stages.dedup import _PairBudget, _refine_pairs
+
+    rng = np.random.default_rng(11)
+    # distinct hashes, oversized bucket -> recursion with sub-band overlap
+    h = rng.integers(0, 2**63, size=400, dtype=np.int64).astype(np.uint64)
+    h = np.unique(h)
+    ids = np.arange(h.size, dtype=np.int64)
+    big = 10_000_000
+    budget = _PairBudget(big)
+    out = _refine_pairs(ids, h, frozenset(range(16)), 3, refine_threshold=16,
+                        budget=budget)
+    assert big - budget.left == out.num_rows   # net charge == distinct pairs
