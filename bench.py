@@ -200,6 +200,9 @@ def run_single(sf_dir: str, num_cpus: int, headline_only: bool,
         DataContext.get_current().enable_progress_bars = False
     except Exception:
         pass
+    from org_rdkit_lucene_ray.util import install_empty_schema_warning_filter
+
+    install_empty_schema_warning_filter()
     sf = _sf_of(sf_dir)
     load_start = os.getloadavg()
     t0 = time.perf_counter()

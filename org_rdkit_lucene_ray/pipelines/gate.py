@@ -34,6 +34,11 @@ from org_rdkit_lucene_ray.functions.analyze import (
     sql_tokens_expr,
     tokenize_column,
 )
+from org_rdkit_lucene_ray.util import install_empty_schema_warning_filter
+
+# cosmetic Ray-internal warning on empty sort partitions (see util.py for
+# the root-cause note + reproduction); our own batches are schema-stable
+install_empty_schema_warning_filter()
 
 _TOKS = sql_tokens_expr("text")  # DuckDB expr == the engine's standard analyzer
 

@@ -339,6 +339,112 @@ def _candidate_ids(pairs_ds: rd.Dataset) -> list[int]:
                                 dtype=np.int64)).tolist()
 
 
+def _pair_jaccard(sa: np.ndarray | None, sb: np.ndarray | None) -> float:
+    """Exact Jaccard of two sorted-unique uint64 shingle sets; the single
+    source of truth for BOTH verify paths. Missing set -> 0.0; both present
+    but empty -> 1.0 (empty == empty)."""
+    if sa is None or sb is None:
+        return 0.0
+    if sa.size == 0 and sb.size == 0:
+        return 1.0
+    inter = np.intersect1d(sa, sb, assume_unique=True).size
+    return inter / (sa.size + sb.size - inter)
+
+
+_ATTACH_SCHEMA = pa.schema([
+    ("key", pa.int64()), ("other", pa.int64()), ("sh", pa.large_binary()),
+])
+_VERIFIED_SCHEMA = pa.schema([
+    ("a", pa.int64()), ("b", pa.int64()), ("jaccard", pa.float64()),
+])
+
+
+def _verify_pairs_distributed(sh_ds: rd.Dataset, pairs_ds: rd.Dataset,
+                              threshold: float) -> list[dict]:
+    """Hash-partitioned shingle-set join + verify — NO driver LUT.
+
+    The broadcast verify path materializes every candidate doc's shingle
+    set on the driver; at web scale a boilerplate-heavy corpus can make
+    that millions of docs x ~150 hashes (VERDICT r2 #2). Here the shingle
+    payloads only ever move through two ``groupby(doc_id)`` exchanges:
+
+    1. union(shingle rows keyed by doc, pair requests keyed by ``a``)
+       -> groupby(key) -> attach ``sh_a`` to each request (a "join" by
+       co-grouping — no experimental join operator, no aggregator actors);
+    2. union(shingle rows, stage-1 rows keyed by ``b``) -> groupby(key)
+       -> the group's own shingle row IS ``sh_b``: compute the exact
+       Jaccard right there and emit only the verified ``(a, b, jaccard)``.
+
+    Row kinds share one schema (``key:int64, other:int64, sh:binary``);
+    a SHINGLE row is identified by ``other IS NULL`` (its ``sh`` may be an
+    EMPTY blob but is never null), a request row by ``other`` set. The
+    driver holds only the final verified pairs."""
+    def reqs_a(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "key": pc.cast(t["a"], pa.int64()),
+            "other": pc.cast(t["b"], pa.int64()),
+            "sh": pa.nulls(t.num_rows, pa.large_binary()),
+        }, schema=_ATTACH_SCHEMA)
+
+    def attach_a(g: pa.Table) -> pa.Table:
+        is_sh = pc.is_null(g["other"]).to_numpy(zero_copy_only=False)
+        sh_i = np.flatnonzero(is_sh)
+        req_i = np.flatnonzero(~is_sh)
+        if req_i.size == 0:
+            return _ATTACH_SCHEMA.empty_table()
+        sh_a = g["sh"][int(sh_i[0])] if sh_i.size else pa.scalar(
+            None, pa.large_binary())
+        take = pa.array(req_i)
+        # re-key by b; carry a in `other`, its shingles in `sh`
+        return pa.table({
+            "key": g["other"].take(take),
+            "other": g["key"].take(take),
+            "sh": pa.array([sh_a.as_py()] * req_i.size, pa.large_binary()),
+        }, schema=_ATTACH_SCHEMA)
+
+    def finish_b(g: pa.Table) -> pa.Table:
+        is_sh = pc.is_null(g["other"]).to_numpy(zero_copy_only=False)
+        sh_i = np.flatnonzero(is_sh)
+        req_i = np.flatnonzero(~is_sh)
+        if req_i.size == 0:
+            return _VERIFIED_SCHEMA.empty_table()
+        sb = None
+        if sh_i.size:
+            blob = g["sh"][int(sh_i[0])].as_py()
+            sb = np.frombuffer(blob, np.uint64) if blob is not None else None
+        b_id = int(g["key"][int(req_i[0])].as_py())
+        a_ids, jacs = [], []
+        for i in req_i:
+            blob = g["sh"][int(i)].as_py()
+            sa = np.frombuffer(blob, np.uint64) if blob is not None else None
+            j = _pair_jaccard(sa, sb)
+            if j >= threshold:
+                a_ids.append(int(g["other"][int(i)].as_py()))
+                jacs.append(float(np.round(j, 6)))   # np.round: bit-parity
+                # with the broadcast path (Python round can differ 1 ulp)
+        return pa.table({
+            "a": pa.array(a_ids, pa.int64()),
+            "b": pa.array([b_id] * len(a_ids), pa.int64()),
+            "jaccard": pa.array(jacs, pa.float64()),
+        }, schema=_VERIFIED_SCHEMA)
+
+    stage1 = (
+        sh_ds.union(pairs_ds.map_batches(reqs_a, batch_format="pyarrow"))
+        .groupby("key")
+        .map_groups(attach_a, batch_format="pyarrow")
+        # barrier: stage 1 and stage 2 reuse sh_ds; materializing the small
+        # (pair-count-bounded) intermediate avoids re-executing the shingle
+        # scan twice AND the two-actor-chain starvation trap (r2 memory)
+        .materialize()
+    )
+    return (
+        sh_ds.union(stage1)
+        .groupby("key")
+        .map_groups(finish_b, batch_format="pyarrow")
+        .take_all()
+    )
+
+
 def minhash_dup_pairs(
     docs: rd.Dataset,
     *,
@@ -349,6 +455,7 @@ def minhash_dup_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     concurrency: int | None = None,
+    broadcast_candidate_limit: int = 65_536,
 ) -> pa.Table:
     """Full MinHash-LSH near-dup pipeline -> verified pairs
     ``(a, b, jaccard)`` with a < b, jaccard >= threshold.
@@ -359,11 +466,15 @@ def minhash_dup_pairs(
     1. map_batches(signatures) -> groupby(band, band_hash) -> per-bucket
        candidate pairs -> groupby(a, b) distinct;
     2. shingle sets of JUST the candidate docs computed by a filtered
-       map_batches over the corpus, then ``ray.put``-broadcast (bounded by
-       the candidate count; at larger candidate volumes swap the broadcast
-       for a hash-partitioned join on doc id — same surrounding stages);
-    3. exact-Jaccard verify INSIDE map_batches over the pairs Dataset
-       (sorted-uint64 intersect per pair; no driver pair loop).
+       map_batches over the corpus (binary blobs of sorted uint64 hashes);
+    3. exact-Jaccard verify over the pairs Dataset. Up to
+       ``broadcast_candidate_limit`` candidate docs the shingle table is
+       ``ray.put``-broadcast (one object fetch per worker — the fast path
+       for the normal LSH regime where pairs << corpus); past it the
+       verify switches to :func:`_verify_pairs_distributed`, a
+       hash-partitioned co-group join that never materializes shingles on
+       the driver (the 100 TB boilerplate-heavy-corpus path). Both paths
+       share :func:`_pair_jaccard` and are equality-tested.
     Candidate volume is logged (no silent caps)."""
     import ray
 
@@ -379,14 +490,17 @@ def minhash_dup_pairs(
         .map_groups(_pairs_of_group, batch_format="pyarrow"))
     need = _candidate_ids(pairs_ds)
     logger.info("minhash-lsh: %d candidate docs in distinct pairs", len(need))
-    empty = pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
-                      "jaccard": pa.array([], pa.float64())})
+    empty = _VERIFIED_SCHEMA.empty_table()
     if not need:
         return empty
 
     need_arr = pa.array(need, pa.int64())
 
     def shingles_of(t: pa.Table) -> pa.Table:
+        """Candidate docs -> (key=doc_id, other=null, sh=blob of the SORTED
+        distinct shingle hashes as raw little-endian uint64 bytes)."""
+        from org_rdkit_lucene_ray.pipelines.build import _binary_from_offsets
+
         t = t.filter(pc.is_in(pc.cast(t[id_col], pa.int64()), value_set=need_arr))
         toks = tokenize_column(t[text_col].combine_chunks(), REGISTRY["standard"])
         parents, hashes = _batch_shingles(toks, shingle)
@@ -394,46 +508,48 @@ def minhash_dup_pairs(
         if parents.size:
             u, c = np.unique(parents, return_counts=True)
             counts[u] = c
-        offsets = np.concatenate([[0], np.cumsum(counts)])
+        byte_offs = np.concatenate([[0], np.cumsum(counts)]) * 8
         # hashes are sorted within each doc (lexsort in _batch_shingles)
+        blobs = _binary_from_offsets(
+            np.ascontiguousarray(hashes).tobytes(), byte_offs).cast(pa.large_binary())
         return pa.table({
-            "doc_id": pc.cast(t[id_col], pa.int64()),
-            "sh": pa.ListArray.from_arrays(
-                pa.array(offsets, pa.int64()).cast(pa.int32()),
-                pa.array(hashes, pa.uint64())),
-        })
+            "key": pc.cast(t[id_col], pa.int64()),
+            "other": pa.nulls(t.num_rows, pa.int64()),
+            "sh": blobs,
+        }, schema=_ATTACH_SCHEMA)
 
-    sh_rows = docs.map_batches(shingles_of, batch_format="pyarrow").take_all()
-    sh_ref = ray.put({int(r["doc_id"]): np.asarray(r["sh"], np.uint64)
-                      for r in sh_rows})
+    sh_ds = docs.map_batches(shingles_of, batch_format="pyarrow")
 
-    def verify_jaccard(t: pa.Table) -> pa.Table:
-        # task fn (Ray's warm worker processes + _BCAST_CACHE), not an
-        # actor pool: a second pool's startup dominated small-corpus runs
-        lut = _bcast(sh_ref)
-        a = t["a"].to_numpy()
-        b = t["b"].to_numpy()
-        jac = np.empty(a.size, dtype=np.float64)
-        for i in range(a.size):          # per PAIR (not per doc): sorted
-            sa = lut.get(int(a[i]))      # uint64 intersect, vectorized
-            sb = lut.get(int(b[i]))      # within the pair
-            if sa is None or sb is None or (sa.size == 0 and sb.size == 0):
-                jac[i] = 1.0 if (sa is not None and sb is not None) else 0.0
-                continue
-            inter = np.intersect1d(sa, sb, assume_unique=True).size
-            jac[i] = inter / (sa.size + sb.size - inter)
-        keep = jac >= threshold
-        return pa.table({
-            "a": pa.array(a[keep], pa.int64()),
-            "b": pa.array(b[keep], pa.int64()),
-            "jaccard": pa.array(np.round(jac[keep], 6), pa.float64()),
-        })
+    if len(need) > broadcast_candidate_limit:
+        verified = _verify_pairs_distributed(sh_ds, pairs_ds, threshold)
+    else:
+        sh_rows = sh_ds.take_all()   # bounded by broadcast_candidate_limit
+        sh_ref = ray.put({int(r["key"]): np.frombuffer(r["sh"], np.uint64)
+                          for r in sh_rows})
 
-    verified = pairs_ds.map_batches(
-        verify_jaccard, batch_format="pyarrow").take_all()
+        def verify_jaccard(t: pa.Table) -> pa.Table:
+            # task fn (Ray's warm worker processes + _BCAST_CACHE), not an
+            # actor pool: a second pool's startup dominated small-corpus runs
+            lut = _bcast(sh_ref)
+            a = t["a"].to_numpy()
+            b = t["b"].to_numpy()
+            jac = np.empty(a.size, dtype=np.float64)
+            for i in range(a.size):          # per PAIR (not per doc): sorted
+                jac[i] = _pair_jaccard(lut.get(int(a[i])),  # uint64 intersect,
+                                       lut.get(int(b[i])))  # vectorized per pair
+            keep = jac >= threshold
+            return pa.table({
+                "a": pa.array(a[keep], pa.int64()),
+                "b": pa.array(b[keep], pa.int64()),
+                "jaccard": pa.array(np.round(jac[keep], 6), pa.float64()),
+            }, schema=_VERIFIED_SCHEMA)
+
+        verified = pairs_ds.map_batches(
+            verify_jaccard, batch_format="pyarrow").take_all()
     if not verified:
         return empty
     out = pa.Table.from_pylist(verified).select(["a", "b", "jaccard"])
+    out = out.cast(_VERIFIED_SCHEMA)
     order = pc.sort_indices(out, sort_keys=[("a", "ascending"), ("b", "ascending")])
     return out.take(order)
 

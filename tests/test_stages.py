@@ -510,3 +510,13 @@ def test_pair_budget_nets_to_distinct_pairs():
     out = _refine_pairs(ids, h, frozenset(range(16)), 3, refine_threshold=16,
                         budget=budget)
     assert big - budget.left == out.num_rows   # net charge == distinct pairs
+
+
+def test_minhash_distributed_verify_equals_broadcast(docs_ds):
+    """The hash-partitioned co-group verify (100 TB path) produces the
+    IDENTICAL verified pair table as the broadcast-LUT fast path."""
+    fast = minhash_dup_pairs(docs_ds, threshold=0.7, num_perm=64, bands=16)
+    dist = minhash_dup_pairs(docs_ds, threshold=0.7, num_perm=64, bands=16,
+                             broadcast_candidate_limit=0)
+    assert fast.num_rows > 0                 # planted near dups found
+    assert dist.equals(fast)
