@@ -476,7 +476,12 @@ class FragmentTokenizer:
         if postings_tbl is not None and postings_tbl.num_rows:
             nbytes += _write_bucketed_postings(postings_tbl, post_path,
                                               self.cfg.term_buckets)
-        nbytes += atomic_write_table(fwd_tbl, os.path.join(self.fwd_dir, f"frag-{fid:06d}.parquet"))
+        # url bloom in the fragment footer -> lookup_pk opens O(1) files
+        # instead of every fwd fragment (J1 at web scale, state/bloom.py)
+        from org_rdkit_lucene_ray.state.bloom import attach_url_bloom
+
+        nbytes += atomic_write_table(attach_url_bloom(fwd_tbl),
+                                     os.path.join(self.fwd_dir, f"frag-{fid:06d}.parquet"))
         row = {
             "input_fragment": path,
             "base": base,

@@ -323,6 +323,8 @@ def merge_generations(index_dir: str, *, concurrency: int | None = None) -> dict
     ]
 
     def rewrite_fwd(batch: pa.Table) -> pa.Table:
+        from org_rdkit_lucene_ray.state.bloom import attach_url_bloom
+
         dels = ray.get(del_ref)
         out = []
         for src, dst in zip(batch["src"].to_pylist(), batch["out"].to_pylist()):
@@ -336,7 +338,8 @@ def merge_generations(index_dir: str, *, concurrency: int | None = None) -> dict
                 keep = ~np.isin(t["doc_id"].to_numpy(), dels)
                 t = t.filter(pa.array(keep))
             if t.num_rows:
-                atomic_write_table(t, dst)
+                # re-derive the url bloom for the post-tombstone url set
+                atomic_write_table(attach_url_bloom(t), dst)
             out.append({"n_docs": t.num_rows,
                         "sum_dl": int(pc.sum(t["dl"]).as_py() or 0)})
         return pa.Table.from_pylist(out, schema=pa.schema(

@@ -851,15 +851,22 @@ class Searcher:
                            if f.endswith(".parquet"))
         return out
 
-    def _fwd_ranges(self) -> list[tuple[str, int, int]]:
-        """(path, min_doc, max_doc) per forward fragment, from Parquet
-        footer statistics — cached once per searcher so point lookups and
-        url resolution only open files whose doc range overlaps the
-        request (fragments hold contiguous doc ranges by construction)."""
-        if not hasattr(self, "_fwd_range_cache"):
+    def _fwd_meta(self) -> list[tuple[str, int, int, bytes | None]]:
+        """(path, min_doc, max_doc, url_bloom) per forward fragment — ONE
+        footer read per fragment, cached per searcher. Doc ranges prune
+        ``resolve_urls`` (fragments hold contiguous doc ranges by
+        construction); the url bloom (written into the footer at build and
+        merge time, state/bloom.py) prunes ``lookup_pk`` to the ~1 fragment
+        that can contain the url — the Lucene-term-dictionary analog of J1
+        (``searchMoleculeByPK:505-519``). ``None`` bloom (pre-bloom
+        fragment) degrades to a scan of that fragment, never a miss."""
+        if not hasattr(self, "_fwd_meta_cache"):
+            from org_rdkit_lucene_ray.state.bloom import read_url_bloom
+
             out = []
             for p in self._fwd_files():
                 md = pq.read_metadata(p)
+                bloom = read_url_bloom(md)
                 los, his = [], []
                 for rg in range(md.num_row_groups):
                     col = md.row_group(rg).column(0)     # doc_id is column 0
@@ -870,11 +877,11 @@ class Searcher:
                     los.append(st.min)
                     his.append(st.max)
                 if los and los[0] is None:
-                    out.append((p, -(1 << 62), 1 << 62))   # stats missing: scan
+                    out.append((p, -(1 << 62), 1 << 62, bloom))  # no stats: scan
                 else:
-                    out.append((p, int(min(los)), int(max(his))))
-            self._fwd_range_cache = out
-        return self._fwd_range_cache
+                    out.append((p, int(min(los)), int(max(his)), bloom))
+            self._fwd_meta_cache = out
+        return self._fwd_meta_cache
 
     def _not_deleted(self, t: pa.Table) -> pa.Table:
         if self._deletes is None or not self._deletes.size or not t.num_rows:
@@ -883,10 +890,37 @@ class Searcher:
         return t.filter(pa.array(keep))
 
     def lookup_pk(self, url: str) -> pa.Table:
-        """J1: point lookup by primary key over the forward index
-        (``searchMoleculeByPK:505-519``) — predicate-pushdown scan."""
-        tabs = [self._not_deleted(pq.read_table(p, filters=[("url", "==", url)]))
-                for p in self._fwd_files()]
+        """J1: point lookup by primary key (``searchMoleculeByPK:505-519``).
+
+        Per-fragment url blooms (footer metadata) reduce the candidate set
+        to the ~1 fragment that can hold the url — O(1) expected file opens
+        at any fragment count (vs the pre-r3 scan of every fwd fragment);
+        each surviving candidate gets a predicate-pushdown read. A bloom
+        false positive (~1-2%) costs one extra read, never a wrong result.
+        ``last_lookup_files_opened`` records the opened-file count (tested
+        on a multi-fragment index)."""
+        from org_rdkit_lucene_ray.pipelines.build import stable_term_hash
+        from org_rdkit_lucene_ray.state.bloom import bloom_might_contain
+
+        uh = int(stable_term_hash([url])[0])
+        tabs = []
+        opened = 0
+        schema = None
+        for p, _lo, _hi, bloom in self._fwd_meta():
+            if bloom is not None and not bloom_might_contain(bloom, uh):
+                continue
+            opened += 1
+            t = self._not_deleted(pq.read_table(p, filters=[("url", "==", url)]))
+            schema = t.schema
+            tabs.append(t)
+        self.last_lookup_files_opened = opened
+        if not tabs:
+            # every fragment bloom-rejected: empty result with the fwd schema
+            files = self._fwd_files()
+            schema = pq.read_schema(files[0]) if files else pa.schema(
+                [("doc_id", pa.int64()), ("dl", pa.int32()),
+                 ("url", pa.string())])
+            return schema.empty_table()
         return pa.concat_tables(tabs)
 
     def resolve_urls(self, doc_ids: list[int]) -> dict[int, str]:
@@ -897,7 +931,7 @@ class Searcher:
         ids = sorted(set(int(d) for d in doc_ids))
         ids_np = np.asarray(ids, dtype=np.int64)
         out: dict[int, str] = {}
-        for p, lo, hi in self._fwd_ranges():
+        for p, lo, hi, _bloom in self._fwd_meta():
             # any requested id inside this fragment's [lo, hi]?
             i = int(np.searchsorted(ids_np, lo, side="left"))
             if i >= ids_np.size or ids_np[i] > hi:

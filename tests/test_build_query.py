@@ -280,3 +280,23 @@ def test_index_format_version_guard(built_index):
     del legacy["config"]["term_hash"]
     with pytest.raises(ValueError, match="format"):
         check_format(legacy)
+
+
+def test_point_lookup_bloom_prunes_fragments(built_index, searcher):
+    """J1 at scale: lookup_pk consults per-fragment url blooms and opens
+    O(1) files, not one per fwd fragment (the index has 8 fragments)."""
+    n_frags = len(searcher._fwd_files())
+    assert n_frags >= 4
+    # a present url: found, with far fewer file opens than fragments
+    t0 = searcher.lookup_pk("nosuch://definitely-absent-url")
+    assert t0.num_rows == 0
+    assert searcher.last_lookup_files_opened <= 1   # fp rate ~1-2%
+    some_url = None
+    import pyarrow.parquet as pq
+
+    some_url = pq.read_table(searcher._fwd_files()[3],
+                             columns=["url"])["url"][0].as_py()
+    t1 = searcher.lookup_pk(some_url)
+    assert t1.num_rows >= 1
+    assert searcher.last_lookup_files_opened < n_frags
+    assert searcher.last_lookup_files_opened >= 1
