@@ -66,6 +66,15 @@ class AnalyzerConfig:
     stopwords: tuple[str, ...] = ()   # "english" preset available via registry
     min_token_len: int = 1
     max_token_len: int = 64
+    # gram transforms applied AFTER the stopword/length filters (the Lucene
+    # filter-chain order: StopFilter -> ShingleFilter / NGramTokenFilter).
+    # word_shingles >= 2: terms become joined runs of that many adjacent
+    # tokens ("_"-separated; shingles only, no unigrams — docs with fewer
+    # tokens emit none). char_ngrams >= 2: terms become all character
+    # n-grams of that length within each token (tokens shorter than n are
+    # dropped, NGramTokenFilter semantics). Composable in that order.
+    word_shingles: int = 0
+    char_ngrams: int = 0
 
     def fingerprint(self) -> str:
         """Stable hash used for index/query compatibility checks."""

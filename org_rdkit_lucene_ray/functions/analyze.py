@@ -39,7 +39,10 @@ ENGLISH_STOPWORDS: tuple[str, ...] = (
 )
 
 REGISTRY: dict[str, AnalyzerConfig] = {
-    # mirrors the reference's type enum: one registry key per analyzer flavor
+    # mirrors the reference's pluggable type enum
+    # (fingerprint/FingerprintType.java:44-434, 9 flavors): one registry key
+    # per analyzer flavor, each hashed into the index manifest for the
+    # compat guard
     "standard": AnalyzerConfig(name="standard"),
     "standard_en_stop": AnalyzerConfig(name="standard_en_stop", stopwords=ENGLISH_STOPWORDS),
     "whitespace": AnalyzerConfig(name="whitespace", lowercase=False, token_pattern=r"[^\s]+"),
@@ -48,6 +51,15 @@ REGISTRY: dict[str, AnalyzerConfig] = {
     # values aren't silently dropped (Lucene KeywordAnalyzer analog).
     "keyword": AnalyzerConfig(name="keyword", lowercase=False,
                               token_pattern=r"(?s).+", max_token_len=0),
+    # word-shingle analyzer (Lucene ShingleFilter, shingles-only): terms are
+    # adjacent 2-token runs — the phrase-ish fingerprint near-dup pipelines
+    # and phrase search lean on
+    "shingle_2": AnalyzerConfig(name="shingle_2", word_shingles=2),
+    "shingle_3": AnalyzerConfig(name="shingle_3", word_shingles=3),
+    # char-n-gram analyzer (Lucene NGramTokenFilter, n=3): substring-match
+    # and typo-tolerant retrieval; tokens shorter than n are dropped
+    "char_3gram": AnalyzerConfig(name="char_3gram", char_ngrams=3),
+    "char_4gram": AnalyzerConfig(name="char_4gram", char_ngrams=4),
 }
 
 
@@ -78,15 +90,85 @@ def analyze_text(text: str, cfg: AnalyzerConfig) -> list[str]:
         text = text.lower()
     toks = _py_pattern(cfg).findall(text)
     stop = set(cfg.stopwords)
-    return [
+    toks = [
         t for t in toks
         if cfg.min_token_len <= len(t)
         and (not cfg.max_token_len or len(t) <= cfg.max_token_len)
         and t not in stop
     ]
+    if cfg.word_shingles >= 2:
+        k = cfg.word_shingles
+        toks = ["_".join(toks[i:i + k]) for i in range(len(toks) - k + 1)]
+    if cfg.char_ngrams >= 2:
+        n = cfg.char_ngrams
+        toks = [t[i:i + n] for t in toks for i in range(len(t) - n + 1)]
+    return toks
 
 
 # ----------------------------------------------------------------- arrow path
+def _list_counts_offsets(lst: pa.ListArray) -> tuple[np.ndarray, np.ndarray]:
+    counts = pc.list_value_length(lst).to_numpy(zero_copy_only=False).astype(np.int64)
+    starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    return counts, starts
+
+
+def _shingle_lists(toks: pa.ListArray, k: int) -> pa.ListArray:
+    """Adjacent-``k``-token shingles per doc ("_"-joined), vectorized:
+    gram gather positions computed numpy-side (same pattern as
+    dedup._batch_shingles), components joined with ONE
+    ``binary_join_element_wise`` kernel call."""
+    flat = pc.list_flatten(toks)
+    counts, starts = _list_counts_offsets(toks)
+    n_grams = np.maximum(counts - k + 1, 0)
+    total = int(n_grams.sum())
+    if total == 0 or len(flat) == 0:
+        return pa.ListArray.from_arrays(
+            pa.array(np.zeros(len(toks) + 1, np.int64), pa.int32()).cast(pa.int32()),
+            pa.array([], pa.string()))
+    gram_doc = np.repeat(np.arange(len(counts)), n_grams)
+    bounds = np.concatenate([[0], np.cumsum(n_grams)])
+    intra = np.arange(total) - np.repeat(bounds[:-1], n_grams)
+    gpos = starts[gram_doc] + intra
+    parts = [flat.take(pa.array(gpos + j)) for j in range(k)]
+    joined = pc.binary_join_element_wise(*parts, "_")
+    offsets = pa.array(bounds, pa.int64()).cast(pa.int32())
+    return pa.ListArray.from_arrays(offsets, joined)
+
+
+def _char_ngram_lists(toks: pa.ListArray, n: int) -> pa.ListArray:
+    """All char ``n``-grams within each token (tokens shorter than n drop),
+    order = (token position, gram position) — identical to the Python path.
+    One ``utf8_slice_codeunits`` kernel per gram start position (bounded by
+    max_token_len, default 64)."""
+    flat = pc.list_flatten(toks)
+    parents = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+    lens = pc.utf8_length(flat).to_numpy(zero_copy_only=False)
+    if len(flat) == 0 or lens.size == 0 or int(lens.max()) < n:
+        return pa.ListArray.from_arrays(
+            pa.array(np.zeros(len(toks) + 1, np.int64)).cast(pa.int32()),
+            pa.array([], pa.string()))
+    tok_idx_parts, pos_parts, val_parts = [], [], []
+    for i in range(int(lens.max()) - n + 1):
+        sel = np.flatnonzero(lens >= i + n)
+        if not sel.size:
+            break
+        grams = pc.utf8_slice_codeunits(
+            flat.take(pa.array(sel)), start=i, stop=i + n)
+        tok_idx_parts.append(sel)
+        pos_parts.append(np.full(sel.size, i, np.int64))
+        val_parts.append(grams)
+    tok_idx = np.concatenate(tok_idx_parts)
+    pos = np.concatenate(pos_parts)
+    vals = pa.concat_arrays([v.combine_chunks() if isinstance(v, pa.ChunkedArray)
+                             else v for v in val_parts])
+    order = np.lexsort((pos, tok_idx))        # (token, gram position)
+    vals = vals.take(pa.array(order))
+    gram_parents = parents[tok_idx[order]]
+    counts = np.bincount(gram_parents, minlength=len(toks))
+    offsets = pa.array(np.concatenate([[0], np.cumsum(counts)])).cast(pa.int32())
+    return pa.ListArray.from_arrays(offsets, vals)
+
+
 def tokenize_column(texts: pa.Array | pa.ChunkedArray, cfg: AnalyzerConfig) -> pa.ListArray:
     """Vectorized tokenize of a string column -> list<string> of terms."""
     if isinstance(texts, pa.ChunkedArray):
@@ -121,7 +203,12 @@ def tokenize_column(texts: pa.Array | pa.ChunkedArray, cfg: AnalyzerConfig) -> p
         uniq, cnt = np.unique(pnp, return_counts=True)
         counts[uniq] = cnt
     offsets = np.concatenate([[0], np.cumsum(counts)])
-    return pa.ListArray.from_arrays(pa.array(offsets, type=pa.int32()), flat)
+    out = pa.ListArray.from_arrays(pa.array(offsets, type=pa.int32()), flat)
+    if cfg.word_shingles >= 2:
+        out = _shingle_lists(out, cfg.word_shingles)
+    if cfg.char_ngrams >= 2:
+        out = _char_ngram_lists(out, cfg.char_ngrams)
+    return out
 
 
 def postings_from_batch(
@@ -178,4 +265,24 @@ def sql_tokens_expr(col: str, cfg: AnalyzerConfig | None = None) -> str:
     if cfg.stopwords:
         stoplist = ", ".join(f"'{w}'" for w in cfg.stopwords)
         expr = f"list_filter({expr}, x -> x NOT IN ({stoplist}))"
+    return expr
+
+
+def sql_gram_transform(toks_col: str, cfg: AnalyzerConfig) -> str:
+    """DuckDB expression applying the shingle/char-n-gram transforms to an
+    already-tokenized list column (pass the :func:`sql_tokens_expr` output
+    through a CTE alias first — the expression references ``toks_col``
+    several times). Mirrors :func:`analyze_text`'s transform order exactly;
+    validated against DuckDB semantics (``range(1, 0) = []``,
+    ``list_slice`` 1-based inclusive)."""
+    expr = toks_col
+    if cfg.word_shingles >= 2:
+        k = cfg.word_shingles
+        expr = (f"list_transform(range(1, len({expr}) - {k} + 2), "
+                f"i -> array_to_string(list_slice({expr}, i, i + {k} - 1), '_'))")
+    if cfg.char_ngrams >= 2:
+        n = cfg.char_ngrams
+        expr = (f"flatten(list_transform({expr}, t -> "
+                f"list_transform(range(1, length(t) - {n} + 2), "
+                f"i -> substring(t, i, {n}))))")
     return expr

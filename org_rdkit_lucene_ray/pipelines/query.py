@@ -712,6 +712,29 @@ class Searcher:
                 out = out[~np.isin(out, ex, assume_unique=True)]
         return out if max_hits is None else out[:max_hits]
 
+    def search_free(self, query: str, max_hits: int | None = None) -> np.ndarray:
+        """J5 full analog — ``MultiFieldQueryParser`` over ALL live fields
+        (``ChemicalIndex.java:466-491``): every BARE term expands across the
+        indexed namespaces (the text namespace plus ``field:term`` for each
+        field column recorded in the manifest — the ``FieldInfos`` live-field
+        discovery analog); explicit ``field:value`` terms stay pinned to
+        their field. Disjunctive over terms and namespaces (the parser's
+        default OR), doc set sorted ascending; ``max_hits`` caps (iMaxHits).
+        """
+        fields = list(self.manifest["config"].get("field_columns", []))
+        expansions: list[str] = []
+        for raw in query.split():
+            for t in self._query_terms(raw):
+                expansions.append(t)
+                if ":" not in t:                    # bare term -> all fields
+                    expansions.extend(f"{f}:{t}" for f in fields)
+        parts = [d[0] for t in set(expansions)
+                 if (d := self._decode_term(t)) is not None]
+        if not parts:
+            return np.zeros(0, np.int64)
+        out = np.unique(np.concatenate(parts))
+        return out if max_hits is None else out[:max_hits]
+
     def search_fp_scored(self, query: str, k: int) -> list[tuple[int, float]]:
         """The reference's FP-search type (``searchMoleculesByFingerprintMatch``
         :607-637): BooleanQuery MUST over every query term, scored, top-k —

@@ -300,3 +300,16 @@ def test_point_lookup_bloom_prunes_fragments(built_index, searcher):
     assert t1.num_rows >= 1
     assert searcher.last_lookup_files_opened < n_frags
     assert searcher.last_lookup_files_opened >= 1
+
+
+def test_search_free_all_fields(built_index, searcher, oracle_index):
+    """J5 full analog: a bare term hits the text namespace AND every
+    indexed field namespace; explicit field:value stays pinned."""
+    import pyarrow.parquet as pq
+
+    idx, manifest = built_index
+    fields = manifest["config"]["field_columns"]
+    # the session index has no field columns -> search_free == search_or
+    got = searcher.search_free("baba dodi")
+    want = searcher.search_or("baba dodi")
+    assert got.tolist() == want.tolist()

@@ -55,11 +55,41 @@ def test_is_empty_after_trimming_and_truncate():
 # ------------------------------------------------------------------ analyzer
 def test_analyzer_python_vs_arrow_identical():
     t = gen_pages(200, seed=3)
-    for name in ("standard", "standard_en_stop", "whitespace"):
+    for name in ("standard", "standard_en_stop", "whitespace",
+                 "shingle_2", "shingle_3", "char_3gram", "char_4gram"):
         cfg = REGISTRY[name]
         arrow = tokenize_column(t["text"].combine_chunks(), cfg).to_pylist()
         python = [analyze_text(s, cfg) for s in t["text"].to_pylist()]
         assert arrow == python, name
+
+
+def test_gram_analyzer_semantics():
+    from org_rdkit_lucene_ray.functions.analyze import analyze_text
+
+    sh = REGISTRY["shingle_2"]
+    assert analyze_text("Hash join merge", sh) == ["hash_join", "join_merge"]
+    assert analyze_text("solo", sh) == []             # fewer tokens than k
+    ng = REGISTRY["char_3gram"]
+    assert analyze_text("hashes ab", ng) == ["has", "ash", "she", "hes"]
+    assert analyze_text("ab", ng) == []               # shorter than n drops
+
+
+def test_gram_analyzer_fingerprints_guard_compat():
+    """The new analyzers participate in the index/query compat refusal
+    (FingerprintType.isCompatible analog): distinct fingerprints per
+    flavor, and a shingle index refuses standard-analyzer queries."""
+    fps = {REGISTRY[n].fingerprint()
+           for n in ("standard", "shingle_2", "shingle_3", "char_3gram",
+                     "char_4gram")}
+    assert len(fps) == 5
+    from org_rdkit_lucene_ray.state.segment import check_query_compat
+
+    manifest = {"config": {
+        "query_analyzer_fp": REGISTRY["shingle_2"].fingerprint()}}
+    import pytest
+
+    with pytest.raises(ValueError):
+        check_query_compat(manifest, REGISTRY["standard"].fingerprint())
 
 
 def test_analyzer_edge_cases():

@@ -69,14 +69,14 @@ def _entry_names():
     return sorted(e.queries().keys())
 
 
-@pytest.mark.parametrize("name", [
-    "term_df", "doc_lengths", "top_terms", "lang_counts", "quality_scores",
-    "doc_fingerprints", "langid", "row_range_filter", "exact_dedup",
-    "token_jaccard_pairs", "index_stats", "bm25_topk", "search_and",
-    "fielded_search", "screen_verify", "boolean_query", "fp_search", "search_or", "search_exact", "point_lookup", "tumbling_hourly",
-    "sessionize", "grouped_topn", "events_type_stats", "orders_by_segment",
-    "ann_topk", "ann_threshold", "embedding_dup_pairs", "media_features",
-])
+def _oracled_names():
+    """Every entry with a SQL oracle — auto-covers new gate entries."""
+    from org_rdkit_lucene_ray.pipelines.gate import ORACLE_SQL
+
+    return sorted(ORACLE_SQL)
+
+
+@pytest.mark.parametrize("name", _oracled_names())
 def test_query_matches_oracle(ray_session, con, name):
     import __ray_entry__ as e
 
