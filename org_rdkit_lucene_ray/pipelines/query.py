@@ -1119,17 +1119,26 @@ def run_queries(
 ) -> rd.Dataset:
     """The ``-benchmark`` query workload rebuilt (SURVEY §3.2): queries table
     -> searcher actor pool -> (query_id, rank, doc_id, url, score)."""
-    ds = rd.from_arrow(queries) if isinstance(queries, pa.Table) else queries
     if concurrency is None:
         import ray
 
         concurrency = max(1, int(ray.cluster_resources().get("CPU", 4)) // 2) \
             if ray.is_initialized() else 2
-    # a small query table arrives as ONE block; without a repartition the
-    # actor pool would receive a single task and run on one actor
+    # a small query table arrives as ONE block; without splitting, the actor
+    # pool would receive a single task and run on one actor
     n_blocks = max(int(concurrency) if not isinstance(concurrency, tuple)
                    else concurrency[1], 1) * 2
-    ds = ds.repartition(n_blocks)
+    if isinstance(queries, pa.Table):
+        # split DRIVER-SIDE (the row count is known): one block per slice,
+        # no AllToAll Repartition stage — that extra exchange round was the
+        # bm25_topk gate's dominant cost at small query counts (BENCH r2)
+        n_blocks = max(1, min(n_blocks, queries.num_rows))
+        step = -(-queries.num_rows // n_blocks)
+        ds = rd.from_arrow([queries.slice(i * step, step)
+                            for i in range(n_blocks)
+                            if i * step < queries.num_rows])
+    else:
+        ds = queries.repartition(n_blocks)
     return ds.map_batches(
         SearcherStage,
         fn_constructor_kwargs=dict(index_dir=index_dir, mode=mode, resolve_urls=resolve_urls),
