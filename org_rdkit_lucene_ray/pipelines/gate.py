@@ -301,6 +301,53 @@ def q_langid(sf_dir: str) -> rd.Dataset:
     )
 
 
+_RECORD_DIR_CACHE: dict[str, str] = {}
+
+
+def q_record_roundtrip(sf_dir: str) -> rd.Dataset:
+    """S1/S2 raw-bytes ingest path: documents serialized into WARC-style
+    record files (half gzipped — transparent gunzip by extension, the
+    ``ChemicalIndex.java:242-245`` analog), read back via
+    ``read_binary_files`` + the batched record splitter, body length per
+    doc. Round-trips byte-identically, so n_chars == length(text)."""
+    from org_rdkit_lucene_ray.sources.record_file import (
+        read_record_files,
+        write_record_files,
+    )
+
+    d = _RECORD_DIR_CACHE.get(sf_dir)
+    if d is None:
+        d = tempfile.mkdtemp(prefix="orl_gate_rec_")
+        src = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                            columns=["doc_id", "text", "lang"])
+        pages = pa.table({
+            "url": pc.binary_join_element_wise(
+                pa.array(["doc://"] * src.num_rows),
+                pc.cast(src["doc_id"], pa.string()), ""),
+            "lang": src["lang"],
+            "html": src["text"],     # body rides verbatim
+        })
+        half = pages.num_rows // 2
+        write_record_files(pages.slice(0, half), d, records_per_file=64)
+        write_record_files(pages.slice(half), os.path.join(d, "gz"),
+                           records_per_file=64, gzip_files=True)
+        _RECORD_DIR_CACHE[sf_dir] = d
+
+    paths = [os.path.join(r, f) for r, _, fs in os.walk(d) for f in fs]
+
+    def finish(t: pa.Table) -> pa.Table:
+        ids = pc.cast(pc.utf8_replace_slice(t["url"], start=0, stop=6,
+                                            replacement=""), pa.int64())
+        body = pc.cast(t["html"], pa.string())
+        return pa.table({
+            "doc_id": ids,
+            "n_chars": pc.cast(pc.utf8_length(body), pa.int64()),
+        })
+
+    return read_record_files(sorted(paths)).map_batches(
+        finish, batch_format="pyarrow")
+
+
 def q_row_range_filter(sf_dir: str) -> rd.Dataset:
     """K5 row-range slice + M8 ignore-set filter, pushed into the scan."""
     ignore = [110, 120, 130]
@@ -1295,6 +1342,9 @@ ORDER BY 1, 2
 SELECT doc_id AS media_id, octet_length(encode(text))::BIGINT AS n_bytes
 FROM documents ORDER BY media_id
 """,
+    "record_roundtrip": """
+SELECT doc_id, length(text)::BIGINT AS n_chars FROM documents ORDER BY doc_id
+""",
     "shingle_df": _analyzer_df_sql("shingle_2"),
     "char_ngram_df": _analyzer_df_sql("char_3gram"),
     "free_multifield": f"""
@@ -1362,4 +1412,5 @@ QUERIES = {
     "shingle_df": q_shingle_df,
     "char_ngram_df": q_char_ngram_df,
     "free_multifield": q_free_multifield,
+    "record_roundtrip": q_record_roundtrip,
 }

@@ -145,3 +145,33 @@ def test_benchmark_config_missing_keys(tmp_path):
     ini.write_text("thread_count = 2\nindex_dir = /tmp/nowhere\n")
     with pytest.raises(ValueError, match="query_file"):
         run_benchmark_config(str(ini))
+
+
+def test_record_files_roundtrip(ray_session, tmp_path):
+    """S1/S2 raw ingest: pages -> record files (plain + gz) -> Dataset,
+    byte-identical fields + per-file record provenance."""
+    from org_rdkit_lucene_ray.sources.record_file import (
+        read_record_files,
+        write_record_files,
+    )
+    from org_rdkit_lucene_ray.synth import gen_pages
+
+    t = gen_pages(120, seed=7)
+    d = tmp_path / "recs"
+    write_record_files(t, str(d), records_per_file=32)
+    write_record_files(t, str(d / "gz"), records_per_file=32, gzip_files=True)
+    paths = sorted(str(p) for p in d.rglob("*.rec*"))
+    out = read_record_files(paths).to_pandas().sort_values(
+        ["source_file", "record_no"]).reset_index(drop=True)
+    assert len(out) == 2 * t.num_rows
+    plain = out[~out.source_file.str.endswith(".gz")]
+    gz = out[out.source_file.str.endswith(".gz")]
+    for part in (plain, gz):
+        assert part["url"].tolist() == t["url"].to_pylist()
+        assert part["lang"].tolist() == t["lang"].to_pylist()
+        assert [b for b in part["html"]] == t["html"].to_pylist()
+        import pandas as pd
+
+        want_ts = pd.to_datetime(t["warc_ts"].to_pandas()).tolist()
+        assert pd.to_datetime(part["warc_ts"]).tolist() == want_ts
+    assert plain["record_no"].tolist() == [i % 32 for i in range(t.num_rows)]
