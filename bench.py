@@ -171,7 +171,9 @@ def bench_gate_queries(sf_dir: str) -> dict[str, float]:
              "media_features",
              # round-2 additions (searches reuse the cached gate index)
              "capped_search", "search_after_page2", "grouped_topn",
-             "embedding_dup_pairs"]
+             "embedding_dup_pairs",
+             # round-3 additions (analyzer breadth, raw ingest, multi-field)
+             "shingle_df", "free_multifield", "record_roundtrip"]
     repeats = int(os.environ.get("RAY_GRAFT_GATE_REPEATS", "2"))
     for name in picks:
         fn = gate.QUERIES[name]

@@ -208,10 +208,26 @@ class Searcher:
         self._shard = shard
         self._term_buckets = int(self.manifest["config"]["term_buckets"])
         self._by_bucket: dict[int, list[tuple[int, pa.Table, _SortedTermIndex]]] = {}
+        mine: set[int] | None = None
+        if shard is not None:
+            # CONTIGUOUS doc-range sharding (segment ids order doc ranges):
+            # shard i takes the i-th of n nearly-equal contiguous sid runs,
+            # so its doc span shrinks ~1/n. The r2 `sid % n` interleave left
+            # every shard spanning the FULL doc range, which made each
+            # sharded actor allocate a corpus-wide dense accumulator —
+            # measured at soak scale: sharded p95 2.2x WORSE than a single
+            # searcher from the concurrent span-wide memory traffic.
+            # Contiguous ranges are also the multi-node layout (a shard =
+            # a doc-range partition co-located with its segments).
+            all_sids = sorted({s for gd in self._gdirs
+                               for s in list_segment_ids(gd)})
+            splits = np.array_split(np.asarray(all_sids, dtype=np.int64),
+                                    shard[1])
+            mine = set(int(s) for s in splits[shard[0]])
         n_chunks = 0
         for gd in self._gdirs:
             for sid in list_segment_ids(gd):
-                if shard is not None and sid % shard[1] != shard[0]:
+                if mine is not None and sid not in mine:
                     continue
                 for f in list_chunk_files(gd, sid):
                     bucket = int(os.path.basename(f)[len("bucket-"):-len(".parquet")])
@@ -555,18 +571,24 @@ class Searcher:
         # O(total postings) with vector constants (~30 ms same query) and
         # is float-exact: adds happen per term in ascending clause order,
         # doc ids are unique within a term.
-        span = max(int(c.docs[-1]) for c in curs) + 1
+        # span measured from the smallest doc id present, not 0: a sharded
+        # searcher holds a contiguous doc-range slice, so base-offset
+        # indexing keeps its accumulator proportional to the SHARD, not the
+        # corpus (and is an exact identity — same adds, same order)
+        base = min(int(c.docs[0]) for c in curs)
+        span = max(int(c.docs[-1]) for c in curs) + 1 - base
         total = sum(c.docs.size for c in curs)
         if total > span // 16 and span <= 64_000_000:
             acc = np.zeros(span, dtype=np.float64)
             for c in curs:                         # ascending term order
                 w = c.weight_vector()
+                idx = c.docs - base if base else c.docs
                 for _ in range(c.mult):
-                    acc[c.docs] += w
+                    acc[idx] += w
             # BM25 weights are strictly positive (idf > 0 even at df == N),
             # so acc != 0 IS the touched set — no separate bool scatter
-            docs = np.flatnonzero(acc)
-            s32 = acc[docs].astype(np.float32)
+            docs = np.flatnonzero(acc) + base
+            s32 = acc[docs - base].astype(np.float32)
             if after is not None and docs.size:
                 m = self._after_mask(docs, s32, after)
                 docs, s32 = docs[m], s32[m]
