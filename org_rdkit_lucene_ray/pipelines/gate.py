@@ -659,6 +659,15 @@ def q_tumbling_hourly(sf_dir: str) -> rd.Dataset:
                                value_decimals=2)
 
 
+def q_hopping_window(sf_dir: str) -> rd.Dataset:
+    """Hopping (sliding) windows: width 1h, hop 15min — each event lands in
+    4 windows; exact fixed-point value sums."""
+    from org_rdkit_lucene_ray.stages.window import hopping_window_agg
+
+    return hopping_window_agg(_events(sf_dir), width_secs=3600, hop_secs=900,
+                              value_decimals=2)
+
+
 def q_sessionize(sf_dir: str) -> rd.Dataset:
     from org_rdkit_lucene_ray.stages.window import sessionize
 
@@ -1275,6 +1284,21 @@ SELECT event_type,
        CAST(max(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100 AS max_value
 FROM events GROUP BY 1, 2 ORDER BY 1, 2
 """,
+    "hopping_window": """
+WITH offs AS (SELECT unnest(range(0, 4)) AS o),
+exp AS (
+  SELECT e.event_type,
+         (epoch_us(e.ts) // (900 * 1000000)) - offs.o AS win,
+         CAST(round(e.value * 100) AS BIGINT) AS cents
+  FROM events e CROSS JOIN offs)
+SELECT event_type,
+       make_timestamp(win * 900 * 1000000) AS window_start,
+       count(*)::BIGINT AS n_events,
+       CAST(sum(cents) AS DOUBLE) / 100 AS sum_value,
+       CAST(min(cents) AS DOUBLE) / 100 AS min_value,
+       CAST(max(cents) AS DOUBLE) / 100 AS max_value
+FROM exp GROUP BY 1, 2 ORDER BY 1, 2
+""",
     "sessionize": """
 WITH gaps AS (
   SELECT user_id, ts,
@@ -1397,6 +1421,7 @@ QUERIES = {
     "search_exact": q_search_exact,
     "point_lookup": q_point_lookup,
     "tumbling_hourly": q_tumbling_hourly,
+    "hopping_window": q_hopping_window,
     "sessionize": q_sessionize,
     "grouped_topn": q_grouped_topn,
     "events_type_stats": q_events_type_stats,

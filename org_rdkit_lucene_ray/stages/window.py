@@ -90,6 +90,93 @@ def tumbling_window_agg(events: rd.Dataset, width_secs: int = 3600,
     return combined.map_batches(finish, batch_format="pyarrow")
 
 
+def hopping_window_agg(events: rd.Dataset, width_secs: int = 3600,
+                       hop_secs: int = 900, ts_col: str = "ts",
+                       key_col: str = "event_type", value_col: str = "value",
+                       value_decimals: int | None = None) -> rd.Dataset:
+    """Hopping (sliding) windows: count/sum/min/max of ``value`` per
+    (key, window) where windows of ``width_secs`` start every ``hop_secs``
+    — each event lands in ``width/hop`` windows. Tumbling is the
+    ``hop == width`` special case (see :func:`tumbling_window_agg`).
+
+    Same partial+final shape: events explode into their covering window
+    ids INSIDE ``map_batches`` (a vectorized ``np.repeat``), pre-aggregate
+    per (key, window) per batch, tiny ``groupby`` combine — the shuffle
+    moves one row per (key, window, batch), so the width/hop expansion
+    factor never rides the exchange. Exact fixed-point sums via
+    ``value_decimals`` (the orders_by_segment lesson)."""
+    if width_secs % hop_secs:
+        raise ValueError("width_secs must be a multiple of hop_secs")
+    n_w = width_secs // hop_secs
+    hop_us = hop_secs * 1_000_000
+    scale = 10 ** value_decimals if value_decimals is not None else None
+
+    def partial(t: pa.Table) -> pa.Table:
+        ts_us = pc.cast(pc.cast(t[ts_col], pa.timestamp("us")),
+                        pa.int64()).to_numpy()
+        slot = ts_us // hop_us           # last window START slot covering ts
+        vals = t[value_col].to_numpy(zero_copy_only=False)
+        if scale is not None:
+            vals = np.round(vals * scale).astype(np.int64)
+        keys = t[key_col].combine_chunks()
+        # explode: window start slots [slot - n_w + 1, slot]
+        rep = pa.array(np.repeat(np.arange(len(ts_us)), n_w))
+        win = (np.repeat(slot, n_w)
+               - np.tile(np.arange(n_w - 1, -1, -1), len(ts_us)))
+        g = (
+            pa.table({key_col: keys.take(rep),
+                      "window": pa.array(win.astype(np.int64)),
+                      value_col: pa.array(np.repeat(vals, n_w))})
+            .group_by([key_col, "window"])
+            .aggregate([(value_col, "count"), (value_col, "sum"),
+                        (value_col, "min"), (value_col, "max")])
+        )
+        return pa.table({
+            key_col: g[key_col],
+            "window": g["window"],
+            "n_part": pc.cast(g[f"{value_col}_count"], pa.int64()),
+            "sum_part": g[f"{value_col}_sum"],
+            "min_part": g[f"{value_col}_min"],
+            "max_part": g[f"{value_col}_max"],
+        })
+
+    combined = (
+        events.select_columns([key_col, ts_col, value_col])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby([key_col, "window"])
+        .aggregate(
+            Sum("n_part", alias_name="n_events"),
+            Sum("sum_part", alias_name="sum_value"),
+            Min("min_part", alias_name="min_value"),
+            Max("max_part", alias_name="max_value"),
+        )
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        sums = t["sum_value"].to_numpy(zero_copy_only=False)
+        if scale is not None:
+            sums = sums.astype(np.float64) / scale
+            mins = pa.array(t["min_value"].to_numpy(zero_copy_only=False)
+                            .astype(np.float64) / scale)
+            maxs = pa.array(t["max_value"].to_numpy(zero_copy_only=False)
+                            .astype(np.float64) / scale)
+        else:
+            sums = np.round(sums, 4)
+            mins = t["min_value"]
+            maxs = t["max_value"]
+        return pa.table({
+            key_col: t[key_col],
+            "window_start": pc.cast(pc.multiply(t["window"], hop_us),
+                                    pa.timestamp("us")),
+            "n_events": t["n_events"],
+            "sum_value": pa.array(sums),
+            "min_value": mins,
+            "max_value": maxs,
+        })
+
+    return combined.map_batches(finish, batch_format="pyarrow")
+
+
 def sessionize(events: rd.Dataset, gap_secs: int = 1800,
                key_col: str = "user_id", ts_col: str = "ts") -> rd.Dataset:
     """Per-key session stats: a new session starts when the gap from the

@@ -520,3 +520,38 @@ def test_minhash_distributed_verify_equals_broadcast(docs_ds):
                              broadcast_candidate_limit=0)
     assert fast.num_rows > 0                 # planted near dups found
     assert dist.equals(fast)
+
+
+def test_hopping_window_agg(ray_session):
+    """hop == width reduces exactly to the tumbling aggregate; hop < width
+    multiplies membership by width/hop."""
+    import pyarrow.compute as pc
+
+    from org_rdkit_lucene_ray.stages.window import (
+        hopping_window_agg,
+        tumbling_window_agg,
+    )
+
+    n = 500
+    t = pa.table({
+        "event_type": pa.array([f"t{i % 3}" for i in range(n)]),
+        "ts": pa.array(np.arange(n, dtype=np.int64) * 137_000_000
+                       ).cast(pa.timestamp("us")),
+        "value": pa.array(np.round(np.random.default_rng(5).uniform(
+            0, 100, n), 2)),
+    })
+    ds = rd.from_arrow(t).repartition(4)
+    hop_eq = hopping_window_agg(ds, width_secs=3600, hop_secs=3600,
+                                value_decimals=2).to_pandas()
+    tumb = tumbling_window_agg(ds, width_secs=3600,
+                               value_decimals=2).to_pandas()
+    cols = ["event_type", "window_start", "n_events", "sum_value",
+            "min_value", "max_value"]
+    a = hop_eq[cols].sort_values(cols[:2]).reset_index(drop=True)
+    b = tumb[cols].sort_values(cols[:2]).reset_index(drop=True)
+    assert a.equals(b)
+    hop4 = hopping_window_agg(ds, width_secs=3600, hop_secs=900,
+                              value_decimals=2).to_pandas()
+    assert hop4["n_events"].sum() == 4 * n       # every event in 4 windows
+    with pytest.raises(ValueError, match="multiple"):
+        hopping_window_agg(ds, width_secs=3600, hop_secs=1000)
