@@ -591,6 +591,27 @@ def q_search_or(sf_dir: str) -> pa.Table:
     return _bool_search(sf_dir, "or")
 
 
+FUZZY_QUERIES: list[tuple[int, str]] = [   # FuzzyQuery analog, max_edits=1
+    (0, "baba"),          # head term with 1-edit vocab neighbors
+    (1, "kicemu3"),       # mid-tail term
+    (2, "zzznotaterm"),   # absent, no neighbors -> no rows
+]
+
+
+def q_fuzzy_search(sf_dir: str) -> pa.Table:
+    """Lucene FuzzyQuery analog (``term~`` in the 3.6 parser the reference
+    inherits): term-dictionary scan for <=1-edit terms (the pre-4.0 Lucene
+    strategy), SHOULD-union of the expansions."""
+    s = _searcher(sf_dir)
+    qids, docs = [], []
+    for qid, q in FUZZY_QUERIES:
+        hits = s.search_fuzzy(q, max_edits=1)
+        qids.extend([qid] * len(hits))
+        docs.extend(int(d) for d in hits)
+    return pa.table({"query_id": pa.array(qids, pa.int64()),
+                     "doc_id": pa.array(docs, pa.int64())})
+
+
 CAPPED_MAX_HITS = 5
 
 
@@ -1380,6 +1401,17 @@ q(query_id, term) AS (VALUES {", ".join(
 SELECT DISTINCT q.query_id::BIGINT AS query_id, ns.doc_id
 FROM q JOIN ns ON ns.term = q.term ORDER BY 1, 2
 """,
+    "fuzzy_search": f"""
+WITH tok AS (SELECT DISTINCT doc_id, unnest({_TOKS}) AS term FROM documents
+             UNION SELECT doc_id, 'lang:' || lower(lang) FROM documents),
+vocab AS (SELECT DISTINCT term FROM tok),
+q(query_id, qterm) AS (VALUES {", ".join(
+    f"({qid}, '{t}')" for qid, t in FUZZY_QUERIES)}),
+m AS (SELECT q.query_id, v.term FROM q JOIN vocab v
+      ON levenshtein(q.qterm, v.term) <= 1)
+SELECT DISTINCT m.query_id::BIGINT AS query_id, tok.doc_id
+FROM m JOIN tok ON tok.term = m.term ORDER BY 1, 2
+""",
     # recall verdict rows: engine computes recall distributed; oracle pins
     # the expected quantized outcome (see the q_*_recall docstrings)
     "ivf_recall": f"""
@@ -1417,6 +1449,7 @@ QUERIES = {
     "search_or": q_search_or,
     "fielded_list_search": q_fielded_list_search,
     "capped_search": q_capped_search,
+    "fuzzy_search": q_fuzzy_search,
     "search_after_page2": q_search_after_page2,
     "search_exact": q_search_exact,
     "point_lookup": q_point_lookup,

@@ -128,6 +128,28 @@ class _TermCursor:
         return self.mult * float(self.blk_maxw[i])
 
 
+def _levenshtein_within(a: str, b: str, k: int) -> bool:
+    """Wagner-Fischer DP with an early-exit row-minimum bound: True iff
+    edit_distance(a, b) <= k. O(len(a) * len(b)) worst case but candidates
+    are length-banded first, and rows abort once min > k."""
+    if a == b:
+        return True
+    la, lb = len(a), len(b)
+    if abs(la - lb) > k:
+        return False
+    prev = list(range(lb + 1))
+    for i in range(1, la + 1):
+        cur = [i] + [0] * lb
+        ca = a[i - 1]
+        for j in range(1, lb + 1):
+            cost = 0 if ca == b[j - 1] else 1
+            cur[j] = min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + cost)
+        if min(cur) > k:
+            return False
+        prev = cur
+    return prev[lb] <= k
+
+
 class _SortedTermIndex:
     """Zero-copy binary search over a term-SORTED Arrow string column.
 
@@ -750,6 +772,45 @@ class Searcher:
                 expansions.append(t)
                 if ":" not in t:                    # bare term -> all fields
                     expansions.extend(f"{f}:{t}" for f in fields)
+        parts = [d[0] for t in set(expansions)
+                 if (d := self._decode_term(t)) is not None]
+        if not parts:
+            return np.zeros(0, np.int64)
+        out = np.unique(np.concatenate(parts))
+        return out if max_hits is None else out[:max_hits]
+
+    def fuzzy_terms(self, term: str, max_edits: int = 1) -> list[str]:
+        """Indexed terms within ``max_edits`` Levenshtein edits of ``term``.
+
+        Lucene 3.6's ``FuzzyQuery`` (the query surface the reference's
+        parser inherits) enumerates the TERM DICTIONARY and keeps terms
+        within the edit budget — pre-4.0 Lucene had no automaton, it was
+        exactly this scan. Here the dictionary is the index's df table
+        (term-sorted Arrow); a length-band prefilter (|len(t) - len(q)| <=
+        max_edits, an edit-distance lower bound) cuts the exact
+        Wagner-Fischer DP to a small candidate set. The scan is per-query
+        over the vocabulary (bounded, not corpus-sized); at web scale the
+        same filter runs as a map over the df table partitions."""
+        dfs = self._read_df_tables()
+        if dfs is None:
+            return []
+        terms = dfs["term"].combine_chunks()
+        lens = pc.utf8_length(terms).to_numpy(zero_copy_only=False)
+        band = np.flatnonzero(np.abs(lens - len(term)) <= max_edits)
+        out = []
+        for t in terms.take(pa.array(band)).to_pylist():
+            if _levenshtein_within(term, t, max_edits):
+                out.append(t)
+        return sorted(out)
+
+    def search_fuzzy(self, query: str, max_edits: int = 1,
+                     max_hits: int | None = None) -> np.ndarray:
+        """FuzzyQuery analog: every query term expands to its fuzzy term
+        set (:meth:`fuzzy_terms`); docs holding ANY expansion (SHOULD
+        semantics, Lucene's fuzzy rewrite), sorted ascending."""
+        expansions: list[str] = []
+        for t in self._query_terms(query):
+            expansions.extend(self.fuzzy_terms(t, max_edits))
         parts = [d[0] for t in set(expansions)
                  if (d := self._decode_term(t)) is not None]
         if not parts:

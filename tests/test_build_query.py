@@ -313,3 +313,21 @@ def test_search_free_all_fields(built_index, searcher, oracle_index):
     got = searcher.search_free("baba dodi")
     want = searcher.search_or("baba dodi")
     assert got.tolist() == want.tolist()
+
+
+def test_fuzzy_terms_and_search(searcher):
+    """FuzzyQuery analog: _levenshtein_within correctness + fuzzy expansion
+    is a superset of the exact term and unions posting lists."""
+    from org_rdkit_lucene_ray.pipelines.query import _levenshtein_within
+
+    assert _levenshtein_within("baba", "baba", 0)
+    assert _levenshtein_within("baba", "bata", 1)
+    assert not _levenshtein_within("baba", "tata", 1)
+    assert _levenshtein_within("baba", "tata", 2)
+    assert not _levenshtein_within("ab", "abcd", 1)   # length band
+    terms = searcher.fuzzy_terms("baba", max_edits=1)
+    assert "baba" in terms
+    fuzzy = searcher.search_fuzzy("baba", max_edits=1)
+    exact = searcher.search_or("baba")
+    assert set(exact.tolist()) <= set(fuzzy.tolist())
+    assert searcher.search_fuzzy("qqqqxxqq", max_edits=1).size == 0
