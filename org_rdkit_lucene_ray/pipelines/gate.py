@@ -612,6 +612,55 @@ def q_fuzzy_search(sf_dir: str) -> pa.Table:
                      "doc_id": pa.array(docs, pa.int64())})
 
 
+PREFIX_QUERIES: list[tuple[int, str]] = [   # PrefixQuery analog (term*)
+    (0, "kicemu"),
+    (1, "lang:e"),        # prefixes work over composite field terms too
+    (2, "zzzz"),          # no vocab match -> no rows
+]
+WILDCARD_QUERIES: list[tuple[int, str]] = [  # WildcardQuery analog (?, *)
+    (0, "b?ba"),
+    (1, "kice*6"),
+    (2, "*mu3"),
+]
+RANGE_QUERIES: list[tuple[int, str, str]] = [  # TermRangeQuery [lo TO hi]
+    (0, "baba", "bace"),
+    (1, "zez", "zg"),
+]
+
+
+def q_prefix_search(sf_dir: str) -> pa.Table:
+    s = _searcher(sf_dir)
+    qids, docs = [], []
+    for qid, p in PREFIX_QUERIES:
+        hits = s.search_prefix(p)
+        qids.extend([qid] * len(hits))
+        docs.extend(int(d) for d in hits)
+    return pa.table({"query_id": pa.array(qids, pa.int64()),
+                     "doc_id": pa.array(docs, pa.int64())})
+
+
+def q_wildcard_search(sf_dir: str) -> pa.Table:
+    s = _searcher(sf_dir)
+    qids, docs = [], []
+    for qid, p in WILDCARD_QUERIES:
+        hits = s.search_wildcard(p)
+        qids.extend([qid] * len(hits))
+        docs.extend(int(d) for d in hits)
+    return pa.table({"query_id": pa.array(qids, pa.int64()),
+                     "doc_id": pa.array(docs, pa.int64())})
+
+
+def q_range_search(sf_dir: str) -> pa.Table:
+    s = _searcher(sf_dir)
+    qids, docs = [], []
+    for qid, lo, hi in RANGE_QUERIES:
+        hits = s.search_term_range(lo, hi)
+        qids.extend([qid] * len(hits))
+        docs.extend(int(d) for d in hits)
+    return pa.table({"query_id": pa.array(qids, pa.int64()),
+                     "doc_id": pa.array(docs, pa.int64())})
+
+
 CAPPED_MAX_HITS = 5
 
 
@@ -1401,6 +1450,31 @@ q(query_id, term) AS (VALUES {", ".join(
 SELECT DISTINCT q.query_id::BIGINT AS query_id, ns.doc_id
 FROM q JOIN ns ON ns.term = q.term ORDER BY 1, 2
 """,
+    "prefix_search": f"""
+WITH tok AS (SELECT DISTINCT doc_id, unnest({_TOKS}) AS term FROM documents
+             UNION SELECT doc_id, 'lang:' || lower(lang) FROM documents),
+q(query_id, pre) AS (VALUES {", ".join(
+    f"({qid}, '{p}')" for qid, p in PREFIX_QUERIES)})
+SELECT DISTINCT q.query_id::BIGINT AS query_id, tok.doc_id
+FROM q JOIN tok ON starts_with(tok.term, q.pre) ORDER BY 1, 2
+""",
+    "wildcard_search": f"""
+WITH tok AS (SELECT DISTINCT doc_id, unnest({_TOKS}) AS term FROM documents
+             UNION SELECT doc_id, 'lang:' || lower(lang) FROM documents),
+q(query_id, pat) AS (VALUES {", ".join(
+    "({}, '{}')".format(qid, p.replace("*", "%").replace("?", "_"))
+    for qid, p in WILDCARD_QUERIES)})
+SELECT DISTINCT q.query_id::BIGINT AS query_id, tok.doc_id
+FROM q JOIN tok ON tok.term LIKE q.pat ORDER BY 1, 2
+""",
+    "range_search": f"""
+WITH tok AS (SELECT DISTINCT doc_id, unnest({_TOKS}) AS term FROM documents
+             UNION SELECT doc_id, 'lang:' || lower(lang) FROM documents),
+q(query_id, lo, hi) AS (VALUES {", ".join(
+    f"({qid}, '{lo}', '{hi}')" for qid, lo, hi in RANGE_QUERIES)})
+SELECT DISTINCT q.query_id::BIGINT AS query_id, tok.doc_id
+FROM q JOIN tok ON tok.term >= q.lo AND tok.term <= q.hi ORDER BY 1, 2
+""",
     "fuzzy_search": f"""
 WITH tok AS (SELECT DISTINCT doc_id, unnest({_TOKS}) AS term FROM documents
              UNION SELECT doc_id, 'lang:' || lower(lang) FROM documents),
@@ -1450,6 +1524,9 @@ QUERIES = {
     "fielded_list_search": q_fielded_list_search,
     "capped_search": q_capped_search,
     "fuzzy_search": q_fuzzy_search,
+    "prefix_search": q_prefix_search,
+    "wildcard_search": q_wildcard_search,
+    "range_search": q_range_search,
     "search_after_page2": q_search_after_page2,
     "search_exact": q_search_exact,
     "point_lookup": q_point_lookup,

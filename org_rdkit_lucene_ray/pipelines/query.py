@@ -779,6 +779,66 @@ class Searcher:
         out = np.unique(np.concatenate(parts))
         return out if max_hits is None else out[:max_hits]
 
+    # ------------------------------------------ term-dictionary expansions
+    # Lucene 3.6 multi-term query family (PrefixQuery / WildcardQuery /
+    # TermRangeQuery / FuzzyQuery — the QueryParser surface the reference's
+    # MultiFieldQueryParser inherits): expand against the term dictionary,
+    # then SHOULD-union the expansions' posting lists. Pre-4.0 Lucene
+    # rewrites all of these by enumerating the dictionary; ours is the df
+    # table (bounded vocabulary), scanned with vectorized Arrow kernels.
+    def _vocab(self) -> pa.Array:
+        if not hasattr(self, "_vocab_cache"):
+            dfs = self._read_df_tables()
+            self._vocab_cache = (dfs["term"].combine_chunks()
+                                 if dfs is not None else pa.array([], pa.string()))
+        return self._vocab_cache
+
+    def _union_docs(self, terms: list[str],
+                    max_hits: int | None = None) -> np.ndarray:
+        parts = [d[0] for t in set(terms)
+                 if (d := self._decode_term(t)) is not None]
+        if not parts:
+            return np.zeros(0, np.int64)
+        out = np.unique(np.concatenate(parts))
+        return out if max_hits is None else out[:max_hits]
+
+    def prefix_terms(self, prefix: str) -> list[str]:
+        """PrefixQuery expansion (``term*``): vectorized starts_with scan."""
+        v = self._vocab()
+        return sorted(v.filter(pc.starts_with(v, prefix)).to_pylist())
+
+    def wildcard_terms(self, pattern: str) -> list[str]:
+        """WildcardQuery expansion: Lucene ``*`` (any run) / ``?`` (one
+        char); anything else matches literally (vocab terms are analyzer
+        output, so regex metachars are escaped defensively)."""
+        import re as _re
+
+        rx = "".join("[\\s\\S]*" if c == "*" else "[\\s\\S]" if c == "?"
+                     else _re.escape(c) for c in pattern)
+        v = self._vocab()
+        return sorted(v.filter(
+            pc.match_substring_regex(v, "^" + rx + "$")).to_pylist())
+
+    def range_terms(self, lo: str, hi: str, *, include_lo: bool = True,
+                    include_hi: bool = True) -> list[str]:
+        """TermRangeQuery expansion: lexicographic [lo, hi] over the vocab."""
+        v = self._vocab()
+        m_lo = (pc.greater_equal if include_lo else pc.greater)(v, lo)
+        m_hi = (pc.less_equal if include_hi else pc.less)(v, hi)
+        return sorted(v.filter(pc.and_(m_lo, m_hi)).to_pylist())
+
+    def search_prefix(self, prefix: str,
+                      max_hits: int | None = None) -> np.ndarray:
+        return self._union_docs(self.prefix_terms(prefix), max_hits)
+
+    def search_wildcard(self, pattern: str,
+                        max_hits: int | None = None) -> np.ndarray:
+        return self._union_docs(self.wildcard_terms(pattern), max_hits)
+
+    def search_term_range(self, lo: str, hi: str,
+                          max_hits: int | None = None, **kw) -> np.ndarray:
+        return self._union_docs(self.range_terms(lo, hi, **kw), max_hits)
+
     def fuzzy_terms(self, term: str, max_edits: int = 1) -> list[str]:
         """Indexed terms within ``max_edits`` Levenshtein edits of ``term``.
 
@@ -791,10 +851,7 @@ class Searcher:
         Wagner-Fischer DP to a small candidate set. The scan is per-query
         over the vocabulary (bounded, not corpus-sized); at web scale the
         same filter runs as a map over the df table partitions."""
-        dfs = self._read_df_tables()
-        if dfs is None:
-            return []
-        terms = dfs["term"].combine_chunks()
+        terms = self._vocab()
         lens = pc.utf8_length(terms).to_numpy(zero_copy_only=False)
         band = np.flatnonzero(np.abs(lens - len(term)) <= max_edits)
         out = []
@@ -811,12 +868,7 @@ class Searcher:
         expansions: list[str] = []
         for t in self._query_terms(query):
             expansions.extend(self.fuzzy_terms(t, max_edits))
-        parts = [d[0] for t in set(expansions)
-                 if (d := self._decode_term(t)) is not None]
-        if not parts:
-            return np.zeros(0, np.int64)
-        out = np.unique(np.concatenate(parts))
-        return out if max_hits is None else out[:max_hits]
+        return self._union_docs(expansions, max_hits)
 
     def search_fp_scored(self, query: str, k: int) -> list[tuple[int, float]]:
         """The reference's FP-search type (``searchMoleculesByFingerprintMatch``
