@@ -661,6 +661,27 @@ def q_range_search(sf_dir: str) -> pa.Table:
                      "doc_id": pa.array(docs, pa.int64())})
 
 
+PARSER_QUERIES: list[tuple[int, str]] = [   # full QueryParser-analog surface
+    (0, "+hash jo?n"),           # MUST term + SHOULD wildcard (ignored: MUST)
+    (1, "kice* -lang:de"),       # wildcard union minus fielded MUST_NOT
+    (2, "+baba~1 +lang:en"),     # fuzzy MUST intersect fielded MUST
+    (3, "[zez TO zg]"),          # bare term-range SHOULD
+]
+
+
+def q_parser_query(sf_dir: str) -> pa.Table:
+    """One query-string surface over the whole multi-term family (the
+    MultiFieldQueryParser grammar, ChemicalIndex.java:466-491)."""
+    s = _searcher(sf_dir)
+    qids, docs = [], []
+    for qid, q in PARSER_QUERIES:
+        hits = s.search_query(q)
+        qids.extend([qid] * len(hits))
+        docs.extend(int(d) for d in hits)
+    return pa.table({"query_id": pa.array(qids, pa.int64()),
+                     "doc_id": pa.array(docs, pa.int64())})
+
+
 CAPPED_MAX_HITS = 5
 
 
@@ -1450,6 +1471,25 @@ q(query_id, term) AS (VALUES {", ".join(
 SELECT DISTINCT q.query_id::BIGINT AS query_id, ns.doc_id
 FROM q JOIN ns ON ns.term = q.term ORDER BY 1, 2
 """,
+    "parser_query": f"""
+WITH tok AS (SELECT DISTINCT doc_id, unnest({_TOKS}) AS term FROM documents
+             UNION SELECT doc_id, 'lang:' || lower(lang) FROM documents),
+vocab AS (SELECT DISTINCT term FROM tok),
+q0 AS (SELECT DISTINCT doc_id FROM tok WHERE term = 'hash'),
+q1 AS (SELECT DISTINCT doc_id FROM tok WHERE term LIKE 'kice%'
+       AND doc_id NOT IN (SELECT doc_id FROM tok WHERE term = 'lang:de')),
+q2 AS (SELECT DISTINCT t.doc_id FROM tok t
+       JOIN vocab v ON v.term = t.term
+       WHERE levenshtein(v.term, 'baba') <= 1
+         AND t.doc_id IN (SELECT doc_id FROM tok WHERE term = 'lang:en')),
+q3 AS (SELECT DISTINCT doc_id FROM tok
+       WHERE term >= 'zez' AND term <= 'zg')
+SELECT 0::BIGINT AS query_id, doc_id FROM q0
+UNION ALL SELECT 1, doc_id FROM q1
+UNION ALL SELECT 2, doc_id FROM q2
+UNION ALL SELECT 3, doc_id FROM q3
+ORDER BY 1, 2
+""",
     "prefix_search": f"""
 WITH tok AS (SELECT DISTINCT doc_id, unnest({_TOKS}) AS term FROM documents
              UNION SELECT doc_id, 'lang:' || lower(lang) FROM documents),
@@ -1527,6 +1567,7 @@ QUERIES = {
     "prefix_search": q_prefix_search,
     "wildcard_search": q_wildcard_search,
     "range_search": q_range_search,
+    "parser_query": q_parser_query,
     "search_after_page2": q_search_after_page2,
     "search_exact": q_search_exact,
     "point_lookup": q_point_lookup,

@@ -870,6 +870,93 @@ class Searcher:
             expansions.extend(self.fuzzy_terms(t, max_edits))
         return self._union_docs(expansions, max_hits)
 
+    _CLAUSE_RE = None   # compiled lazily (class-level cache)
+
+    def search_query(self, query: str,
+                     max_hits: int | None = None) -> np.ndarray:
+        """Lucene-QueryParser-analog string surface — the reference's real
+        query language (``MultiFieldQueryParser`` wraps exactly this
+        grammar, ``ChemicalIndex.java:466-491``). Supported per clause:
+
+        - ``+body`` MUST, ``-body`` MUST_NOT, bare SHOULD (Lucene doc-set
+          semantics: MUSTs intersect; SHOULDs only matter when no MUST
+          exists; MUST_NOTs always subtract);
+        - ``field:value`` composite terms in any role;
+        - ``body~`` / ``body~N`` fuzzy (edit distance N, default 1);
+        - ``bo?y*`` wildcard, ``pre*`` prefix (same expansion machinery);
+        - ``[lo TO hi]`` / ``field:[lo TO hi]`` term range.
+
+        A multi-term-query clause contributes the UNION of its expansions
+        (Lucene's rewrite makes the rewritten BooleanQuery one clause);
+        expansion bodies are lowercased verbatim (Lucene's
+        ``lowercase_expanded_terms`` default) since the analyzer would
+        strip ``*``/``?``. A plain body analyzes through the query
+        analyzer; multi-token bodies (e.g. ``+foo-bar``) intersect their
+        tokens. Returns the sorted doc-id set (``max_hits`` caps)."""
+        import re as _re
+
+        if Searcher._CLAUSE_RE is None:
+            Searcher._CLAUSE_RE = _re.compile(
+                r"[+-]?(?:[\w.]+:)?\[[^\]]*\]|[+-]?\S+")
+        fields = set(self.manifest["config"].get("field_columns", []))
+
+        def norm(body: str) -> str:
+            # expansion bodies: lowercase verbatim, keep field: prefixes
+            if ":" in body:
+                f, v = body.split(":", 1)
+                if f in fields:
+                    return f + ":" + v.lower()
+            return body.lower()
+
+        def clause_docs(body: str) -> np.ndarray:
+            m = _re.fullmatch(r"(?:([\w.]+):)?\[(\S+) TO (\S+)\]", body)
+            if m:
+                f, lo, hi = m.groups()
+                pre = f + ":" if f and f in fields else ""
+                return self._union_docs(self.range_terms(
+                    (pre + lo).lower(), (pre + hi).lower()))
+            m = _re.fullmatch(r"(.+?)~(\d*)", body)
+            if m:
+                edits = int(m.group(2)) if m.group(2) else 1
+                return self._union_docs(
+                    self.fuzzy_terms(norm(m.group(1)), max_edits=edits))
+            if "*" in body or "?" in body:
+                return self._union_docs(self.wildcard_terms(norm(body)))
+            toks = self._query_terms(body)
+            if not toks:
+                return np.zeros(0, np.int64)
+            sets = [d[0] if (d := self._decode_term(t)) is not None
+                    else np.zeros(0, np.int64) for t in set(toks)]
+            sets.sort(key=len)
+            out = sets[0]
+            for s in sets[1:]:
+                out = out[np.isin(out, s, assume_unique=True)]
+            return out
+
+        musts, must_nots, shoulds = [], [], []
+        for raw in Searcher._CLAUSE_RE.findall(query):
+            if raw.startswith("+") and len(raw) > 1:
+                musts.append(clause_docs(raw[1:]))
+            elif raw.startswith("-") and len(raw) > 1:
+                must_nots.append(clause_docs(raw[1:]))
+            else:
+                shoulds.append(clause_docs(raw))
+        if musts:
+            musts.sort(key=len)
+            out = musts[0]
+            for s in musts[1:]:
+                out = out[np.isin(out, s, assume_unique=True)]
+        elif shoulds:
+            parts = [p for p in shoulds if p.size]
+            out = np.unique(np.concatenate(parts)) if parts \
+                else np.zeros(0, np.int64)
+        else:
+            out = np.zeros(0, np.int64)
+        for ex in must_nots:
+            if ex.size and out.size:
+                out = out[~np.isin(out, ex, assume_unique=True)]
+        return out if max_hits is None else out[:max_hits]
+
     def search_fp_scored(self, query: str, k: int) -> list[tuple[int, float]]:
         """The reference's FP-search type (``searchMoleculesByFingerprintMatch``
         :607-637): BooleanQuery MUST over every query term, scored, top-k —

