@@ -18,6 +18,7 @@ stages, explicit shuffle/skew handling for the wide steps.
 No module in this package calls ``ray.init()`` — the driver owns the session.
 """
 
+from org_rdkit_lucene_ray.api import Engine
 from org_rdkit_lucene_ray.config import AnalyzerConfig, IndexConfig, BM25Params
 
-__all__ = ["AnalyzerConfig", "IndexConfig", "BM25Params"]
+__all__ = ["AnalyzerConfig", "IndexConfig", "BM25Params", "Engine"]

@@ -1,0 +1,137 @@
+"""User-facing engine façade — the ``ChemicalIndex`` public API reshaped.
+
+The reference's whole public surface is one class: 3 add methods + 7
+search methods + stats/lifecycle (``ChemicalIndex.java``; the demo GUI
+and benchmark driver call nothing else — SURVEY §3.3). :class:`Engine`
+is the drop-in-shaped equivalent over the Ray Data pipelines:
+
+    reference (ChemicalIndex)              Engine
+    -------------------------------------  -------------------------------
+    addSDFFileToIndex / addMolecule(s)     build() / add_documents()
+    (IndexWriter close(true) merge wait)   merge()
+    searchMoleculeByPK          :505-519   lookup(url)
+    searchExactMolecules        :574-589   search_exact(text)
+    searchMoleculesByName       :538-554   search_or(query)
+    searchMoleculesByFingerprintMatch
+                                :607-637   search_fp(query, k) / search_and
+    searchMoleculesWithSubstructure
+                                :657-727   search_screen_verify(query, k)
+    searchMoleculeFreeQuery     :466-491   search(query) — full QueryParser
+                                           grammar incl. fuzzy/wildcard/
+                                           prefix/range + bare-term
+                                           all-field expansion
+    getPrimaryKeysForSearchHits :739-767   resolve_urls(doc_ids)
+    numDocs()                   :434-447   stats()["n_docs"]
+    IndexSearcher reopen (T3)              automatic on generation change
+
+Lifecycle: no locks, no close() — generations are immutable and the
+CURRENT pointer swap is atomic, so an :class:`Engine` simply re-opens its
+:class:`~org_rdkit_lucene_ray.pipelines.query.Searcher` when a write
+method moved the pointer (the writer<->searcher exclusivity of
+``ChemicalIndex.java:129-131`` is designed out). Nothing here calls
+``ray.init()`` — the driver owns the session.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray.data as rd
+
+from org_rdkit_lucene_ray.config import IndexConfig
+
+
+class Engine:
+    """Open (or build) an index directory and serve the reference API."""
+
+    def __init__(self, index_dir: str):
+        self.index_dir = index_dir
+        self._searcher = None
+        self._searcher_gen = None
+
+    # ------------------------------------------------------------- writes
+    @classmethod
+    def build(cls, input_paths: str | list[str], index_dir: str,
+              cfg: IndexConfig | None = None, **kw) -> "Engine":
+        """Bulk build (the ``-index`` entry): see
+        :func:`pipelines.build.build_index` for knobs. Resumable."""
+        from org_rdkit_lucene_ray.pipelines.build import build_index
+
+        build_index(input_paths, index_dir, cfg=cfg, **kw)
+        return cls(index_dir)
+
+    def add_documents(self, input_paths: str | list[str], **kw) -> dict:
+        """Incremental add as a delta generation with url upsert tombstones
+        (delete-by-PK analog, ``ChemicalIndex.java:801``)."""
+        from org_rdkit_lucene_ray.pipelines.merge import add_documents
+
+        return add_documents(self.index_dir, input_paths, **kw)
+
+    def merge(self, **kw) -> dict:
+        """Compact all live generations (``close(true)`` merge analog)."""
+        from org_rdkit_lucene_ray.pipelines.merge import merge_generations
+
+        return merge_generations(self.index_dir, **kw)
+
+    # ------------------------------------------------------------ searcher
+    def searcher(self):
+        """The live generation's Searcher; re-opened automatically after a
+        write moved the CURRENT pointer (T3 reopen semantics)."""
+        from org_rdkit_lucene_ray.pipelines.query import Searcher
+        from org_rdkit_lucene_ray.state.segment import current_generation
+
+        gen = current_generation(self.index_dir)
+        if self._searcher is None or gen != self._searcher_gen:
+            self._searcher = Searcher(self.index_dir)
+            self._searcher_gen = gen
+        return self._searcher
+
+    # ------------------------------------------------------------- queries
+    def topk(self, query: str, k: int = 10) -> list[tuple[int, float]]:
+        """BM25 top-k (score desc, doc_id asc) — block-max pruned, exact."""
+        return self.searcher().topk(query, k)
+
+    def search(self, query: str, max_hits: int | None = None) -> np.ndarray:
+        """Free query, full QueryParser grammar (+/-, field:, ~, ?/*,
+        [lo TO hi]); bare single terms also expand across all indexed
+        field namespaces like MultiFieldQueryParser when unmatched."""
+        s = self.searcher()
+        out = s.search_query(query, max_hits=max_hits)
+        if out.size == 0 and " " not in query.strip():
+            # MultiFieldQueryParser behavior for a bare unmatched term
+            out = s.search_free(query, max_hits=max_hits)
+        return out
+
+    def lookup(self, url: str) -> pa.Table:
+        return self.searcher().lookup_pk(url)
+
+    def search_exact(self, text: str, max_hits: int | None = None) -> np.ndarray:
+        return self.searcher().search_exact(text, max_hits=max_hits)
+
+    def search_and(self, query: str, max_hits: int | None = None) -> np.ndarray:
+        return self.searcher().search_and(query, max_hits=max_hits)
+
+    def search_or(self, query: str, max_hits: int | None = None) -> np.ndarray:
+        return self.searcher().search_or(query, max_hits=max_hits)
+
+    def search_fp(self, query: str, k: int = 10) -> list[tuple[int, float]]:
+        return self.searcher().search_fp_scored(query, k)
+
+    def search_screen_verify(self, query: str, k: int = 10,
+                             **kw) -> list[tuple[int, float]]:
+        return self.searcher().search_screen_verify(query, k, **kw)
+
+    def resolve_urls(self, doc_ids: list[int]) -> dict[int, str]:
+        return self.searcher().resolve_urls(doc_ids)
+
+    def run_queries(self, queries: pa.Table | rd.Dataset, **kw) -> rd.Dataset:
+        """Batch workload through the searcher actor pool (the
+        ``-benchmark`` surface)."""
+        from org_rdkit_lucene_ray.pipelines.query import run_queries
+
+        return run_queries(self.index_dir, queries, **kw)
+
+    # --------------------------------------------------------------- stats
+    def stats(self) -> dict:
+        """``numDocs()``-family corpus statistics from the live manifest."""
+        return dict(self.searcher().manifest["stats"])

@@ -358,3 +358,48 @@ def test_search_query_parser_semantics(searcher):
     # range clause == search_term_range
     assert searcher.search_query("[baba TO bace]").tolist() == \
         searcher.search_term_range("baba", "bace").tolist()
+
+
+def test_engine_facade(ray_session, built_index, oracle_index, pages_dir,
+                       tmp_path_factory):
+    """The ChemicalIndex-shaped public API: every reference surface method
+    answers through one Engine, and the searcher reopens across writes."""
+    from org_rdkit_lucene_ray import Engine
+
+    idx, manifest = built_index
+    e = Engine(idx)
+    assert e.stats()["n_docs"] == oracle_index.n_docs
+    want = oracle_index.topk("baba dodi", 5)
+    assert [(d, float(np.float32(s))) for d, s in want] == \
+        [(d, s) for d, s in e.topk("baba dodi", 5)]
+    assert e.search("+baba -dodi").tolist() == \
+        e.searcher().search_query("+baba -dodi").tolist()
+    assert e.search_and("baba dodi").tolist() == \
+        e.searcher().search_and("baba dodi").tolist()
+    hits = e.topk("baba", 3)
+    urls = e.resolve_urls([d for d, _ in hits])
+    assert len(urls) == len(hits)
+    t = e.lookup(next(iter(urls.values())))
+    assert t.num_rows == 1
+    # generation-reopen: build a PRIVATE index (the shared fixture must not
+    # grow a delta generation), add a delta, the facade must see new docs
+    from org_rdkit_lucene_ray.config import IndexConfig
+    from org_rdkit_lucene_ray.synth import write_pages_dir
+
+    own_pages = tmp_path_factory.mktemp("api_pages")
+    write_pages_dir(str(own_pages), n_docs=200, n_fragments=2, seed=900)
+    own_idx = tmp_path_factory.mktemp("api_index")
+    e2 = Engine.build(str(own_pages), str(own_idx),
+                      cfg=IndexConfig(docs_per_segment=128, term_buckets=4,
+                                      block_size=32))
+    n_before = e2.stats()["n_docs"]
+    gen_before = e2._searcher_gen
+    delta_dir = tmp_path_factory.mktemp("delta_api")
+    write_pages_dir(str(delta_dir), n_docs=50, n_fragments=1, seed=777)
+    e2.add_documents(str(delta_dir))
+    pre = e2.stats()
+    assert pre["n_docs"] > n_before                # reopened automatically
+    assert e2._searcher_gen != gen_before
+    e2.merge()                                     # close(true) analog
+    # compaction drops tombstones physically; doc arithmetic must reconcile
+    assert e2.stats()["n_docs"] == pre["n_docs"] - pre.get("n_deletes", 0)
