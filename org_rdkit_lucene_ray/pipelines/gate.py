@@ -215,6 +215,18 @@ def q_doc_lengths(sf_dir: str) -> rd.Dataset:
     )
 
 
+def q_token_counts(sf_dir: str) -> rd.Dataset:
+    """Training-data token budgets: whitespace, analyzer and GPT-2-style
+    BPE pre-tokenizer counts per doc (one RE2 string, Arrow == DuckDB)."""
+    from org_rdkit_lucene_ray.stages.textstats import token_stats_batch
+
+    return (
+        _docs(sf_dir, columns=["doc_id", "text"])
+        .map_batches(token_stats_batch, batch_format="pyarrow")
+        .select_columns(["doc_id", "n_ws_tokens", "n_bpe_tokens"])
+    )
+
+
 def q_top_terms(sf_dir: str) -> pa.Table:
     """Top-50 terms by total tf — partial per-batch counts, tiny final combine,
     (count desc, term asc) order."""
@@ -1262,6 +1274,15 @@ SELECT doc_id, len({_TOKS})::BIGINT AS n_tokens,
        len(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))::BIGINT AS n_ws_tokens
 FROM documents ORDER BY doc_id
 """,
+    "token_counts": """
+SELECT doc_id,
+       len(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))::BIGINT
+         AS n_ws_tokens,
+       len(regexp_extract_all(text,
+           '''(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+'))::BIGINT
+         AS n_bpe_tokens
+FROM documents ORDER BY doc_id
+""",
     "top_terms": f"""
 WITH tok AS (SELECT unnest({_TOKS}) AS term FROM documents)
 SELECT term, count(*)::BIGINT AS total_tf FROM tok
@@ -1542,6 +1563,7 @@ SELECT {EMB_PLANT_N}::BIGINT AS n_planted, {EMB_PLANT_N}::BIGINT AS n_found,
 QUERIES = {
     "term_df": q_term_df,
     "doc_lengths": q_doc_lengths,
+    "token_counts": q_token_counts,
     "top_terms": q_top_terms,
     "lang_counts": q_lang_counts,
     "quality_scores": q_quality_scores,

@@ -28,11 +28,20 @@ from org_rdkit_lucene_ray.functions.analyze import (
 _STOPWORD_ARRAY = pa.array(ENGLISH_STOPWORDS)
 
 
+# GPT-2-style BPE pre-tokenizer pattern (Radford et al. 2019, the public
+# gpt-2 `pat`), RE2-compatible (the original's `\s+(?!\S)` lookahead is
+# dropped — RE2 has no lookahead — so trailing spaces count as one run):
+# contractions | space?letters | space?digits | space?punct-run | space-run.
+# The SAME RE2 string runs in Arrow (count_substring_regex) and DuckDB
+# (regexp_extract_all), so the count is oracle-checkable bit-for-bit.
+BPE_ISH_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+
+
 def token_stats_batch(batch: pa.Table, text_col: str = "text",
                       cfg: AnalyzerConfig | None = None) -> pa.Table:
-    """Append ``n_tokens`` (analyzer tokens) and ``n_ws_tokens`` (whitespace
-    split) columns. Vectorized; the BPE-ish analyzer regex is the registry's
-    standard pattern."""
+    """Append ``n_tokens`` (analyzer tokens), ``n_ws_tokens`` (whitespace
+    split) and ``n_bpe_tokens`` (GPT-2-style pre-tokenizer pieces — the
+    training-data token-budget estimator) columns. Vectorized."""
     cfg = cfg or REGISTRY["standard"]
     toks = tokenize_column(batch[text_col].combine_chunks(), cfg)
     n_tokens = pc.cast(pc.list_value_length(toks), pa.int64())
@@ -45,8 +54,11 @@ def token_stats_batch(batch: pa.Table, text_col: str = "text",
     if len(pnp):
         u, c = np.unique(pnp, return_counts=True)
         counts[u] = c
-    return batch.append_column("n_tokens", n_tokens).append_column(
-        "n_ws_tokens", pa.array(counts))
+    n_bpe = pc.cast(pc.count_substring_regex(
+        batch[text_col].combine_chunks(), pattern=BPE_ISH_PATTERN), pa.int64())
+    return (batch.append_column("n_tokens", n_tokens)
+            .append_column("n_ws_tokens", pa.array(counts))
+            .append_column("n_bpe_tokens", n_bpe))
 
 
 def quality_score_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
