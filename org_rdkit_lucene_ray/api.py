@@ -60,6 +60,31 @@ class Engine:
         build_index(input_paths, index_dir, cfg=cfg, **kw)
         return cls(index_dir)
 
+    @classmethod
+    def build_from_records(cls, record_paths: str | list[str], index_dir: str,
+                           cfg: IndexConfig | None = None,
+                           staging_dir: str | None = None, **kw) -> "Engine":
+        """End-to-end raw ingest (the reference's ``addSDFFileToIndex``
+        shape, ``ChemicalIndex.java:226-308``): record files (optionally
+        gzipped; ``sources/record_file.py``) -> pages-Parquet staging ->
+        resumable :meth:`build` with html extraction. Staging is written
+        once (marker-guarded), so re-running after a crash resumes the
+        build against the identical fragment set."""
+        import os
+
+        from org_rdkit_lucene_ray.sources.record_file import read_record_files
+
+        staging = staging_dir or os.path.join(index_dir, "staging_pages")
+        marker = os.path.join(staging, "_STAGED")
+        if not os.path.exists(marker):
+            ds = read_record_files(record_paths).drop_columns(
+                ["source_file", "record_no"])
+            ds.write_parquet(staging)
+            with open(marker, "w") as fh:
+                fh.write("ok")
+        return cls.build(staging, index_dir, cfg=cfg, use_html=True,
+                         verify_extraction=False, **kw)
+
     def add_documents(self, input_paths: str | list[str], **kw) -> dict:
         """Incremental add as a delta generation with url upsert tombstones
         (delete-by-PK analog, ``ChemicalIndex.java:801``)."""

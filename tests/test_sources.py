@@ -175,3 +175,34 @@ def test_record_files_roundtrip(ray_session, tmp_path):
         want_ts = pd.to_datetime(t["warc_ts"].to_pandas()).tolist()
         assert pd.to_datetime(part["warc_ts"]).tolist() == want_ts
     assert plain["record_no"].tolist() == [i % 32 for i in range(t.num_rows)]
+
+
+def test_build_from_records_end_to_end(ray_session, tmp_path):
+    """Raw ingest loop: pages -> record files (gz) -> staging -> index; the
+    resulting engine answers searches with the same url set as an index
+    built from the Parquet pages directly."""
+    from org_rdkit_lucene_ray import Engine, IndexConfig
+    from org_rdkit_lucene_ray.sources.record_file import write_record_files
+    from org_rdkit_lucene_ray.synth import gen_pages
+    import pyarrow.parquet as pq
+
+    t = gen_pages(300, seed=11)
+    recs = tmp_path / "recs"
+    write_record_files(t, str(recs), records_per_file=64, gzip_files=True)
+    pages = tmp_path / "pages"
+    pages.mkdir()
+    pq.write_table(t, str(pages / "pages-00000.parquet"))
+
+    cfg = IndexConfig(docs_per_segment=128, term_buckets=4, block_size=32)
+    e_rec = Engine.build_from_records(
+        sorted(str(p) for p in recs.glob("*.rec.gz")),
+        str(tmp_path / "idx_rec"), cfg=cfg)
+    e_dir = Engine.build(str(pages), str(tmp_path / "idx_dir"), cfg=cfg)
+    assert e_rec.stats()["n_docs"] == e_dir.stats()["n_docs"]
+
+    def urls(e, q):
+        hits = e.topk(q, 10)
+        return sorted(e.resolve_urls([d for d, _ in hits]).values())
+
+    for q in ("baba dodi", "cece"):
+        assert urls(e_rec, q) == urls(e_dir, q)
