@@ -213,3 +213,21 @@ def test_random_corpus_search_after_paging(ray_session, tmp_path_factory, seed):
                     break
                 after = (page[-1][1], page[-1][0])
             assert pages == full, (seed, q, mode, page_size)
+
+
+@given(st.text(alphabet="abc", max_size=7), st.text(alphabet="abc", max_size=7),
+       st.integers(min_value=0, max_value=3))
+@settings(max_examples=300, deadline=None)
+def test_levenshtein_within_matches_full_dp(a, b, k):
+    """The early-exit banded DP agrees with the textbook Wagner-Fischer
+    distance on every (string, string, budget) triple."""
+    from org_rdkit_lucene_ray.pipelines.query import _levenshtein_within
+
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                           prev[j - 1] + (ca != cb)))
+        prev = cur
+    assert _levenshtein_within(a, b, k) == (prev[len(b)] <= k)
