@@ -215,6 +215,38 @@ def q_doc_lengths(sf_dir: str) -> rd.Dataset:
     )
 
 
+HLL_REL_ERR_BOUND = 0.05   # ~3 sigma at p=12 (1.6% standard error)
+
+
+def q_distinct_terms_hll(sf_dir: str) -> pa.Table:
+    """HyperLogLog distinct-term estimate vs the exact count, verdict-style
+    (like the recall gates): the engine computes BOTH distributed — the
+    sketch via per-batch register merges, the exact via the term_df
+    pipeline's vocabulary — and emits the exact count plus a quantized
+    accuracy verdict the oracle pins. A sketch drifting past the
+    documented +/-5% bound flips ``met`` and the gate hash-mismatches."""
+    from ray.data.aggregate import Count
+
+    from org_rdkit_lucene_ray.stages.sketch import distinct_count_hll
+
+    est = distinct_count_hll(_docs(sf_dir, columns=["text"]), "text",
+                             tokenize=True)
+
+    def distinct_terms(t: pa.Table) -> pa.Table:
+        toks = tokenize_column(t["text"].combine_chunks(), REGISTRY["standard"])
+        return pa.table({"term": pc.unique(pc.list_flatten(toks))})
+
+    exact = (_docs(sf_dir, columns=["text"])
+             .map_batches(distinct_terms, batch_format="pyarrow")
+             .groupby("term").aggregate(Count(alias_name="n"))).count()
+    met = int(abs(est / exact - 1.0) <= HLL_REL_ERR_BOUND) if exact else 0
+    return pa.table({
+        "exact_distinct": pa.array([int(exact)], pa.int64()),
+        "rel_err_bound": pa.array([HLL_REL_ERR_BOUND], pa.float64()),
+        "met": pa.array([met], pa.int64()),
+    })
+
+
 def q_token_counts(sf_dir: str) -> rd.Dataset:
     """Training-data token budgets: whitespace, analyzer and GPT-2-style
     BPE pre-tokenizer counts per doc (one RE2 string, Arrow == DuckDB)."""
@@ -1274,6 +1306,11 @@ SELECT doc_id, len({_TOKS})::BIGINT AS n_tokens,
        len(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))::BIGINT AS n_ws_tokens
 FROM documents ORDER BY doc_id
 """,
+    "distinct_terms_hll": f"""
+WITH tok AS (SELECT DISTINCT unnest({_TOKS}) AS term FROM documents)
+SELECT count(*)::BIGINT AS exact_distinct, {HLL_REL_ERR_BOUND} AS rel_err_bound,
+       1::BIGINT AS met FROM tok
+""",
     "token_counts": """
 SELECT doc_id,
        len(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))::BIGINT
@@ -1564,6 +1601,7 @@ QUERIES = {
     "term_df": q_term_df,
     "doc_lengths": q_doc_lengths,
     "token_counts": q_token_counts,
+    "distinct_terms_hll": q_distinct_terms_hll,
     "top_terms": q_top_terms,
     "lang_counts": q_lang_counts,
     "quality_scores": q_quality_scores,

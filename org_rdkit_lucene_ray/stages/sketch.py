@@ -1,0 +1,107 @@
+"""Approximate distinct-count sketch (HyperLogLog) as a Ray Data aggregate.
+
+The reference has no sketches (SURVEY §2.5 — its approximate layer is the
+fingerprint screen); a 100 TB corpus pipeline needs cardinality estimates
+(distinct terms / urls / shingles) without a full ``groupby``. HyperLogLog
+(Flajolet, Fusy, Gandouet & Meunier, AofA 2007) with the linear-counting
+small-range correction fits the partial+final shape perfectly:
+
+- partial (``map_batches``): ONE register array (2^p bytes) per batch —
+  vectorized ``np.maximum.at`` over the batch's 64-bit FNV hashes; the
+  shuffle payload is 2^p bytes per batch regardless of batch size;
+- final: registers merge by elementwise max (associative + commutative +
+  idempotent), so any combine tree — including Ray's nondeterministic
+  aggregation order — yields the identical estimate. The merged register
+  count is bounded by the BATCH count, so the driver-side fold is tiny.
+
+Determinism: the hash is the engine's seeded FNV-1a (``stable_term_hash``),
+so the estimate is a pure function of the input multiset — which is what
+lets a correctness gate pin its quantized verdict.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+
+_P_DEFAULT = 12                    # 4096 registers, ~1.6% standard error
+
+
+def _alpha(m: int) -> float:
+    if m == 16:
+        return 0.673
+    if m == 32:
+        return 0.697
+    if m == 64:
+        return 0.709
+    return 0.7213 / (1.0 + 1.079 / m)
+
+
+def hll_registers(hashes: np.ndarray, p: int = _P_DEFAULT) -> np.ndarray:
+    """uint64 hashes -> register array (uint8, length 2^p): register
+    ``h >> (64-p)`` keeps the max over ``1 + leading-zeros`` of the
+    remaining ``64-p`` bits. Fully vectorized."""
+    m = 1 << p
+    regs = np.zeros(m, dtype=np.uint8)
+    if hashes.size == 0:
+        return regs
+    h = np.ascontiguousarray(hashes, dtype=np.uint64)
+    idx = (h >> np.uint64(64 - p)).astype(np.int64)
+    rest = (h << np.uint64(p)) | np.uint64((1 << p) - 1)   # pad low bits
+    # rank = leading zeros of the top 64-p bits, +1; the pad guarantees a
+    # set bit so the loop below terminates within 64-p steps
+    rank = np.ones(h.size, dtype=np.uint8)
+    mask = np.uint64(1) << np.uint64(63)
+    alive = np.flatnonzero((rest & mask) == 0)
+    shift = 62
+    while alive.size:
+        rank[alive] += 1
+        alive = alive[((rest[alive] >> np.uint64(shift)) & np.uint64(1)) == 0]
+        shift -= 1
+    np.maximum.at(regs, idx, rank)
+    return regs
+
+
+def hll_estimate(regs: np.ndarray) -> float:
+    """Cardinality estimate with the linear-counting small-range correction
+    (the original paper's regime switch at 2.5m)."""
+    m = regs.size
+    est = _alpha(m) * m * m / np.sum(np.power(2.0, -regs.astype(np.float64)))
+    zeros = int((regs == 0).sum())
+    if est <= 2.5 * m and zeros:
+        return m * np.log(m / zeros)
+    return float(est)
+
+
+def distinct_count_hll(ds: rd.Dataset, col: str, *, p: int = _P_DEFAULT,
+                       tokenize: bool = False) -> float:
+    """Approximate distinct count of ``col`` (or, with ``tokenize=True``,
+    of the analyzer terms inside a text column) over a Dataset.
+
+    One register row per batch rides back to the driver (2^p bytes each,
+    bounded by batch count); the fold is elementwise max."""
+    from org_rdkit_lucene_ray.pipelines.build import stable_term_hash
+
+    def partial(t: pa.Table) -> pa.Table:
+        if tokenize:
+            from org_rdkit_lucene_ray.functions.analyze import (
+                REGISTRY,
+                tokenize_column,
+            )
+
+            vals = pc.list_flatten(
+                tokenize_column(t[col].combine_chunks(), REGISTRY["standard"]))
+            # hash the dictionary (distinct per batch), not every occurrence
+            vals = pc.unique(vals)
+        else:
+            vals = pc.unique(pc.cast(t[col].combine_chunks(), pa.string()))
+        regs = hll_registers(stable_term_hash(vals), p)
+        return pa.table({"regs": pa.array([regs.tobytes()], pa.binary())})
+
+    rows = ds.map_batches(partial, batch_format="pyarrow").take_all()
+    merged = np.zeros(1 << p, dtype=np.uint8)
+    for r in rows:
+        merged = np.maximum(merged, np.frombuffer(r["regs"], np.uint8))
+    return hll_estimate(merged)

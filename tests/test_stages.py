@@ -555,3 +555,26 @@ def test_hopping_window_agg(ray_session):
     assert hop4["n_events"].sum() == 4 * n       # every event in 4 windows
     with pytest.raises(ValueError, match="multiple"):
         hopping_window_agg(ds, width_secs=3600, hop_secs=1000)
+
+
+def test_hll_sketch_accuracy_and_merge():
+    """HLL registers: vectorized rank computation, merge associativity, and
+    estimate accuracy across the linear-counting and raw regimes."""
+    from org_rdkit_lucene_ray.stages.sketch import (
+        hll_estimate,
+        hll_registers,
+    )
+
+    rng = np.random.default_rng(2)
+    for n in (100, 3000, 50_000, 400_000):
+        h = np.unique(rng.integers(0, 2**64, size=n, dtype=np.uint64))
+        est = hll_estimate(hll_registers(h))
+        assert abs(est / h.size - 1.0) < 0.05, (n, est)
+        # split-merge == whole (elementwise max associativity)
+        r1 = hll_registers(h[: n // 2])
+        r2 = hll_registers(h[n // 2:])
+        assert hll_estimate(np.maximum(r1, r2)) == est
+    # duplicates do not move the estimate
+    h = rng.integers(0, 2**64, size=10_000, dtype=np.uint64)
+    assert hll_estimate(hll_registers(np.tile(h, 3))) == \
+        hll_estimate(hll_registers(h))
