@@ -37,8 +37,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-equivalent SQL per query (omitted for the approximate /
-    stateful ops: minhash_pairs, simhash_pairs, ivf_topk)."""
+    """DuckDB-equivalent SQL per query. Omitted only for the approximate /
+    stateful ops (minhash_pairs, simhash_pairs, ivf_topk,
+    embedding_dup_pairs_ivf), whose quality is separately gated by the
+    SQL-checked verdict entries (ivf_recall, emb_ivf_recall,
+    distinct_terms_hll) and exact siblings."""
     from org_rdkit_lucene_ray.pipelines.gate import ORACLE_SQL
 
     return dict(ORACLE_SQL)
