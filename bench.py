@@ -206,6 +206,19 @@ def run_single(sf_dir: str, num_cpus: int, headline_only: bool,
 
     install_empty_schema_warning_filter()
     sf = _sf_of(sf_dir)
+    # bounded quiet-window wait: this shared VM's neighbors burst to
+    # load-avg 5+ for minutes at a time and swing single measurements
+    # 2-10x (BASELINE.md load-sensitivity protocol). Waiting (up to
+    # RAY_GRAFT_IDLE_WAIT seconds, default 90) for the 1-min load to drop
+    # below RAY_GRAFT_IDLE_THRESH (default 1.5) measures the code, not
+    # the neighbors; the wait is capped so the harness can never hang,
+    # and both the wait and the load brackets ride in the output JSON.
+    thresh = float(os.environ.get("RAY_GRAFT_IDLE_THRESH", "1.5"))
+    budget = float(os.environ.get("RAY_GRAFT_IDLE_WAIT", "90"))
+    w0 = time.time()
+    while os.getloadavg()[0] >= thresh and time.time() - w0 < budget:
+        time.sleep(5)
+    idle_wait = round(time.time() - w0, 1)
     load_start = os.getloadavg()
     t0 = time.perf_counter()
     # headline build best-of-N (same shared-VM defense as the gates/scaling;
@@ -231,6 +244,7 @@ def run_single(sf_dir: str, num_cpus: int, headline_only: bool,
         # load context (VERDICT r2 #1 / BASELINE.md protocol note)
         "host_load_start": [round(x, 2) for x in load_start],
         "host_load_end": [round(x, 2) for x in os.getloadavg()],
+        "idle_wait_s": idle_wait,
         "protocol": {"headline_repeats": repeats,
                      "gate_repeats": int(os.environ.get("RAY_GRAFT_GATE_REPEATS", "2")),
                      "timing": "best-of-N per gate and per headline build"},
