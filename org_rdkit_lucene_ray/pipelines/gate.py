@@ -454,18 +454,18 @@ FREE_QUERIES: list[tuple[int, str]] = [   # J5 bare-term all-field expansion
 ]
 
 
-def q_free_multifield(sf_dir: str) -> pa.Table:
+def q_free_multifield(sf_dir: str) -> rd.Dataset:
     """J5 full analog (MultiFieldQueryParser, ChemicalIndex.java:466-491):
     bare terms searched across the text namespace AND every indexed field
-    namespace, disjunctive."""
-    s = _searcher(sf_dir)
-    qids, docs = [], []
-    for qid, q in FREE_QUERIES:
-        hits = s.search_free(q)
-        qids.extend([qid] * len(hits))
-        docs.extend(int(d) for d in hits)
-    return pa.table({"query_id": pa.array(qids, pa.int64()),
-                     "doc_id": pa.array(docs, pa.int64())})
+    namespace, disjunctive — via the distributed set-query actor pool."""
+    from org_rdkit_lucene_ray.pipelines.query import run_set_queries
+
+    queries = pa.table({
+        "query_id": pa.array([q[0] for q in FREE_QUERIES], pa.int64()),
+        "query": pa.array([q[1] for q in FREE_QUERIES], pa.string()),
+    })
+    return run_set_queries(gate_index(sf_dir), queries,
+                           method="search_free", concurrency=2)
 
 
 # ---------------------------------------------------------------------------
@@ -713,17 +713,20 @@ PARSER_QUERIES: list[tuple[int, str]] = [   # full QueryParser-analog surface
 ]
 
 
-def q_parser_query(sf_dir: str) -> pa.Table:
+def q_parser_query(sf_dir: str) -> rd.Dataset:
     """One query-string surface over the whole multi-term family (the
-    MultiFieldQueryParser grammar, ChemicalIndex.java:466-491)."""
-    s = _searcher(sf_dir)
-    qids, docs = [], []
-    for qid, q in PARSER_QUERIES:
-        hits = s.search_query(q)
-        qids.extend([qid] * len(hits))
-        docs.extend(int(d) for d in hits)
-    return pa.table({"query_id": pa.array(qids, pa.int64()),
-                     "doc_id": pa.array(docs, pa.int64())})
+    MultiFieldQueryParser grammar, ChemicalIndex.java:466-491) — run
+    through the DISTRIBUTED set-query actor pool (run_set_queries), so
+    the correctness gate exercises the batch surface, not just the
+    in-process Searcher."""
+    from org_rdkit_lucene_ray.pipelines.query import run_set_queries
+
+    queries = pa.table({
+        "query_id": pa.array([q[0] for q in PARSER_QUERIES], pa.int64()),
+        "query": pa.array([q[1] for q in PARSER_QUERIES], pa.string()),
+    })
+    return run_set_queries(gate_index(sf_dir), queries,
+                           method="search_query", concurrency=2)
 
 
 CAPPED_MAX_HITS = 5

@@ -1331,6 +1331,72 @@ def topk_sharded(
     return merged.groupby("query_id").map_groups(merge_group, batch_format="pyarrow")
 
 
+class SetSearcherStage:
+    """``map_batches`` actor for the SET-returning search family (boolean /
+    parser / fuzzy / prefix / wildcard / free — any Searcher method taking
+    ``(query, **kwargs)`` and returning a doc-id array): batch of queries
+    in, ``(query_id, doc_id)`` membership rows out. The batch analog of the
+    reference's per-thread search dispatch (``LuceneBenchmark.runTest``
+    :352-382) for the uncollected search types."""
+
+    def __init__(self, index_dir: str, method: str = "search_query",
+                 method_kwargs: dict | None = None,
+                 generation: str | None = None):
+        self.searcher = Searcher(index_dir, generation)
+        self.fn = getattr(self.searcher, method)
+        self.kwargs = method_kwargs or {}
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        qids, docs = [], []
+        for qid, q in zip(batch["query_id"].to_pylist(),
+                          batch["query"].to_pylist()):
+            hits = self.fn(q, **self.kwargs)
+            qids.extend([int(qid)] * len(hits))
+            docs.extend(int(d) for d in hits)
+        return pa.table({"query_id": pa.array(qids, pa.int64()),
+                         "doc_id": pa.array(docs, pa.int64())})
+
+
+def _query_blocks(queries: pa.Table | rd.Dataset, concurrency) -> rd.Dataset:
+    """Driver-side split of a known-size Arrow query table into blocks (no
+    Repartition exchange); Dataset inputs repartition as before."""
+    n_blocks = max(int(concurrency) if not isinstance(concurrency, tuple)
+                   else concurrency[1], 1) * 2
+    if isinstance(queries, pa.Table):
+        n_blocks = max(1, min(n_blocks, queries.num_rows))
+        step = -(-queries.num_rows // n_blocks)
+        return rd.from_arrow([queries.slice(i * step, step)
+                              for i in range(n_blocks)
+                              if i * step < queries.num_rows])
+    return queries.repartition(n_blocks)
+
+
+def run_set_queries(
+    index_dir: str,
+    queries: pa.Table | rd.Dataset,
+    *,
+    method: str = "search_query",
+    method_kwargs: dict | None = None,
+    concurrency: int | tuple[int, int] | None = None,
+) -> rd.Dataset:
+    """Distributed batch surface for the set-returning search family:
+    queries table ``(query_id, query)`` -> searcher actor pool ->
+    ``(query_id, doc_id)`` rows."""
+    if concurrency is None:
+        import ray
+
+        concurrency = max(1, int(ray.cluster_resources().get("CPU", 4)) // 2) \
+            if ray.is_initialized() else 2
+    return _query_blocks(queries, concurrency).map_batches(
+        SetSearcherStage,
+        fn_constructor_kwargs=dict(index_dir=index_dir, method=method,
+                                   method_kwargs=method_kwargs),
+        batch_format="pyarrow",
+        batch_size=8,
+        concurrency=concurrency,
+    )
+
+
 def run_queries(
     index_dir: str,
     queries: pa.Table | rd.Dataset,
@@ -1346,21 +1412,10 @@ def run_queries(
 
         concurrency = max(1, int(ray.cluster_resources().get("CPU", 4)) // 2) \
             if ray.is_initialized() else 2
-    # a small query table arrives as ONE block; without splitting, the actor
-    # pool would receive a single task and run on one actor
-    n_blocks = max(int(concurrency) if not isinstance(concurrency, tuple)
-                   else concurrency[1], 1) * 2
-    if isinstance(queries, pa.Table):
-        # split DRIVER-SIDE (the row count is known): one block per slice,
-        # no AllToAll Repartition stage — that extra exchange round was the
-        # bm25_topk gate's dominant cost at small query counts (BENCH r2)
-        n_blocks = max(1, min(n_blocks, queries.num_rows))
-        step = -(-queries.num_rows // n_blocks)
-        ds = rd.from_arrow([queries.slice(i * step, step)
-                            for i in range(n_blocks)
-                            if i * step < queries.num_rows])
-    else:
-        ds = queries.repartition(n_blocks)
+    # a small query table arrives as ONE block; split driver-side (no
+    # AllToAll Repartition — that extra exchange round was the bm25_topk
+    # gate's dominant cost at small query counts, BENCH r2)
+    ds = _query_blocks(queries, concurrency)
     return ds.map_batches(
         SearcherStage,
         fn_constructor_kwargs=dict(index_dir=index_dir, mode=mode, resolve_urls=resolve_urls),
