@@ -636,8 +636,8 @@ def q_search_or(sf_dir: str) -> pa.Table:
 
 
 FUZZY_QUERIES: list[tuple[int, str]] = [   # FuzzyQuery analog, max_edits=1
-    (0, "baba"),          # head term with 1-edit vocab neighbors
-    (1, "kicemu3"),       # mid-tail term
+    (0, "hask"),          # typo -> recovers 'hash' docs
+    (1, "vektor"),        # typo -> recovers 'vector' docs
     (2, "zzznotaterm"),   # absent, no neighbors -> no rows
 ]
 
@@ -657,18 +657,18 @@ def q_fuzzy_search(sf_dir: str) -> pa.Table:
 
 
 PREFIX_QUERIES: list[tuple[int, str]] = [   # PrefixQuery analog (term*)
-    (0, "kicemu"),
+    (0, "s"),             # scan slow small sort spark stream
     (1, "lang:e"),        # prefixes work over composite field terms too
     (2, "zzzz"),          # no vocab match -> no rows
 ]
 WILDCARD_QUERIES: list[tuple[int, str]] = [  # WildcardQuery analog (?, *)
-    (0, "b?ba"),
-    (1, "kice*6"),
-    (2, "*mu3"),
+    (0, "ha?h"),          # hash
+    (1, "s*t"),           # sort
+    (2, "*ow"),           # row, slow, window
 ]
 RANGE_QUERIES: list[tuple[int, str, str]] = [  # TermRangeQuery [lo TO hi]
-    (0, "baba", "bace"),
-    (1, "zez", "zg"),
+    (0, "batch", "data"),  # batch big column customer data
+    (1, "va", "wz"),       # value vector window
 ]
 
 
@@ -707,9 +707,9 @@ def q_range_search(sf_dir: str) -> pa.Table:
 
 PARSER_QUERIES: list[tuple[int, str]] = [   # full QueryParser-analog surface
     (0, "+hash jo?n"),           # MUST term + SHOULD wildcard (ignored: MUST)
-    (1, "kice* -lang:de"),       # wildcard union minus fielded MUST_NOT
-    (2, "+baba~1 +lang:en"),     # fuzzy MUST intersect fielded MUST
-    (3, "[zez TO zg]"),          # bare term-range SHOULD
+    (1, "s* -lang:de"),          # wildcard union minus fielded MUST_NOT
+    (2, "+hask~1 +lang:en"),     # fuzzy-typo MUST intersect fielded MUST
+    (3, "[table TO the]"),       # bare term-range SHOULD
 ]
 
 
@@ -1537,14 +1537,14 @@ WITH tok AS (SELECT DISTINCT doc_id, unnest({_TOKS}) AS term FROM documents
              UNION SELECT doc_id, 'lang:' || lower(lang) FROM documents),
 vocab AS (SELECT DISTINCT term FROM tok),
 q0 AS (SELECT DISTINCT doc_id FROM tok WHERE term = 'hash'),
-q1 AS (SELECT DISTINCT doc_id FROM tok WHERE term LIKE 'kice%'
+q1 AS (SELECT DISTINCT doc_id FROM tok WHERE term LIKE 's%'
        AND doc_id NOT IN (SELECT doc_id FROM tok WHERE term = 'lang:de')),
 q2 AS (SELECT DISTINCT t.doc_id FROM tok t
        JOIN vocab v ON v.term = t.term
-       WHERE levenshtein(v.term, 'baba') <= 1
+       WHERE levenshtein(v.term, 'hask') <= 1
          AND t.doc_id IN (SELECT doc_id FROM tok WHERE term = 'lang:en')),
 q3 AS (SELECT DISTINCT doc_id FROM tok
-       WHERE term >= 'zez' AND term <= 'zg')
+       WHERE term >= 'table' AND term <= 'the')
 SELECT 0::BIGINT AS query_id, doc_id FROM q0
 UNION ALL SELECT 1, doc_id FROM q1
 UNION ALL SELECT 2, doc_id FROM q2
