@@ -149,6 +149,17 @@ class Engine:
     def resolve_urls(self, doc_ids: list[int]) -> dict[int, str]:
         return self.searcher().resolve_urls(doc_ids)
 
+    def search_phrases(self, docs: rd.Dataset,
+                       phrases: list[tuple[int, str, int]],
+                       **kw) -> rd.Dataset:
+        """Phrase / in-order proximity search (PhraseQuery / SpanNearQuery
+        analogs): index-only screen on the driver, one streamed verify pass
+        over the stored-text Dataset. ``phrases`` = (query_id, phrase, slop);
+        result = (query_id, doc_id) rows."""
+        from org_rdkit_lucene_ray.pipelines.query import search_phrases
+
+        return search_phrases(self.searcher(), docs, phrases, **kw)
+
     def run_queries(self, queries: pa.Table | rd.Dataset, **kw) -> rd.Dataset:
         """Batch workload through the searcher actor pool (the
         ``-benchmark`` surface)."""

@@ -729,6 +729,54 @@ def q_parser_query(sf_dir: str) -> rd.Dataset:
                            method="search_query", concurrency=2)
 
 
+PHRASE_QUERIES: list[tuple[int, str, int]] = [   # (query_id, phrase, slop)
+    (0, "big data", 0),          # exact 2-term phrase (PhraseQuery)
+    (1, "part value fast", 0),   # exact 3-term phrase
+    (2, "table table", 0),       # repeated term -> tf>=2 screen refinement
+    (3, "big data", 3),          # in-order proximity (SpanNearQuery slop=3)
+    (4, "scan group row", 2),    # 3-term in-order proximity
+    (5, "zz qq", 0),             # absent terms -> screen empties, 0 rows
+]
+
+
+def q_phrase_search(sf_dir: str) -> rd.Dataset:
+    """Positional phrase / in-order-proximity search (PhraseQuery +
+    SpanNearQuery analogs): index-only multiplicity-aware screen, then ONE
+    streamed verify pass over the stored text for all six phrases."""
+    from org_rdkit_lucene_ray.pipelines.query import search_phrases
+
+    return search_phrases(_searcher(sf_dir),
+                          _docs(sf_dir, columns=["doc_id", "text"]),
+                          PHRASE_QUERIES, concurrency=2)
+
+
+def _phrase_sql() -> str:
+    """Position-join oracle: lockstep unnest gives (doc_id, term, pos); a
+    phrase of terms t1..tn with slop s matches when increasing positions
+    exist with total extra gap p_n - p_1 - (n-1) <= s."""
+    parts = []
+    for qid, phrase, slop in PHRASE_QUERIES:
+        toks = [t for t in phrase.lower().split() if t]
+        n = len(toks)
+        aliases = [f"t{i}" for i in range(n)]
+        joins = [f"tok {aliases[0]}"]
+        conds = [f"{aliases[0]}.term = '{toks[0]}'"]
+        for i in range(1, n):
+            joins.append(
+                f"JOIN tok {aliases[i]} ON {aliases[i]}.doc_id = t0.doc_id "
+                f"AND {aliases[i]}.pos > {aliases[i-1]}.pos")
+            conds.append(f"{aliases[i]}.term = '{toks[i]}'")
+        conds.append(f"{aliases[-1]}.pos - t0.pos - {n - 1} <= {slop}")
+        parts.append(
+            f"SELECT {qid}::BIGINT AS query_id, doc_id FROM ("
+            f"SELECT DISTINCT t0.doc_id FROM {' '.join(joins)} "
+            f"WHERE {' AND '.join(conds)})")
+    return (f"WITH base AS (SELECT doc_id, {_TOKS} AS toks FROM documents),\n"
+            "tok AS (SELECT doc_id, unnest(toks) AS term,\n"
+            "        unnest(range(1, len(toks) + 1)) AS pos FROM base)\n"
+            + "\nUNION ALL ".join(parts) + "\nORDER BY 1, 2")
+
+
 CAPPED_MAX_HITS = 5
 
 
@@ -1418,6 +1466,7 @@ SELECT query_id, doc_id FROM ranked WHERE rn <= {CAPPED_MAX_HITS}
 ORDER BY 1, 2
 """,
     "search_after_page2": _bm25_sql(page=2),
+    "phrase_search": _phrase_sql(),
     "search_exact": f"""
 WITH docs AS (SELECT doc_id, list_sort({_TOKS}) AS key FROM documents)
 SELECT d.doc_id FROM docs d, docs q
@@ -1631,6 +1680,7 @@ QUERIES = {
     "wildcard_search": q_wildcard_search,
     "range_search": q_range_search,
     "parser_query": q_parser_query,
+    "phrase_search": q_phrase_search,
     "search_after_page2": q_search_after_page2,
     "search_exact": q_search_exact,
     "point_lookup": q_point_lookup,

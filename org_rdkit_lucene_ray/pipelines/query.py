@@ -1087,6 +1087,35 @@ class Searcher:
                 return out
         return out if max_hits is None else out[:max_hits]
 
+    def phrase_candidates(self, tokens: list[str],
+                          max_hits: int | None = None) -> np.ndarray:
+        """SCREEN phase of phrase search (Lucene ``PhraseQuery`` /
+        ``SpanNearQuery`` analog — the reference index has no positional
+        surface; this is the fulltext-tier extension, SURVEY §2.10):
+        candidate docs that contain every phrase term with tf >= the term's
+        multiplicity IN the phrase (the tf refinement makes the screen
+        strictly tighter for repeated-term phrases like ``"table table"``
+        at zero extra I/O — tf already rides in every posting). Admissible:
+        a true phrase match needs at least that many occurrences. Position
+        VERIFY runs over the stored text, candidates only — see
+        :func:`search_phrases`."""
+        from collections import Counter
+
+        if not tokens:
+            return np.zeros(0, np.int64)
+        out: np.ndarray | None = None
+        for t, mult in sorted(Counter(tokens).items()):
+            dec = self._decode_term(t)
+            if dec is None:
+                return np.zeros(0, np.int64)
+            docs = dec[0] if mult == 1 else dec[0][dec[1] >= mult]
+            out = docs if out is None else out[np.isin(out, docs,
+                                                       assume_unique=True)]
+            if out.size == 0:
+                break
+        assert out is not None
+        return out if max_hits is None else out[:max_hits]
+
     def _fwd_files(self) -> list[str]:
         out = []
         for gd in self._gdirs:
@@ -1421,5 +1450,154 @@ def run_queries(
         fn_constructor_kwargs=dict(index_dir=index_dir, mode=mode, resolve_urls=resolve_urls),
         batch_format="pyarrow",
         batch_size=8,
+        concurrency=concurrency,
+    )
+
+
+# --------------------------------------------------------------- phrase search
+def _phrase_match_mask(toks: pa.ListArray, ptoks: list[str],
+                       slop: int) -> np.ndarray:
+    """Per-row bool: does the token list contain the phrase terms at
+    strictly-increasing positions ``p_1 < ... < p_n`` with total extra gap
+    ``p_n - p_1 - (n-1) <= slop``? ``slop=0`` is exact adjacency (Lucene
+    ``PhraseQuery``); ``slop>0`` is the in-order ``SpanNearQuery`` contract.
+
+    Vectorized across the whole batch with NO per-row loop: occurrences of
+    each phrase term become sorted composite keys ``row_idx << 32 | pos``,
+    and one ``searchsorted(side='right')`` per phrase term chains every
+    start occurrence to its greedily-nearest completion at once (the greedy
+    chain minimizes ``p_n`` for each ``p_1``, so it is exact for the
+    span-<=-slop decision). Repeated phrase terms work because the chain
+    demands a strictly later key from the SAME sorted occurrence list."""
+    n_rows = len(toks)
+    if n_rows == 0 or not ptoks:
+        return np.zeros(n_rows, bool)
+    counts = pc.fill_null(pc.list_value_length(toks), 0) \
+        .to_numpy(zero_copy_only=False).astype(np.int64)
+    starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    flat = pc.list_flatten(toks)
+    parents = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+    intra = np.arange(len(flat), dtype=np.int64) - starts[parents]
+    keys: list[np.ndarray] = []
+    for t in ptoks:
+        hit = pc.fill_null(pc.equal(flat, t), False) \
+            .to_numpy(zero_copy_only=False)
+        idx = np.flatnonzero(hit)
+        if idx.size == 0:
+            return np.zeros(n_rows, bool)
+        # ascending by construction: flat order IS (row, position) order
+        keys.append((parents[idx].astype(np.int64) << 32) | intra[idx])
+    start = keys[0]
+    cur = start
+    alive = np.ones(cur.size, bool)
+    for k in keys[1:]:
+        pos = np.searchsorted(k, cur, side="right")
+        ok = pos < k.size
+        nxt = k[np.minimum(pos, k.size - 1)]
+        ok &= (nxt >> 32) == (cur >> 32)     # same row
+        alive &= ok
+        cur = np.where(ok, nxt, cur)
+    span_extra = (cur & 0xFFFFFFFF) - (start & 0xFFFFFFFF) - (len(ptoks) - 1)
+    good = alive & (span_extra <= slop)
+    mask = np.zeros(n_rows, bool)
+    mask[np.unique(start[good] >> 32)] = True
+    return mask
+
+
+class PhraseVerifyStage:
+    """VERIFY phase of phrase search over the stored text, as a
+    ``map_batches`` actor: the screened candidate-id array (one ``ray.put``
+    broadcast, fetched ONCE per actor) prunes each batch before the
+    tokenizer runs, then :func:`_phrase_match_mask` decides each phrase.
+    Verification cost is proportional to candidates, not corpus — the same
+    screen/verify economics as ``search_screen_verify`` (K3)."""
+
+    def __init__(self, cands_ref, phrases: list[tuple[int, list[str], int]],
+                 cfg: AnalyzerConfig, id_column: str = "doc_id",
+                 text_column: str = "text"):
+        import ray
+
+        self.cands = ray.get(cands_ref)          # {query_id: sorted int64[]}
+        self.union = np.unique(np.concatenate(
+            [v for v in self.cands.values() if v.size]
+            or [np.zeros(0, np.int64)]))
+        self.phrases = phrases                   # (query_id, tokens, slop)
+        self.cfg = cfg
+        self.id_column = id_column
+        self.text_column = text_column
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from org_rdkit_lucene_ray.functions.analyze import tokenize_column
+
+        out_schema = pa.schema([("query_id", pa.int64()),
+                                ("doc_id", pa.int64())])
+        ids = batch[self.id_column].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        keep = np.isin(ids, self.union)
+        if not keep.any():
+            return out_schema.empty_table()
+        sub = batch.filter(pa.array(keep))
+        ids = ids[keep]
+        toks = tokenize_column(sub[self.text_column], self.cfg)
+        qids_out, docs_out = [], []
+        for qid, ptoks, slop in self.phrases:
+            cand = self.cands[qid]
+            if not cand.size:
+                continue
+            in_q = np.isin(ids, cand)
+            m = _phrase_match_mask(toks, ptoks, slop) & in_q
+            hit = ids[m]
+            qids_out.append(np.full(hit.size, qid, np.int64))
+            docs_out.append(hit)
+        if not qids_out:
+            return out_schema.empty_table()
+        return pa.table({"query_id": np.concatenate(qids_out),
+                         "doc_id": np.concatenate(docs_out)},
+                        schema=out_schema)
+
+
+def search_phrases(
+    searcher: Searcher,
+    docs: rd.Dataset,
+    phrases: list[tuple[int, str, int]],
+    *,
+    id_column: str = "doc_id",
+    text_column: str = "text",
+    concurrency: int | tuple[int, int] | None = None,
+) -> rd.Dataset:
+    """Phrase / in-order-proximity search (Lucene ``PhraseQuery`` slop=0,
+    ``SpanNearQuery(inOrder=true)`` slop>0) as a two-phase distributed plan:
+
+    1. SCREEN (driver, index-only): multiplicity-aware posting intersection
+       per phrase (:meth:`Searcher.phrase_candidates`) — no text touched.
+    2. VERIFY (streamed): ONE ``map_batches`` pass over the stored-text
+       Dataset checks every phrase's positions on its candidates only; the
+       candidate sets ride a single ``ray.put`` broadcast. At 100 TB the
+       docs Dataset is the stored-field table and the pass is pruned
+       further by pushing ``id in candidates`` into the read when the
+       candidate count is small.
+
+    ``phrases`` rows are ``(query_id, phrase, slop)``; result rows are
+    ``(query_id, doc_id)`` membership, like the rest of the set-returning
+    search family."""
+    import ray
+
+    parsed: list[tuple[int, list[str], int]] = []
+    cands: dict[int, np.ndarray] = {}
+    for qid, phrase, slop in phrases:
+        ptoks = analyze_text(phrase, searcher.query_cfg)
+        parsed.append((int(qid), ptoks, int(slop)))
+        cands[int(qid)] = searcher.phrase_candidates(ptoks)
+    ref = ray.put(cands)
+    if concurrency is None:
+        concurrency = max(1, int(ray.cluster_resources().get("CPU", 4)) // 2) \
+            if ray.is_initialized() else 2
+    return docs.map_batches(
+        PhraseVerifyStage,
+        fn_constructor_kwargs=dict(cands_ref=ref, phrases=parsed,
+                                   cfg=searcher.query_cfg,
+                                   id_column=id_column,
+                                   text_column=text_column),
+        batch_format="pyarrow",
         concurrency=concurrency,
     )

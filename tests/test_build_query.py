@@ -403,3 +403,56 @@ def test_engine_facade(ray_session, built_index, oracle_index, pages_dir,
     e2.merge()                                     # close(true) analog
     # compaction drops tombstones physically; doc arithmetic must reconcile
     assert e2.stats()["n_docs"] == pre["n_docs"] - pre.get("n_deletes", 0)
+
+
+def test_phrase_match_mask_semantics():
+    """Positional phrase kernel: exact adjacency, in-order slop, repeated
+    terms, cross-row isolation, single-term, and empty-row behavior."""
+    import pyarrow as pa
+
+    from org_rdkit_lucene_ray.pipelines.query import _phrase_match_mask
+
+    toks = pa.array([
+        ["big", "data", "engine"],          # exact "big data"
+        ["big", "x", "data"],               # gap 1 -> only slop>=1
+        ["data", "big"],                    # wrong order -> never (in-order)
+        ["table", "table", "x"],            # repeated adjacent
+        ["table", "x", "table"],            # repeated with gap
+        [],                                 # empty row
+        ["big"],                            # incomplete phrase
+    ], type=pa.list_(pa.string()))
+
+    assert _phrase_match_mask(toks, ["big", "data"], 0).tolist() == \
+        [True, False, False, False, False, False, False]
+    assert _phrase_match_mask(toks, ["big", "data"], 1).tolist() == \
+        [True, True, False, False, False, False, False]
+    assert _phrase_match_mask(toks, ["table", "table"], 0).tolist() == \
+        [False, False, False, True, False, False, False]
+    assert _phrase_match_mask(toks, ["table", "table"], 1).tolist() == \
+        [False, False, False, True, True, False, False]
+    # single-term phrase = term containment
+    assert _phrase_match_mask(toks, ["big"], 0).tolist() == \
+        [True, True, True, False, False, False, True]
+    # 3-term chain spanning a greedy restart: greedy from FIRST 'a' fails
+    # the slop, but a later start occurrence matches
+    toks2 = pa.array([["a", "x", "x", "x", "b", "a", "b", "c"]],
+                     type=pa.list_(pa.string()))
+    assert _phrase_match_mask(toks2, ["a", "b", "c"], 0).tolist() == [True]
+    assert _phrase_match_mask(toks2, ["a", "b", "c"], 99).tolist() == [True]
+    assert _phrase_match_mask(toks2, ["x", "b", "c"], 0).tolist() == [False]
+
+
+def test_phrase_candidates_tf_refinement(searcher):
+    """Screen: repeated phrase terms demand tf >= multiplicity, so the
+    candidate set is a subset of the plain AND set; absent term -> empty."""
+    import numpy as np
+
+    and_docs = set(searcher.search_and("baba").tolist())
+    cand = searcher.phrase_candidates(["baba", "baba"])
+    assert set(cand.tolist()) <= and_docs
+    # every candidate really has tf >= 2 for 'baba'
+    dec = searcher._decode_term("baba")
+    tf_of = dict(zip(dec[0].tolist(), dec[1].tolist()))
+    assert all(tf_of[d] >= 2 for d in cand.tolist())
+    assert searcher.phrase_candidates(["baba", "zzznotaterm"]).size == 0
+    assert searcher.phrase_candidates([]).size == 0
