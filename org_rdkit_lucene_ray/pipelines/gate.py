@@ -325,6 +325,57 @@ def q_quality_filter(sf_dir: str) -> rd.Dataset:
     )
 
 
+def q_gopher_rules(sf_dir: str) -> rd.Dataset:
+    """Gopher-style repetition filter (Rae et al. 2021 §A1.1): per-doc
+    token/bigram domination features + the keep verdict, streamed."""
+    from org_rdkit_lucene_ray.stages.textstats import repetition_stats_batch
+
+    return (
+        _docs(sf_dir, columns=["doc_id", "text"])
+        .map_batches(repetition_stats_batch, batch_format="pyarrow")
+        .select_columns(["doc_id", "n_tokens", "top_tok_frac", "dup_tok_frac",
+                         "top_2gram_frac", "dup_2gram_frac", "keep"])
+    )
+
+
+def _gopher_sql() -> str:
+    from org_rdkit_lucene_ray.stages.textstats import (
+        GOPHER_DUP_2GRAM_MAX,
+        GOPHER_DUP_TOK_MAX,
+        GOPHER_TOP_2GRAM_MAX,
+        GOPHER_TOP_TOK_MAX,
+    )
+
+    return f"""
+WITH base AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+g AS (SELECT doc_id, list_transform(range(1, len(toks)), i ->
+        toks[i] || '_' || toks[i + 1]) AS grams FROM base),
+uni AS (SELECT doc_id, term, count(*) c
+        FROM (SELECT doc_id, unnest(toks) AS term FROM base) GROUP BY 1, 2),
+bi  AS (SELECT doc_id, gram, count(*) c
+        FROM (SELECT doc_id, unnest(grams) AS gram FROM g) GROUP BY 1, 2),
+uagg AS (SELECT doc_id, max(c) mx, count(*) nd, sum(c) nt FROM uni GROUP BY 1),
+bagg AS (SELECT doc_id, max(c) mx, count(*) nd, sum(c) ng FROM bi GROUP BY 1),
+feat AS (
+  SELECT b.doc_id,
+         coalesce(u.nt, 0)::BIGINT AS n_tokens,
+         CAST(coalesce(u.mx, 0) AS DOUBLE) / greatest(coalesce(u.nt, 0), 1)
+           AS top_tok_frac,
+         1.0 - CAST(coalesce(u.nd, 0) AS DOUBLE)
+               / greatest(coalesce(u.nt, 0), 1) AS dup_tok_frac,
+         CAST(coalesce(bb.mx, 0) AS DOUBLE) / greatest(coalesce(bb.ng, 0), 1)
+           AS top_2gram_frac,
+         1.0 - CAST(coalesce(bb.nd, 0) AS DOUBLE)
+               / greatest(coalesce(bb.ng, 0), 1) AS dup_2gram_frac
+  FROM base b LEFT JOIN uagg u USING (doc_id) LEFT JOIN bagg bb USING (doc_id))
+SELECT *, CAST(top_tok_frac <= {GOPHER_TOP_TOK_MAX}
+               AND dup_tok_frac <= {GOPHER_DUP_TOK_MAX}
+               AND top_2gram_frac <= {GOPHER_TOP_2GRAM_MAX}
+               AND dup_2gram_frac <= {GOPHER_DUP_2GRAM_MAX} AS BIGINT) AS keep
+FROM feat ORDER BY doc_id
+"""
+
+
 def q_doc_fingerprints(sf_dir: str) -> rd.Dataset:
     from org_rdkit_lucene_ray.stages.textstats import md5_fingerprint_batch
 
@@ -1384,6 +1435,7 @@ SELECT doc_id, quality FROM q WHERE quality >= {QUALITY_FILTER_MIN}
 ORDER BY doc_id
 """,
     "doc_fingerprints": "SELECT doc_id, md5(text) AS fp_md5 FROM documents ORDER BY doc_id",
+    "gopher_rules": _gopher_sql(),
     "langid": _LANGID_SQL,
     "row_range_filter": """
 SELECT doc_id, lang FROM documents
@@ -1659,6 +1711,7 @@ QUERIES = {
     "quality_scores": q_quality_scores,
     "quality_filter": q_quality_filter,
     "doc_fingerprints": q_doc_fingerprints,
+    "gopher_rules": q_gopher_rules,
     "langid": q_langid,
     "row_range_filter": q_row_range_filter,
     "exact_dedup": q_exact_dedup,

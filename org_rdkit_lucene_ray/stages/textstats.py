@@ -116,6 +116,70 @@ def quality_score_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     )
 
 
+# Gopher-style repetition thresholds (Rae et al. 2021 §A1.1 "repetition
+# removal", re-parameterized for this corpus' distribution): a doc is kept
+# when no single token or bigram dominates it. Part of the gate contract —
+# the SQL oracle compares the SAME IEEE-double expressions to the SAME
+# constants, so boundary docs agree bit-for-bit.
+GOPHER_TOP_TOK_MAX = 0.10
+GOPHER_DUP_TOK_MAX = 0.55
+GOPHER_TOP_2GRAM_MAX = 0.05
+GOPHER_DUP_2GRAM_MAX = 0.05
+
+
+def repetition_stats_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Append Gopher-style repetition features + the keep verdict:
+
+    - ``top_tok_frac``    most-frequent token's count / n_tokens
+    - ``dup_tok_frac``    1 - distinct_tokens / n_tokens
+    - ``top_2gram_frac``  most-frequent word-bigram's count / n_bigrams
+    - ``dup_2gram_frac``  1 - distinct_bigrams / n_bigrams
+    - ``keep``            1 when every feature is under its GOPHER_* bound
+
+    Every feature is one float64 division (denominator ``max(n, 1)``;
+    empty lists yield dup_frac 1.0 -> dropped, consistently on both
+    engines). Vectorized batch-wide: one Arrow ``group_by`` per gram order
+    gives per-(doc, gram) counts, then ``np.bincount`` / ``np.maximum.at``
+    reduce per doc — no per-row loop."""
+    from org_rdkit_lucene_ray.functions.analyze import _shingle_lists
+
+    n = batch.num_rows
+    toks = tokenize_column(batch[text_col].combine_chunks(), REGISTRY["standard"])
+
+    def per_doc(lst: pa.ListArray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        tot = pc.fill_null(pc.list_value_length(lst), 0) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        grouped = pa.table({
+            "p": pc.list_parent_indices(lst),
+            "t": pc.list_flatten(lst),
+        }).group_by(["p", "t"]).aggregate([("t", "count")])
+        p = grouped["p"].to_numpy(zero_copy_only=False).astype(np.int64)
+        c = grouped["t_count"].to_numpy(zero_copy_only=False).astype(np.int64)
+        nd = np.bincount(p, minlength=n) if p.size else np.zeros(n, np.int64)
+        mx = np.zeros(n, np.int64)
+        if p.size:
+            np.maximum.at(mx, p, c)
+        return tot, nd, mx
+
+    nt, nd_tok, mx_tok = per_doc(toks)
+    ng, nd_bi, mx_bi = per_doc(_shingle_lists(toks, 2))
+    dt = np.maximum(nt, 1).astype(np.float64)
+    db = np.maximum(ng, 1).astype(np.float64)
+    top_tok = mx_tok / dt
+    dup_tok = 1.0 - nd_tok / dt
+    top_bi = mx_bi / db
+    dup_bi = 1.0 - nd_bi / db
+    keep = ((top_tok <= GOPHER_TOP_TOK_MAX) & (dup_tok <= GOPHER_DUP_TOK_MAX)
+            & (top_bi <= GOPHER_TOP_2GRAM_MAX)
+            & (dup_bi <= GOPHER_DUP_2GRAM_MAX)).astype(np.int64)
+    return (batch.append_column("n_tokens", pa.array(nt))
+            .append_column("top_tok_frac", pa.array(top_tok))
+            .append_column("dup_tok_frac", pa.array(dup_tok))
+            .append_column("top_2gram_frac", pa.array(top_bi))
+            .append_column("dup_2gram_frac", pa.array(dup_bi))
+            .append_column("keep", pa.array(keep)))
+
+
 def md5_fingerprint_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     """Append ``fp_md5`` — content fingerprint (matches DuckDB ``md5()``).
     hashlib releases the GIL per call; the per-row loop is a C-speed digest,

@@ -578,3 +578,37 @@ def test_hll_sketch_accuracy_and_merge():
     h = rng.integers(0, 2**64, size=10_000, dtype=np.uint64)
     assert hll_estimate(hll_registers(np.tile(h, 3))) == \
         hll_estimate(hll_registers(h))
+
+
+def test_repetition_stats_edge_cases():
+    """Gopher repetition features: dominated doc drops, diverse doc keeps,
+    empty/single-token docs get dup_frac 1.0 consistently."""
+    import numpy as np
+    import pyarrow as pa
+
+    from org_rdkit_lucene_ray.stages.textstats import repetition_stats_batch
+
+    batch = pa.table({
+        "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+        "text": pa.array([
+            "spam spam spam spam spam spam spam spam spam spam",  # dominated
+            " ".join(f"w{i} x{i}" for i in range(40)),             # diverse
+            "",                                                    # empty
+            "single",                                              # one token
+        ]),
+    })
+    out = repetition_stats_batch(batch)
+    top = out["top_tok_frac"].to_numpy()
+    keep = out["keep"].to_numpy()
+    assert top[0] == 1.0 and keep[0] == 0
+    assert keep[1] == 1
+    assert out["n_tokens"].to_numpy().tolist() == [10, 80, 0, 1]
+    # empty -> 0 distinct / max(0,1) => dup 1.0; single token -> 0 bigrams
+    assert out["dup_tok_frac"].to_numpy()[2] == 1.0
+    assert out["dup_2gram_frac"].to_numpy()[3] == 1.0
+    assert keep[2] == 0 and keep[3] == 0
+    # bigram domination: "a b a b a b" -> top bigram a_b count 3 of 5
+    b2 = pa.table({"doc_id": pa.array([0], pa.int64()),
+                   "text": pa.array(["a b a b a b"])})
+    o2 = repetition_stats_batch(b2)
+    assert np.isclose(o2["top_2gram_frac"].to_numpy()[0], 3 / 5)
