@@ -376,6 +376,74 @@ FROM feat ORDER BY doc_id
 """
 
 
+def _derive_urls(t: pa.Table) -> pa.Array:
+    """Deterministic synthetic URL per doc (documents carry no url column;
+    derived like the list-index ``tags``): mixed case + rotating
+    tracking-param / trailing-slash / fragment variants so every
+    normalization rule fires, with ``doc_id % 17`` path collisions that
+    make the dedup non-trivial. SQL-mirrored in the oracle."""
+    ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    path = pc.cast(pa.array(ids % 17), pa.string())
+    suffix = pa.array(np.select(
+        [ids % 3 == 0, ids % 3 == 1],
+        ["/?utm_source=feed&utm_medium=x", "/"], ""), pa.string())
+    frag = pa.array(np.where(ids % 5 == 0, "#frag", ""), pa.string())
+    return pc.binary_join_element_wise(
+        pa.array(np.full(len(ids), "HTTPS://WWW.", object), pa.string()),
+        t["source"].combine_chunks() if isinstance(t["source"], pa.ChunkedArray)
+        else t["source"],
+        pa.array(np.full(len(ids), ".Example.COM/Path/", object), pa.string()),
+        path, suffix, frag, "")
+
+
+def q_url_dedup(sf_dir: str) -> rd.Dataset:
+    """Webtext URL dedup: canonicalize (functions/url.py) then group — the
+    CCNet/C4-style first dedup pass. The shuffle key is the short
+    normalized url, never the document payload."""
+    from ray.data.aggregate import Count, Min
+
+    from org_rdkit_lucene_ray.functions.url import normalize_url_column
+
+    def add_norm(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "norm_url": normalize_url_column(_derive_urls(t)),
+            "doc_id": pc.cast(t["doc_id"], pa.int64()),
+        })
+
+    agg = (
+        _docs(sf_dir, columns=["doc_id", "source"])
+        .map_batches(add_norm, batch_format="pyarrow")
+        .groupby("norm_url")
+        .aggregate(Min("doc_id", alias_name="keep_id"),
+                   Count(alias_name="n_copies"))
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "norm_url": t["norm_url"],
+            "doc_id": pc.cast(t["keep_id"], pa.int64()),
+            "n_copies": pc.cast(t["n_copies"], pa.int64()),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def _url_dedup_sql() -> str:
+    from org_rdkit_lucene_ray.functions.url import sql_normalize_url
+
+    derive = ("'HTTPS://WWW.' || source || '.Example.COM/Path/' || "
+              "CAST(doc_id % 17 AS VARCHAR) || "
+              "CASE doc_id % 3 WHEN 0 THEN '/?utm_source=feed&utm_medium=x' "
+              "WHEN 1 THEN '/' ELSE '' END || "
+              "CASE WHEN doc_id % 5 = 0 THEN '#frag' ELSE '' END")
+    return f"""
+WITH u AS (SELECT doc_id, {sql_normalize_url(f"({derive})")} AS norm_url
+           FROM documents)
+SELECT norm_url, min(doc_id)::BIGINT AS doc_id, count(*)::BIGINT AS n_copies
+FROM u GROUP BY norm_url ORDER BY norm_url
+"""
+
+
 def q_doc_fingerprints(sf_dir: str) -> rd.Dataset:
     from org_rdkit_lucene_ray.stages.textstats import md5_fingerprint_batch
 
@@ -1436,6 +1504,7 @@ ORDER BY doc_id
 """,
     "doc_fingerprints": "SELECT doc_id, md5(text) AS fp_md5 FROM documents ORDER BY doc_id",
     "gopher_rules": _gopher_sql(),
+    "url_dedup": _url_dedup_sql(),
     "langid": _LANGID_SQL,
     "row_range_filter": """
 SELECT doc_id, lang FROM documents
@@ -1712,6 +1781,7 @@ QUERIES = {
     "quality_filter": q_quality_filter,
     "doc_fingerprints": q_doc_fingerprints,
     "gopher_rules": q_gopher_rules,
+    "url_dedup": q_url_dedup,
     "langid": q_langid,
     "row_range_filter": q_row_range_filter,
     "exact_dedup": q_exact_dedup,

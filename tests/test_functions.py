@@ -223,3 +223,38 @@ def test_record_serialize_round_trip():
     recs2 = serialize_records(t, exclude=("lang",))
     parsed = parse_record(recs2[0].as_py())
     assert "lang" not in parsed and parsed["url"] == t["url"][0].as_py()
+
+
+def test_url_normalization_arrow_sql_parity():
+    """functions/url.py: the Arrow kernel chain and the DuckDB expression
+    are the same canonicalization, rule by rule."""
+    import duckdb
+    import pyarrow as pa
+
+    from org_rdkit_lucene_ray.functions.url import (
+        normalize_url_column,
+        sql_normalize_url,
+    )
+
+    samples = [
+        "HTTPS://WWW.Example.COM/Path/To/Page/?utm_source=f&utm_medium=x#frag",
+        "http://example.com/path?id=3&utm_campaign=a&ref=home",
+        "https://sub.example.com/a/b/",
+        "example.com/a?utm_x=1",
+        "ftp://www.x.org/?fbclid=abc&q=1&gclid=2",
+        "https://example.com/?utm_a=1&utm_b=2&id=3",   # ? restored before id
+        "https://example.com/p?&",
+        "",
+        "www.plain.com",
+        "HTTP://EXAMPLE.COM////",
+        "https://example.com/p#a#b?utm_x=1",           # fragment eats query
+    ]
+    eng = normalize_url_column(pa.array(samples)).to_pylist()
+    con = duckdb.connect()
+    got = [r[0] for r in con.execute(
+        f"SELECT {sql_normalize_url('u')} FROM (SELECT unnest(?) AS u)",
+        [samples]).fetchall()]
+    assert eng == got
+    assert eng[0] == "example.com/path/to/page"
+    assert eng[5] == "example.com/?id=3"
+    assert eng[9] == "example.com"
