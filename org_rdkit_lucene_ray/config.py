@@ -75,6 +75,12 @@ class AnalyzerConfig:
     # dropped, NGramTokenFilter semantics). Composable in that order.
     word_shingles: int = 0
     char_ngrams: int = 0
+    # English minimal plural stemmer (Lucene EnglishMinimalStemFilter /
+    # Savoy 2006): strip a trailing 's' from tokens of length >= 4 unless
+    # the token ends in 'us'/'ss'. Applied after the stopword/length
+    # filters and BEFORE the gram transforms (Lucene filter-chain order:
+    # StopFilter -> StemFilter -> ShingleFilter).
+    en_minimal_stem: bool = False
 
     def fingerprint(self) -> str:
         """Stable hash used for index/query compatibility checks."""

@@ -60,7 +60,21 @@ REGISTRY: dict[str, AnalyzerConfig] = {
     # and typo-tolerant retrieval; tokens shorter than n are dropped
     "char_3gram": AnalyzerConfig(name="char_3gram", char_ngrams=3),
     "char_4gram": AnalyzerConfig(name="char_4gram", char_ngrams=4),
+    # English minimal plural stemmer (Lucene EnglishMinimalStemFilter,
+    # Savoy's minimal English stemmer): 9th registry flavor, completing the
+    # reference's 9-member type menu (FingerprintType.java:44-434). ONE RE2
+    # pattern (_STEM_PATTERN) is shared verbatim by the Arrow, Python and
+    # DuckDB implementations so the three paths cannot drift.
+    "en_stem": AnalyzerConfig(name="en_stem", en_minimal_stem=True),
 }
+
+# Strip a trailing 's' when the token is >= 4 chars and doesn't end in
+# 'us'/'ss' (EnglishMinimalStemmer.java semantics). `.{2,}` + `[^us]` = a
+# >= 3-char prefix whose last char is not u/s; RE2-safe, so the identical
+# string drives pc.replace_substring_regex, re.sub and DuckDB
+# regexp_replace (all codepoint-based UTF-8 engines).
+_STEM_PATTERN = r"^(.{2,}[^us])s$"
+_STEM_REWRITE = r"\1"
 
 
 def get_analyzer(name: str) -> AnalyzerConfig:
@@ -82,6 +96,13 @@ def _py_pattern(cfg: AnalyzerConfig) -> re.Pattern:
     return pat
 
 
+def _py_stem_pattern() -> re.Pattern:
+    pat = _PY_RE_CACHE.get(("__stem__",))
+    if pat is None:
+        pat = _PY_RE_CACHE[("__stem__",)] = re.compile(_STEM_PATTERN)
+    return pat
+
+
 def analyze_text(text: str, cfg: AnalyzerConfig) -> list[str]:
     """Tokenize one string. Duplicates preserved, order preserved."""
     if text is None:
@@ -96,6 +117,9 @@ def analyze_text(text: str, cfg: AnalyzerConfig) -> list[str]:
         and (not cfg.max_token_len or len(t) <= cfg.max_token_len)
         and t not in stop
     ]
+    if cfg.en_minimal_stem:
+        stem = _py_stem_pattern()
+        toks = [stem.sub(_STEM_REWRITE, t) for t in toks]
     if cfg.word_shingles >= 2:
         k = cfg.word_shingles
         toks = ["_".join(toks[i:i + k]) for i in range(len(toks) - k + 1)]
@@ -196,6 +220,9 @@ def tokenize_column(texts: pa.Array | pa.ChunkedArray, cfg: AnalyzerConfig) -> p
         keep = pc.and_(keep, pc.invert(pc.is_in(flat, value_set=pa.array(cfg.stopwords))))
     flat = flat.filter(keep)
     parents = parents.filter(keep)
+    if cfg.en_minimal_stem:
+        flat = pc.replace_substring_regex(
+            flat, pattern=_STEM_PATTERN, replacement=_STEM_REWRITE)
     # rebuild list array from (parent, token) pairs; parents are sorted
     counts = np.zeros(len(texts), dtype=np.int64)
     pnp = parents.to_numpy(zero_copy_only=False)
@@ -276,6 +303,11 @@ def sql_gram_transform(toks_col: str, cfg: AnalyzerConfig) -> str:
     validated against DuckDB semantics (``range(1, 0) = []``,
     ``list_slice`` 1-based inclusive)."""
     expr = toks_col
+    if cfg.en_minimal_stem:
+        # DuckDB string literals are escape-free: \1 passes to RE2's
+        # rewrite verbatim, and _STEM_PATTERN contains no quotes.
+        expr = (f"list_transform({expr}, x -> "
+                f"regexp_replace(x, '{_STEM_PATTERN}', '{_STEM_REWRITE}'))")
     if cfg.word_shingles >= 2:
         k = cfg.word_shingles
         expr = (f"list_transform(range(1, len({expr}) - {k} + 2), "

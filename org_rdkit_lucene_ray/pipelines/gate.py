@@ -556,6 +556,13 @@ def q_char_ngram_df(sf_dir: str) -> rd.Dataset:
     return _df_for_analyzer(sf_dir, "char_3gram")
 
 
+def q_stem_df(sf_dir: str) -> rd.Dataset:
+    """English-minimal-stem analyzer df (Lucene EnglishMinimalStemFilter
+    analog) — the 9th registry flavor; one shared RE2 pattern drives the
+    Arrow, Python and DuckDB stemmers."""
+    return _df_for_analyzer(sf_dir, "en_stem")
+
+
 def _analyzer_df_sql(analyzer: str) -> str:
     cfg = REGISTRY[analyzer]
     return f"""
@@ -1693,6 +1700,7 @@ SELECT doc_id, length(text)::BIGINT AS n_chars FROM documents ORDER BY doc_id
 """,
     "shingle_df": _analyzer_df_sql("shingle_2"),
     "char_ngram_df": _analyzer_df_sql("char_3gram"),
+    "stem_df": _analyzer_df_sql("en_stem"),
     "free_multifield": f"""
 WITH tok AS (SELECT DISTINCT doc_id, unnest({_TOKS}) AS term FROM documents),
 ns AS (SELECT doc_id, term FROM tok
@@ -1823,6 +1831,7 @@ QUERIES = {
     "media_features": q_media_features,
     "shingle_df": q_shingle_df,
     "char_ngram_df": q_char_ngram_df,
+    "stem_df": q_stem_df,
     "free_multifield": q_free_multifield,
     "record_roundtrip": q_record_roundtrip,
 }

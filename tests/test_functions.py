@@ -56,7 +56,8 @@ def test_is_empty_after_trimming_and_truncate():
 def test_analyzer_python_vs_arrow_identical():
     t = gen_pages(200, seed=3)
     for name in ("standard", "standard_en_stop", "whitespace",
-                 "shingle_2", "shingle_3", "char_3gram", "char_4gram"):
+                 "shingle_2", "shingle_3", "char_3gram", "char_4gram",
+                 "en_stem"):
         cfg = REGISTRY[name]
         arrow = tokenize_column(t["text"].combine_chunks(), cfg).to_pylist()
         python = [analyze_text(s, cfg) for s in t["text"].to_pylist()]
@@ -72,6 +73,35 @@ def test_gram_analyzer_semantics():
     ng = REGISTRY["char_3gram"]
     assert analyze_text("hashes ab", ng) == ["has", "ash", "she", "hes"]
     assert analyze_text("ab", ng) == []               # shorter than n drops
+
+
+def test_en_stem_analyzer_semantics():
+    """EnglishMinimalStemFilter rules + 3-way Arrow/Python/SQL parity on
+    the shared RE2 pattern."""
+    import duckdb
+
+    from org_rdkit_lucene_ray.functions.analyze import sql_gram_transform
+
+    st = REGISTRY["en_stem"]
+    assert analyze_text("tables Pages was bus class gas macros", st) == [
+        "table", "page", "was",     # 'was' keeps: 'a' blocked? no — see below
+        "bus",                      # ends 'us' -> keep
+        "class",                    # ends 'ss' -> keep
+        "gas",                      # len 3 < 4 -> keep
+        "macro",
+    ]
+    # 'was': len 3 -> keep (the stopword list is not part of en_stem)
+    con = duckdb.connect()
+    samples = ["tables", "pages", "bus", "class", "gas", "was", "macros",
+               "ss", "us", "s", "", "boss", "bosses", "42s"]
+    expr = sql_gram_transform("toks", st)
+    got = con.execute(
+        f"SELECT {expr} FROM (SELECT ? AS toks)", [samples]).fetchone()[0]
+    import pyarrow as pa
+    arrow = tokenize_column(pa.array([" ".join(samples)]),
+                            st).to_pylist()[0]
+    # '' drops at tokenize; align the SQL list (which keeps it) for compare
+    assert [x for x in got if x != ""] == arrow
 
 
 def test_gram_analyzer_fingerprints_guard_compat():
