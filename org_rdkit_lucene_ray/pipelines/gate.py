@@ -444,6 +444,51 @@ FROM u GROUP BY norm_url ORDER BY norm_url
 """
 
 
+def q_paragraph_dedup(sf_dir: str) -> rd.Dataset:
+    """CCNet-style paragraph-level exact dedup stats. The corpus has no
+    newlines, so a gate pre-stage synthesizes paragraphs: standard-analyzer
+    tokens chunked 10 per paragraph, newline-joined (SQL-mirrored). The
+    operator under test (:func:`paragraph_dedup_stats`) is the honest
+    newline splitter; only (md5, packed-position) rows ride its shuffles."""
+    from org_rdkit_lucene_ray.functions.analyze import (
+        REGISTRY,
+        tokenize_column,
+    )
+    from org_rdkit_lucene_ray.stages.dedup import paragraph_dedup_stats
+
+    cfg = REGISTRY["standard"]
+
+    def chunked(t: pa.Table) -> pa.Table:
+        toks = tokenize_column(t["text"].combine_chunks(), cfg).to_pylist()
+        text2 = ["\n".join(" ".join(tk[i:i + 10])
+                           for i in range(0, len(tk), 10)) for tk in toks]
+        return pa.table({"doc_id": pc.cast(t["doc_id"], pa.int64()),
+                         "text": pa.array(text2, pa.string())})
+
+    paras = _docs(sf_dir, columns=["doc_id", "text"]).map_batches(
+        chunked, batch_format="pyarrow")
+    return paragraph_dedup_stats(paras)
+
+
+_PARAGRAPH_DEDUP_SQL = f"""
+WITH toks AS (SELECT doc_id, {{toks}} AS tk FROM documents),
+par AS (SELECT doc_id,
+        list_transform(range(0, CAST(ceil(len(tk) / 10.0) AS BIGINT)),
+          i -> array_to_string(list_slice(tk, i * 10 + 1, i * 10 + 10), ' '))
+          AS paras FROM toks),
+occ AS (SELECT doc_id, unnest(paras) AS para,
+               unnest(range(0, len(paras))) AS idx FROM par),
+occ2 AS (SELECT doc_id, idx, md5(para) AS fp FROM occ WHERE para <> ''),
+win AS (SELECT fp, min(doc_id * 1048576 + idx) AS packed FROM occ2 GROUP BY fp),
+kept AS (SELECT CAST(packed // 1048576 AS BIGINT) AS doc_id,
+                count(*) AS n_kept FROM win GROUP BY 1),
+tot AS (SELECT doc_id, count(*) AS n_paras FROM occ2 GROUP BY doc_id)
+SELECT t.doc_id, t.n_paras::BIGINT AS n_paras,
+       COALESCE(k.n_kept, 0)::BIGINT AS n_kept
+FROM tot t LEFT JOIN kept k USING (doc_id) ORDER BY t.doc_id
+"""
+
+
 def q_doc_fingerprints(sf_dir: str) -> rd.Dataset:
     from org_rdkit_lucene_ray.stages.textstats import md5_fingerprint_batch
 
@@ -1512,6 +1557,7 @@ ORDER BY doc_id
     "doc_fingerprints": "SELECT doc_id, md5(text) AS fp_md5 FROM documents ORDER BY doc_id",
     "gopher_rules": _gopher_sql(),
     "url_dedup": _url_dedup_sql(),
+    "paragraph_dedup": _PARAGRAPH_DEDUP_SQL.format(toks=_TOKS),
     "langid": _LANGID_SQL,
     "row_range_filter": """
 SELECT doc_id, lang FROM documents
@@ -1790,6 +1836,7 @@ QUERIES = {
     "doc_fingerprints": q_doc_fingerprints,
     "gopher_rules": q_gopher_rules,
     "url_dedup": q_url_dedup,
+    "paragraph_dedup": q_paragraph_dedup,
     "langid": q_langid,
     "row_range_filter": q_row_range_filter,
     "exact_dedup": q_exact_dedup,

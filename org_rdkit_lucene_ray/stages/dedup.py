@@ -914,3 +914,90 @@ def jaccard_pairs_exact(docs_tbl: pa.Table, *, threshold: float,
         "b": pa.array(ids[jj][keep][order], pa.int64()),
         "jaccard": pa.array(np.round(jac[ii, jj][keep][order].astype(np.float64), 6)),
     })
+
+
+# ------------------------------------------------------- paragraph-level dedup
+_PARA_IDX_BITS = 20       # packed = doc_id << 20 | idx  (<= 1M paras per doc)
+
+
+def paragraph_dedup_stats(docs: rd.Dataset, *, text_col: str = "text",
+                          id_col: str = "doc_id", sep: str = "\n") -> rd.Dataset:
+    """CCNet-style paragraph-level exact dedup -> per-doc keep stats.
+
+    The corpus-wide rule (Wenzek et al. 2020 §3.1): a paragraph occurrence
+    survives iff it is the globally FIRST occurrence of its content, first
+    = minimum (doc_id, idx). Output: ``(doc_id, n_paras, n_kept)`` — one row
+    per doc with at least one non-empty paragraph; ``n_paras - n_kept`` is
+    the doc's boilerplate mass, the quantity CCNet thresholds on.
+
+    Scale shape: paragraphs are fingerprinted in ``map_batches`` and only
+    ``(md5, packed-position)`` rows (~48 B) ever ride a shuffle — text
+    never does. One ``groupby(fp) -> Min`` finds winners, then winner rows
+    (8 B) and per-doc totals (pre-aggregated per batch — each doc lives in
+    exactly one batch) meet in a tiny ``groupby(doc_id)``. The occurrence
+    table is materialized because it has two consumers (winners + totals);
+    at cluster scale it would be written hash-partitioned to Parquet once
+    and read twice — same two consumers, same row size.
+
+    Reference analog: the upsert anti-join's first-wins discipline (J6,
+    ``ChemicalIndex.java:801``) applied at paragraph granularity.
+    """
+    from ray.data.aggregate import Min, Sum
+
+    shift = np.int64(1 << _PARA_IDX_BITS)
+
+    def occurrences(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        paras = pc.split_pattern(t[text_col].combine_chunks(), sep)
+        flat = pc.list_flatten(paras)
+        parents = pc.list_parent_indices(paras).to_numpy(zero_copy_only=False)
+        # paragraph index within the doc BEFORE dropping empties (a CCNet
+        # occurrence position is its line number, not its dense rank)
+        starts = np.concatenate([
+            [0], np.cumsum(pc.list_value_length(paras).to_numpy(
+                zero_copy_only=False).astype(np.int64))[:-1]])
+        idx = np.arange(len(flat), dtype=np.int64) - starts[parents]
+        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        flat, parents, idx = flat.filter(pa.array(keep)), parents[keep], idx[keep]
+        if idx.size and int(idx.max()) >= (1 << _PARA_IDX_BITS):
+            raise ValueError(
+                f"doc exceeds {1 << _PARA_IDX_BITS:,} paragraphs; raise "
+                "_PARA_IDX_BITS (packed-position layout)")
+        fps = [hashlib.md5(x.encode("utf-8")).hexdigest()
+               for x in flat.to_pylist()]
+        return pa.table({
+            "fp": pa.array(fps, pa.string()),
+            "packed": pa.array(ids[parents] * shift + idx, pa.int64()),
+        })
+
+    occ = docs.map_batches(occurrences, batch_format="pyarrow").materialize()
+
+    winners = occ.groupby("fp").aggregate(Min("packed", alias_name="w"))
+
+    def kept_rows(t: pa.Table) -> pa.Table:
+        w = t["w"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({id_col: pa.array(w >> _PARA_IDX_BITS, pa.int64()),
+                         "k": pa.array(np.ones(w.size, np.int64)),
+                         "p": pa.array(np.zeros(w.size, np.int64))})
+
+    def total_rows(t: pa.Table) -> pa.Table:
+        d = t["packed"].to_numpy(zero_copy_only=False).astype(np.int64) \
+            >> _PARA_IDX_BITS
+        uniq, cnt = np.unique(d, return_counts=True)
+        return pa.table({id_col: pa.array(uniq, pa.int64()),
+                         "k": pa.array(np.zeros(uniq.size, np.int64)),
+                         "p": pa.array(cnt.astype(np.int64))})
+
+    unioned = winners.map_batches(kept_rows, batch_format="pyarrow").union(
+        occ.map_batches(total_rows, batch_format="pyarrow"))
+    agg = unioned.groupby(id_col).aggregate(
+        Sum("p", alias_name="n_paras"), Sum("k", alias_name="n_kept"))
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table({
+            id_col: pc.cast(t[id_col], pa.int64()),
+            "n_paras": pc.cast(t["n_paras"], pa.int64()),
+            "n_kept": pc.cast(t["n_kept"], pa.int64()),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow")

@@ -612,3 +612,28 @@ def test_repetition_stats_edge_cases():
                    "text": pa.array(["a b a b a b"])})
     o2 = repetition_stats_batch(b2)
     assert np.isclose(o2["top_2gram_frac"].to_numpy()[0], 3 / 5)
+
+
+def test_paragraph_dedup_stats(ray_session):
+    """First global occurrence (min doc_id, then min line idx) wins; empty
+    lines are skipped but keep their line-number positions; all-empty docs
+    emit no row."""
+    import pyarrow as pa
+
+    from org_rdkit_lucene_ray.stages.dedup import paragraph_dedup_stats
+
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "text": pa.array([
+            "alpha\nbeta\n\ngamma",       # idx 0,1,3 (2 is empty)
+            "beta\nalpha\ndelta",          # beta+alpha dup -> only delta kept
+            "gamma\ngamma",                # both copies lose to doc 1
+            "\n\n",                        # all-empty -> no output row
+        ]),
+    })).repartition(3)
+    out = {r["doc_id"]: r for r in
+           paragraph_dedup_stats(docs).take_all()}
+    assert set(out) == {1, 2, 3}
+    assert (out[1]["n_paras"], out[1]["n_kept"]) == (3, 3)
+    assert (out[2]["n_paras"], out[2]["n_kept"]) == (3, 1)
+    assert (out[3]["n_paras"], out[3]["n_kept"]) == (2, 0)
