@@ -489,6 +489,34 @@ FROM tot t LEFT JOIN kept k USING (doc_id) ORDER BY t.doc_id
 """
 
 
+_SAMPLE_RATES = {"en": 0.5, "zh": 1.0, "es": 0.25, "de": 0.25, "fr": 1.0}
+
+
+def q_stratified_sample(sf_dir: str) -> rd.Dataset:
+    """Deterministic per-language training-mix sample (C4/Pile-style
+    mixing weights): hash-of-pk keep rule, integer-only decision path,
+    zero shuffle (:mod:`stages.sample`)."""
+    from org_rdkit_lucene_ray.stages.sample import stratified_sample
+
+    ds = stratified_sample(
+        _docs(sf_dir, columns=["doc_id", "lang"]),
+        rates=_SAMPLE_RATES, stratum_col="lang")
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": pc.cast(t["doc_id"], pa.int64()),
+                         "lang": t["lang"]})
+
+    return ds.map_batches(finish, batch_format="pyarrow")
+
+
+def _stratified_sample_sql() -> str:
+    from org_rdkit_lucene_ray.stages.sample import sql_sample_predicate
+
+    pred = sql_sample_predicate(_SAMPLE_RATES, stratum_col="lang")
+    return (f"SELECT doc_id, lang FROM documents WHERE {pred} "
+            "ORDER BY doc_id")
+
+
 def q_doc_fingerprints(sf_dir: str) -> rd.Dataset:
     from org_rdkit_lucene_ray.stages.textstats import md5_fingerprint_batch
 
@@ -1558,6 +1586,7 @@ ORDER BY doc_id
     "gopher_rules": _gopher_sql(),
     "url_dedup": _url_dedup_sql(),
     "paragraph_dedup": _PARAGRAPH_DEDUP_SQL.format(toks=_TOKS),
+    "stratified_sample": _stratified_sample_sql(),
     "langid": _LANGID_SQL,
     "row_range_filter": """
 SELECT doc_id, lang FROM documents
@@ -1837,6 +1866,7 @@ QUERIES = {
     "gopher_rules": q_gopher_rules,
     "url_dedup": q_url_dedup,
     "paragraph_dedup": q_paragraph_dedup,
+    "stratified_sample": q_stratified_sample,
     "langid": q_langid,
     "row_range_filter": q_row_range_filter,
     "exact_dedup": q_exact_dedup,

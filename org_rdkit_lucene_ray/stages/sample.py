@@ -1,0 +1,69 @@
+"""Deterministic stratified sampling — training-mix construction.
+
+LLM corpora are mixed by per-source / per-language sampling weights (C4's
+language splits, The Pile's per-subset epochs). The operator here is the
+distributed primitive both need: keep each row with a per-stratum
+probability, decided by a DETERMINISTIC hash of the row's primary key so
+
+- the sample is reproducible across runs, partitionings and cluster sizes
+  (no RNG state, no per-worker seeds),
+- membership can be re-derived row-locally (a resumed / re-run job keeps
+  the same docs without any saved state),
+- an ANSI-SQL oracle can compute the identical sample.
+
+Keep rule: ``mix32(pk, seed) < floor(rate * 2^32)`` where ``mix32`` is a
+Knuth multiplicative hash reduced mod 2^32. All arithmetic stays within
+int64 (pk folded mod 2^31 first) so numpy and SQL BIGINT agree bit-exactly
+— the threshold compare is integer-only, no float in the decision path.
+
+Reference analog: the benchmark harness's seeded random task-order shuffle
+(K4, ``LuceneBenchmark.java:418``) — seeded determinism over a workload.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+
+_FOLD = 2_147_483_648          # 2^31: pk folded first so int64 never overflows
+_MULT = 2_654_435_761          # Knuth 2^32 / phi
+_MOD = 4_294_967_296           # 2^32
+
+
+def _mix32(pk: np.ndarray, seed: int) -> np.ndarray:
+    return ((pk % _FOLD) * _MULT + seed) % _MOD
+
+
+def stratified_sample(ds: rd.Dataset, *, rates: dict[str, float],
+                      stratum_col: str, id_col: str = "doc_id",
+                      seed: int = 12345) -> rd.Dataset:
+    """Filter ``ds`` to a deterministic per-stratum sample.
+
+    ``rates`` maps stratum value -> keep probability in [0, 1]; strata not
+    listed are dropped (rate 0). Pure ``map_batches`` filter — no shuffle,
+    no state, embarrassingly parallel at any scale.
+    """
+    thresholds = {k: int(np.floor(v * _MOD)) for k, v in rates.items()}
+
+    def keep(t: pa.Table) -> pa.Table:
+        pk = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        h = _mix32(pk, seed)
+        strata = t[stratum_col].to_numpy(zero_copy_only=False)
+        thr = np.zeros(len(pk), np.int64)
+        for val, th in thresholds.items():
+            thr[strata == val] = th
+        return t.filter(pa.array(h < thr))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def sql_sample_predicate(rates: dict[str, float], *, stratum_col: str,
+                         id_col: str = "doc_id", seed: int = 12345) -> str:
+    """The identical keep rule as a DuckDB boolean expression."""
+    cases = " ".join(
+        f"WHEN '{k}' THEN {int(np.floor(v * _MOD))}"
+        for k, v in rates.items())
+    return (f"(({id_col} % {_FOLD}) * {_MULT} + {seed}) % {_MOD} < "
+            f"(CASE {stratum_col} {cases} ELSE 0 END)")

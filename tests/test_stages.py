@@ -637,3 +637,30 @@ def test_paragraph_dedup_stats(ray_session):
     assert (out[1]["n_paras"], out[1]["n_kept"]) == (3, 3)
     assert (out[2]["n_paras"], out[2]["n_kept"]) == (3, 1)
     assert (out[3]["n_paras"], out[3]["n_kept"]) == (2, 0)
+
+
+def test_stratified_sample_deterministic(ray_session):
+    """Same sample regardless of partitioning; rates roughly honored;
+    unlisted strata drop entirely."""
+    import pyarrow as pa
+
+    from org_rdkit_lucene_ray.stages.sample import stratified_sample
+
+    n = 4000
+    tbl = pa.table({
+        "doc_id": pa.array(range(n), pa.int64()),
+        "lang": pa.array(["en", "fr", "xx", "zh"] * (n // 4)),
+    })
+    rates = {"en": 0.5, "fr": 1.0, "zh": 0.1}
+    a = sorted(r["doc_id"] for r in stratified_sample(
+        rd.from_arrow(tbl).repartition(2), rates=rates,
+        stratum_col="lang").take_all())
+    b = sorted(r["doc_id"] for r in stratified_sample(
+        rd.from_arrow(tbl).repartition(13), rates=rates,
+        stratum_col="lang").take_all())
+    assert a == b and a
+    langs = [tbl["lang"][i].as_py() for i in a]
+    assert "xx" not in langs
+    assert langs.count("fr") == n // 4                  # rate 1.0 keeps all
+    assert abs(langs.count("en") / (n // 4) - 0.5) < 0.06
+    assert abs(langs.count("zh") / (n // 4) - 0.1) < 0.04
