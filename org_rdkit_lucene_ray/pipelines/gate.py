@@ -489,6 +489,64 @@ FROM tot t LEFT JOIN kept k USING (doc_id) ORDER BY t.doc_id
 """
 
 
+def q_pii_scrub(sf_dir: str) -> rd.Dataset:
+    """PII redaction pass (Dolma/ROOTS-style regex scrub). The corpus
+    carries no PII, so a gate pre-stage injects deterministic
+    email/IP/phone strings per doc_id (SQL-mirrored); the operator under
+    test (:mod:`functions.pii`) counts and redacts them with one RE2
+    kernel pass per rule."""
+    import hashlib
+
+    from org_rdkit_lucene_ray.functions.pii import scrub_batch
+
+    def run(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        email = np.where(ids % 3 == 0,
+                         [f" contact user{i}@example.com" for i in ids], "")
+        ip = np.where(ids % 4 == 0,
+                      [f" from 10.0.{i % 256}.{i % 100}" for i in ids], "")
+        ph = np.where(ids % 5 == 0,
+                      [f" call +1555{i % 10000:07d}" for i in ids], "")
+        txt = pc.binary_join_element_wise(
+            t["text"].combine_chunks(),
+            pa.array(email, pa.string()), pa.array(ip, pa.string()),
+            pa.array(ph, pa.string()), "")
+        s = scrub_batch(txt)
+        md5 = pa.array([hashlib.md5(x.encode()).hexdigest()
+                        for x in s["clean"].to_pylist()], pa.string())
+        return pa.table({"doc_id": pc.cast(t["doc_id"], pa.int64()),
+                         "n_email": s["n_email"], "n_ipv4": s["n_ipv4"],
+                         "n_phone": s["n_phone"], "clean_md5": md5})
+
+    return _docs(sf_dir, columns=["doc_id", "text"]).map_batches(
+        run, batch_format="pyarrow")
+
+
+def _pii_scrub_sql() -> str:
+    from org_rdkit_lucene_ray.functions.pii import (
+        sql_count_expr,
+        sql_scrub_expr,
+    )
+
+    inject = (
+        "text || "
+        "CASE WHEN doc_id % 3 = 0 THEN ' contact user' || doc_id || "
+        "'@example.com' ELSE '' END || "
+        "CASE WHEN doc_id % 4 = 0 THEN ' from 10.0.' || (doc_id % 256) || "
+        "'.' || (doc_id % 100) ELSE '' END || "
+        "CASE WHEN doc_id % 5 = 0 THEN ' call +1555' || "
+        "lpad((doc_id % 10000)::VARCHAR, 7, '0') ELSE '' END")
+    return f"""
+WITH t AS (SELECT doc_id, {inject} AS txt FROM documents)
+SELECT doc_id,
+       {sql_count_expr('txt', 'email')} AS n_email,
+       {sql_count_expr('txt', 'ipv4')} AS n_ipv4,
+       {sql_count_expr('txt', 'phone')} AS n_phone,
+       md5({sql_scrub_expr('txt')}) AS clean_md5
+FROM t ORDER BY doc_id
+"""
+
+
 _SAMPLE_RATES = {"en": 0.5, "zh": 1.0, "es": 0.25, "de": 0.25, "fr": 1.0}
 
 
@@ -1587,6 +1645,7 @@ ORDER BY doc_id
     "url_dedup": _url_dedup_sql(),
     "paragraph_dedup": _PARAGRAPH_DEDUP_SQL.format(toks=_TOKS),
     "stratified_sample": _stratified_sample_sql(),
+    "pii_scrub": _pii_scrub_sql(),
     "langid": _LANGID_SQL,
     "row_range_filter": """
 SELECT doc_id, lang FROM documents
@@ -1867,6 +1926,7 @@ QUERIES = {
     "url_dedup": q_url_dedup,
     "paragraph_dedup": q_paragraph_dedup,
     "stratified_sample": q_stratified_sample,
+    "pii_scrub": q_pii_scrub,
     "langid": q_langid,
     "row_range_filter": q_row_range_filter,
     "exact_dedup": q_exact_dedup,

@@ -288,3 +288,46 @@ def test_url_normalization_arrow_sql_parity():
     assert eng[0] == "example.com/path/to/page"
     assert eng[5] == "example.com/?id=3"
     assert eng[9] == "example.com"
+
+
+def test_pii_scrub_semantics():
+    """Detector rules: sequential order, digit-free placeholders,
+    conservative boundaries; Arrow and SQL agree per rule."""
+    import duckdb
+    import pyarrow as pa
+
+    from org_rdkit_lucene_ray.functions.pii import (
+        PII_RULES,
+        scrub_batch,
+        sql_count_expr,
+        sql_scrub_expr,
+    )
+
+    samples = [
+        "mail a.b+c@Example.org now",
+        "host 192.168.0.1 and 1.2.3.4.5 spills",   # 2nd is not a bare ipv4
+        "call +15551234567 or +12 (too short)",
+        "user@sub.domain.co.uk from 8.8.8.8 call +4915112345678",
+        "no pii here 123",
+        "",
+    ]
+    s = scrub_batch(pa.array(samples))
+    assert s["n_email"].to_pylist() == [1, 0, 0, 1, 0, 0]
+    # '1.2.3.4.5': RE2 \b matching finds '1.2.3.4' then trailing '.5' fails
+    # the boundary -> exactly one match inside the run
+    assert s["n_ipv4"].to_pylist() == [0, 2, 0, 1, 0, 0]
+    assert s["n_phone"].to_pylist() == [0, 0, 1, 1, 0, 0]
+    clean = s["clean"].to_pylist()
+    assert clean[0] == "mail <EMAIL> now"
+    assert clean[3] == "<EMAIL> from <IP> call <PHONE>"
+    assert clean[4] == samples[4]
+
+    con = duckdb.connect()
+    cols = ", ".join(
+        [sql_count_expr("u", r) for r, _, _ in PII_RULES]
+        + [sql_scrub_expr("u")])
+    rows = con.execute(
+        f"SELECT {cols} FROM (SELECT unnest(?) AS u)", [samples]).fetchall()
+    for i, row in enumerate(rows):
+        assert row == (s["n_email"][i].as_py(), s["n_ipv4"][i].as_py(),
+                       s["n_phone"][i].as_py(), clean[i]), samples[i]
