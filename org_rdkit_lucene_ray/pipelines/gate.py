@@ -489,6 +489,36 @@ FROM tot t LEFT JOIN kept k USING (doc_id) ORDER BY t.doc_id
 """
 
 
+def q_duplicate_spans(sf_dir: str) -> rd.Dataset:
+    """Duplicate-substring spans (Lee et al. 2021 k-gram approximation):
+    per doc, how many 5-gram occurrences repeat anywhere in the corpus and
+    how many token positions their intervals cover."""
+    from org_rdkit_lucene_ray.stages.dedup import duplicate_span_stats
+
+    return duplicate_span_stats(
+        _docs(sf_dir, columns=["doc_id", "text"]), k=5)
+
+
+_DUPLICATE_SPANS_SQL = """
+WITH toks AS (SELECT doc_id, {toks} AS tk FROM documents),
+g AS (SELECT doc_id, len(tk) AS n_tokens,
+       list_transform(range(1, len(tk) - 5 + 2),
+         i -> array_to_string(list_slice(tk, i, i + 4), '_')) AS grams
+      FROM toks),
+occ AS (SELECT doc_id, n_tokens, unnest(grams) AS gram,
+               unnest(range(0, len(grams))) AS pos FROM g),
+dup AS (SELECT gram FROM occ GROUP BY gram HAVING count(*) >= 2),
+d AS (SELECT o.doc_id, o.n_tokens, o.pos FROM occ o JOIN dup USING (gram)),
+w AS (SELECT doc_id, n_tokens, pos,
+             lead(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt FROM d)
+SELECT doc_id, any_value(n_tokens)::BIGINT AS n_tokens,
+       count(*)::BIGINT AS dup_grams,
+       sum(CASE WHEN nxt IS NULL THEN 5 ELSE least(nxt - pos, 5) END)::BIGINT
+         AS covered_tokens
+FROM w GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 def q_pii_scrub(sf_dir: str) -> rd.Dataset:
     """PII redaction pass (Dolma/ROOTS-style regex scrub). The corpus
     carries no PII, so a gate pre-stage injects deterministic
@@ -1646,6 +1676,7 @@ ORDER BY doc_id
     "paragraph_dedup": _PARAGRAPH_DEDUP_SQL.format(toks=_TOKS),
     "stratified_sample": _stratified_sample_sql(),
     "pii_scrub": _pii_scrub_sql(),
+    "duplicate_spans": _DUPLICATE_SPANS_SQL.format(toks=_TOKS),
     "langid": _LANGID_SQL,
     "row_range_filter": """
 SELECT doc_id, lang FROM documents
@@ -1927,6 +1958,7 @@ QUERIES = {
     "paragraph_dedup": q_paragraph_dedup,
     "stratified_sample": q_stratified_sample,
     "pii_scrub": q_pii_scrub,
+    "duplicate_spans": q_duplicate_spans,
     "langid": q_langid,
     "row_range_filter": q_row_range_filter,
     "exact_dedup": q_exact_dedup,

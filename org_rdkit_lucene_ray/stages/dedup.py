@@ -1001,3 +1001,113 @@ def paragraph_dedup_stats(docs: rd.Dataset, *, text_col: str = "text",
         })
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+# -------------------------------------------------- duplicate-substring spans
+def duplicate_span_stats(docs: rd.Dataset, *, k: int = 5,
+                         text_col: str = "text", id_col: str = "doc_id",
+                         n_buckets: int = 64) -> rd.Dataset:
+    """Duplicate-substring detection — the k-gram approximation of
+    suffix-array substring dedup (Lee et al. 2021, "Deduplicating Training
+    Data Makes Language Models Better"): a token position is *duplicated*
+    when it is covered by a ``k``-token gram that occurs >= 2 times
+    anywhere in the corpus. Output, per doc with at least one duplicated
+    gram: ``(doc_id, n_tokens, dup_grams, covered_tokens)`` where
+    ``covered_tokens`` is the union length of the duplicated [pos, pos+k)
+    intervals — the mass Lee et al. cut out.
+
+    Shape: two bucket-keyed exchanges with BOUNDED group counts (the
+    ``groupby(bucket).map_groups`` bodies are fully vectorized — sort +
+    run-length inside one bucket, never per-gram Python):
+
+    1. gram occurrences -> ``groupby(gram-hash bucket)``: run-length mark
+       grams with global count >= 2 (gram strings ride this shuffle for
+       oracle exactness; at cluster scale the key would be the 64-bit
+       content hash — rows and verdicts identical up to hash collisions);
+    2. duplicated occurrences -> ``groupby(doc-id bucket)``: per-doc
+       fixed-length interval union via lexsort + clipped deltas.
+    """
+    from org_rdkit_lucene_ray.functions.analyze import _shingle_lists
+    from org_rdkit_lucene_ray.pipelines.build import stable_term_hash
+
+    cfg = REGISTRY["standard"]
+    out_schema = pa.schema([(id_col, pa.int64()), ("n_tokens", pa.int64()),
+                            ("dup_grams", pa.int64()),
+                            ("covered_tokens", pa.int64())])
+
+    def occurrences(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        toks = tokenize_column(t[text_col].combine_chunks(), cfg)
+        grams = _shingle_lists(toks, k)
+        flat = pc.list_flatten(grams)
+        parents = pc.list_parent_indices(grams).to_numpy(zero_copy_only=False)
+        n_grams = pc.list_value_length(grams).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        starts = np.concatenate([[0], np.cumsum(n_grams)[:-1]])
+        pos = np.arange(len(flat), dtype=np.int64) - starts[parents]
+        dl = pc.list_value_length(toks).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        bucket = (stable_term_hash(flat) % np.uint64(n_buckets)).astype(np.int64) \
+            if len(flat) else np.zeros(0, np.int64)
+        return pa.table({
+            "bucket": pa.array(bucket),
+            "gram": flat,
+            id_col: pa.array(ids[parents]),
+            "pos": pa.array(pos),
+            "dl": pa.array(dl[parents]),
+        })
+
+    def mark_dups(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "pos": pa.array([], pa.int64()),
+                             "dl": pa.array([], pa.int64()),
+                             "b2": pa.array([], pa.int64())})
+        srt = g.sort_by("gram")
+        col = srt["gram"].combine_chunks()
+        n = len(col)
+        same = np.zeros(n, bool)
+        if n > 1:
+            same[1:] = pc.equal(col.slice(1), col.slice(0, n - 1)).to_numpy(
+                zero_copy_only=False)
+        # run codes -> run sizes -> keep rows in runs of size >= 2
+        codes = np.cumsum(~same) - 1
+        sizes = np.bincount(codes)
+        keep = sizes[codes] >= 2
+        kept = srt.filter(pa.array(keep))
+        d = kept[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            id_col: kept[id_col],
+            "pos": kept["pos"],
+            "dl": kept["dl"],
+            "b2": pa.array(d % n_buckets),
+        })
+
+    def cover(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return out_schema.empty_table()
+        d = g[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        p = g["pos"].to_numpy(zero_copy_only=False).astype(np.int64)
+        dl = g["dl"].to_numpy(zero_copy_only=False).astype(np.int64)
+        o = np.lexsort((p, d))
+        d, p, dl = d[o], p[o], dl[o]
+        first = np.zeros(d.size, bool)
+        first[0] = True
+        first[1:] = d[1:] != d[:-1]
+        contrib = np.full(d.size, k, np.int64)
+        delta = np.empty(d.size, np.int64)
+        delta[1:] = p[1:] - p[:-1]
+        contrib[~first] = np.minimum(delta[~first], k)
+        doc_code = np.cumsum(first) - 1
+        covered = np.bincount(doc_code, weights=contrib).astype(np.int64)
+        counts = np.bincount(doc_code).astype(np.int64)
+        return pa.table({
+            id_col: pa.array(d[first]),
+            "n_tokens": pa.array(dl[first]),
+            "dup_grams": pa.array(counts),
+            "covered_tokens": pa.array(covered),
+        })
+
+    occ = docs.map_batches(occurrences, batch_format="pyarrow")
+    dups = occ.groupby("bucket").map_groups(mark_dups, batch_format="pyarrow")
+    return dups.groupby("b2").map_groups(cover, batch_format="pyarrow")

@@ -664,3 +664,27 @@ def test_stratified_sample_deterministic(ray_session):
     assert langs.count("fr") == n // 4                  # rate 1.0 keeps all
     assert abs(langs.count("en") / (n // 4) - 0.5) < 0.06
     assert abs(langs.count("zh") / (n // 4) - 0.1) < 0.04
+
+
+def test_duplicate_span_stats(ray_session):
+    """Interval-union arithmetic: overlapping gram hits merge; repeats
+    within one doc count; clean docs emit no row."""
+    import pyarrow as pa
+
+    from org_rdkit_lucene_ray.stages.dedup import duplicate_span_stats
+
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array([
+            "a b c d e f g h",            # grams at 0..3 vs doc2: 0,1 shared
+            "a b c d e f x y",            # shares 'a b c d e'/'b c d e f'
+            "q r s t u v w",              # clean
+        ]),
+    })).repartition(2)
+    out = {r["doc_id"]: r for r in
+           duplicate_span_stats(docs, k=5).take_all()}
+    assert set(out) == {1, 2}
+    # doc1: dup grams at pos 0 and 1 -> union [0,5) u [1,6) = 6 tokens
+    assert (out[1]["dup_grams"], out[1]["covered_tokens"],
+            out[1]["n_tokens"]) == (2, 6, 8)
+    assert (out[2]["dup_grams"], out[2]["covered_tokens"]) == (2, 6)
