@@ -922,6 +922,63 @@ def q_search_or(sf_dir: str) -> pa.Table:
     return _bool_search(sf_dir, "or")
 
 
+FACET_QUERIES: list[tuple[int, str, str]] = [  # (qid, query, mode)
+    (0, "hash join", "or"),
+    (1, "customer window", "and"),
+    (2, "zzznotaterm", "or"),     # no hits -> no facet rows for this qid
+]
+
+
+def q_facet_counts(sf_dir: str) -> pa.Table:
+    """Lucene faceting analog (SortedSetDocValues facet counts over the
+    ``lang`` field namespace): per query, hits per facet value, ordered
+    (count desc, value asc) — Lucene's FacetResult ordering, encoded in
+    the ``rank`` column so the ordering itself is oracle-checked."""
+    s = _searcher(sf_dir)
+    qids, ranks, vals, cnts = [], [], [], []
+    for qid, q, mode in FACET_QUERIES:
+        for r, (v, c) in enumerate(s.facet_counts(q, "lang", mode=mode)):
+            qids.append(qid)
+            ranks.append(r)
+            vals.append(v)
+            cnts.append(c)
+    return pa.table({"query_id": pa.array(qids, pa.int64()),
+                     "rank": pa.array(ranks, pa.int64()),
+                     "value": pa.array(vals, pa.string()),
+                     "n_hits": pa.array(cnts, pa.int64())})
+
+
+MLT_SOURCE_DOCS = (2, 7, 11)   # corpus docs used as MoreLikeThis sources
+MLT_MAX_TERMS = 10
+MLT_K = 10
+
+
+def q_more_like_this(sf_dir: str) -> pa.Table:
+    """MoreLikeThis (Lucene ``MoreLikeThis.like``): top interesting terms
+    of a source doc by tf-in-source x idf-in-index (float32-ranked,
+    term-asc ties), then BM25 top-k of their OR-query with the source doc
+    excluded."""
+    import pyarrow.parquet as _pq
+
+    s = _searcher(sf_dir)
+    t = _pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                       columns=["doc_id", "text"])
+    texts = {d: x for d, x in zip(t["doc_id"].to_pylist(),
+                                  t["text"].to_pylist())
+             if d in MLT_SOURCE_DOCS}
+    srcs, ranks, docs = [], [], []
+    for src in MLT_SOURCE_DOCS:
+        res = s.more_like_this(texts[src], max_terms=MLT_MAX_TERMS,
+                               k=MLT_K, exclude_doc=src)
+        for r, (d, _) in enumerate(res):
+            srcs.append(src)
+            ranks.append(r)
+            docs.append(d)
+    return pa.table({"src_doc_id": pa.array(srcs, pa.int64()),
+                     "rank": pa.array(ranks, pa.int64()),
+                     "doc_id": pa.array(docs, pa.int64())})
+
+
 FUZZY_QUERIES: list[tuple[int, str]] = [   # FuzzyQuery analog, max_edits=1
     (0, "hask"),          # typo -> recovers 'hash' docs
     (1, "vektor"),        # typo -> recovers 'vector' docs
@@ -1731,6 +1788,64 @@ JOIN fqn ON fqn.query_id = t.query_id
 WHERE t.hit = fqn.n_terms ORDER BY 1, 2
 """,
     "search_or": _bool_sql("or"),
+    "facet_counts": f"""
+WITH docs AS (SELECT doc_id, lower(lang) AS lang, {_TOKS} AS toks
+              FROM documents),
+tok AS (SELECT DISTINCT doc_id, unnest(toks) AS term FROM docs),
+q0 AS (SELECT DISTINCT doc_id FROM tok WHERE term IN ('hash', 'join')),
+q1 AS (SELECT doc_id FROM tok WHERE term IN ('customer', 'window')
+       GROUP BY doc_id HAVING count(*) = 2),
+q2 AS (SELECT doc_id FROM tok WHERE term = 'zzznotaterm'),
+hits AS (SELECT 0 AS query_id, doc_id FROM q0
+         UNION ALL SELECT 1, doc_id FROM q1
+         UNION ALL SELECT 2, doc_id FROM q2),
+agg AS (SELECT h.query_id, d.lang AS value, count(*) AS n_hits
+        FROM hits h JOIN docs d USING (doc_id) GROUP BY 1, 2)
+SELECT query_id::BIGINT AS query_id,
+       (row_number() OVER (PARTITION BY query_id
+                           ORDER BY n_hits DESC, value ASC) - 1)::BIGINT AS rank,
+       value, n_hits::BIGINT AS n_hits
+FROM agg ORDER BY 1, 2
+""",
+    "more_like_this": f"""
+WITH docs AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+dl AS (SELECT doc_id, len(toks) AS dl FROM docs),
+stats AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+                 CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+tok AS (SELECT doc_id, unnest(toks) AS term FROM docs),
+tf AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf
+       FROM tok GROUP BY 1, 2),
+df AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
+src(src_doc_id) AS (VALUES (2), (7), (11)),
+stf AS (SELECT s.src_doc_id, t.term, CAST(count(*) AS DOUBLE) AS tf
+        FROM src s JOIN tok t ON t.doc_id = s.src_doc_id GROUP BY 1, 2),
+mlt AS (SELECT stf.src_doc_id, stf.term,
+               row_number() OVER (PARTITION BY stf.src_doc_id
+                 ORDER BY CAST(stf.tf * ln(1.0 + (s.n - df.df + 0.5)
+                                           / (df.df + 0.5)) AS REAL) DESC,
+                          stf.term ASC) AS trank
+        FROM stf JOIN df ON df.term = stf.term CROSS JOIN stats s),
+qterms AS (SELECT src_doc_id, term FROM mlt WHERE trank <= 10),
+scores AS (
+  SELECT q.src_doc_id, tf.doc_id,
+         SUM( ln(1.0 + (s.n - df.df + 0.5) / (df.df + 0.5))
+              * (tf.tf * (1.2 + 1.0))
+              / (tf.tf + 1.2 * ((1.0 - 0.75) + (0.75 * dl.dl) / s.avgdl)) ) AS score
+  FROM qterms q
+  JOIN tf ON tf.term = q.term
+  JOIN df ON df.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  WHERE tf.doc_id <> q.src_doc_id
+  GROUP BY 1, 2),
+ranked AS (
+  SELECT src_doc_id, doc_id,
+         row_number() OVER (PARTITION BY src_doc_id
+                            ORDER BY CAST(score AS REAL) DESC, doc_id ASC) - 1 AS rank
+  FROM scores)
+SELECT src_doc_id::BIGINT AS src_doc_id, rank::BIGINT AS rank, doc_id
+FROM ranked WHERE rank < 10 ORDER BY 1, 2
+""",
     "fielded_list_search": f"""
 WITH base AS (SELECT doc_id, lower(lang) AS lang, text, {_TOKS} AS toks
               FROM documents),
@@ -1973,6 +2088,8 @@ QUERIES = {
     "screen_verify": q_screen_verify,
     "boolean_query": q_boolean_query,
     "search_or": q_search_or,
+    "facet_counts": q_facet_counts,
+    "more_like_this": q_more_like_this,
     "fielded_list_search": q_fielded_list_search,
     "capped_search": q_capped_search,
     "fuzzy_search": q_fuzzy_search,

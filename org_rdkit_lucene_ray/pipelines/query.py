@@ -1163,6 +1163,67 @@ class Searcher:
         keep = ~np.isin(t["doc_id"].to_numpy(), self._deletes)
         return t.filter(pa.array(keep))
 
+    def facet_counts(self, query: str, field: str, *,
+                     mode: str = "or") -> list[tuple[str, int]]:
+        """Lucene faceting analog (SortedSetDocValues facet counts): for
+        the query's hit set, hits per value of an indexed field namespace,
+        computed by intersecting the hit set with each ``field:value``
+        posting list — the fielded postings ARE the doc-values structure
+        here. Values with zero hits are omitted; order is (count desc,
+        value asc), Lucene's ``FacetResult`` ordering."""
+        hits = (self.search_and(query) if mode == "and"
+                else self.search_or(query))
+        if hits.size == 0:
+            return []
+        prefix = field + ":"
+        out: list[tuple[str, int]] = []
+        for term in self.prefix_terms(prefix):
+            dec = self._decode_term(term)
+            if dec is None:
+                continue
+            c = int(np.intersect1d(hits, dec[0], assume_unique=True).size)
+            if c:
+                out.append((term[len(prefix):], c))
+        out.sort(key=lambda x: (-x[1], x[0]))
+        return out
+
+    def mlt_terms(self, text: str, *, max_terms: int = 10) -> list[str]:
+        """MoreLikeThis term selection (Lucene ``MoreLikeThis.
+        retrieveInterestingTerms`` analog): analyze the source text with
+        the query analyzer, score each distinct term by
+        tf-in-source x idf-in-index, keep the top ``max_terms``. Terms the
+        index has never seen (df == 0) are skipped, as Lucene MLT does.
+        Ranking compares float32 scores with term-asc tie-break — the
+        repo's float-parity policy (same domain the oracle CASTs to)."""
+        from collections import Counter
+
+        cnt = Counter(analyze_text(text, self.query_cfg))
+        scored = []
+        for term, tf in cnt.items():
+            df = self.df(term)
+            if df == 0:
+                continue
+            scored.append((np.float32(tf * self.idf(term)), term))
+        scored.sort(key=lambda x: (-x[0], x[1]))
+        return [t for _, t in scored[:max_terms]]
+
+    def more_like_this(self, text: str, *, max_terms: int = 10, k: int = 10,
+                       exclude_doc: int | None = None,
+                       mode: str = "bmw") -> list[tuple[int, float]]:
+        """MoreLikeThis: BM25 top-k for the OR-query of the source text's
+        most interesting terms (:meth:`mlt_terms`), optionally excluding
+        the source doc itself. Asking for ``k + 1`` and dropping the
+        source afterwards yields exactly the ranks of a source-excluded
+        ranking (the source occupies at most one slot)."""
+        terms = self.mlt_terms(text, max_terms=max_terms)
+        if not terms:
+            return []
+        extra = 1 if exclude_doc is not None else 0
+        res = self.topk(" ".join(terms), k + extra, mode=mode)
+        if exclude_doc is not None:
+            res = [(d, s) for d, s in res if d != exclude_doc]
+        return res[:k]
+
     def lookup_pk(self, url: str) -> pa.Table:
         """J1: point lookup by primary key (``searchMoleculeByPK:505-519``).
 

@@ -162,6 +162,67 @@ def test_multi_valued_field_postings(ray_session, tmp_path_factory):
     assert tf_by_doc[1] == 2 and tf_by_doc[0] == 1
 
 
+def test_facet_counts_semantics(ray_session, tmp_path_factory):
+    """Facet counts = |hits ∩ field:value postings| per value, ordered
+    (count desc, value asc); docs without the field contribute nothing;
+    a doc listing a value twice counts once (doc-level facet, Lucene
+    SortedSetDocValuesFacetCounts semantics)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from org_rdkit_lucene_ray.config import IndexConfig
+    from org_rdkit_lucene_ray.pipelines.build import build_index
+
+    t = pa.table({
+        "url": pa.array([f"u{i}" for i in range(4)]),
+        "warc_ts": pa.array([0, 1, 2, 3], pa.timestamp("us")),
+        "text": pa.array(["alpha beta", "beta gamma", "alpha", "delta"]),
+        "lang": pa.array(["en"] * 4),
+        "tags": pa.array([["news", "Tech"], ["tech", "tech"], [], ["news"]],
+                         pa.list_(pa.string())),
+    })
+    d = tmp_path_factory.mktemp("facet_pages")
+    pq.write_table(t, str(d / "p.parquet"))
+    idx = str(tmp_path_factory.mktemp("facet_idx"))
+    cfg = IndexConfig(docs_per_segment=256, term_buckets=8, block_size=32,
+                      field_columns=("tags",))
+    build_index(str(d), idx, cfg=cfg, use_html=False, dedup=False,
+                verify_extraction=False)
+    s = Searcher(idx)
+    # OR hits {0,1,2}: tech covers {0,1} (doc 1's double listing counts
+    # once), news covers {0}; doc 2 has no tags.
+    assert s.facet_counts("alpha beta", "tags") == [("tech", 2), ("news", 1)]
+    # AND hits {0}: one doc per value -> count ties broken value-asc.
+    assert s.facet_counts("alpha beta", "tags", mode="and") == \
+        [("news", 1), ("tech", 1)]
+    assert s.facet_counts("zzznotaterm", "tags") == []
+
+
+def test_more_like_this_semantics(searcher, oracle_index):
+    """MLT term selection keeps only index-known terms (df>0), ranks by
+    float32 tf*idf with term-asc ties; the ranking excludes the source doc
+    exactly (k+1-then-drop argument in the docstring)."""
+    texts = oracle_index._texts  # doc_id -> text
+    src = min(texts)
+    text = texts[src]
+    terms = searcher.mlt_terms(text + " zzzunseenterm", max_terms=8)
+    assert "zzzunseenterm" not in terms          # df == 0 -> skipped
+    assert len(terms) <= 8 and len(set(terms)) == len(terms)
+    # score order: float32 tf*idf desc, term asc
+    from collections import Counter
+
+    from org_rdkit_lucene_ray.functions.analyze import analyze_text
+    cnt = Counter(analyze_text(text + " zzzunseenterm", searcher.query_cfg))
+    keys = [(-np.float32(cnt[t] * searcher.idf(t)), t) for t in terms]
+    assert keys == sorted(keys)
+    res = searcher.more_like_this(text, k=5, exclude_doc=src)
+    assert all(d != src for d, _ in res)
+    # equivalence with an explicitly source-excluded ranking
+    full = searcher.topk(" ".join(searcher.mlt_terms(text)), 6)
+    want = [(d, s) for d, s in full if d != src][:5]
+    assert res == want
+
+
 def test_tie_break_comparator(searcher, oracle_index):
     """score desc, doc_id asc (SubstructureHitQueue.java:113-118)."""
     q = "baba"
