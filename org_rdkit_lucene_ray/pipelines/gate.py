@@ -807,6 +807,26 @@ def q_token_jaccard_pairs(sf_dir: str) -> pa.Table:
     })
 
 
+def q_dedup_clusters(sf_dir: str) -> pa.Table:
+    """Near-dup pairs -> transitive components -> min-id survivor
+    election: the keep/drop decision of a corpus-scale near-dedup pass
+    (large-star/small-star CC, :mod:`stages.components`). The pair graph
+    is the already-oracled exact token-Jaccard set, so the oracle can
+    close it with a recursive CTE."""
+    from org_rdkit_lucene_ray.stages.components import connected_components
+
+    pairs = q_token_jaccard_pairs(sf_dir)
+    comp = connected_components(pairs.select(["a", "b"])).to_pandas()
+    comp = comp.sort_values("doc_id").reset_index(drop=True)
+    doc = comp["doc_id"].to_numpy(dtype=np.int64)
+    cid = comp["component_id"].to_numpy(dtype=np.int64)
+    return pa.table({
+        "doc_id": pa.array(doc, pa.int64()),
+        "component_id": pa.array(cid, pa.int64()),
+        "keep": pa.array((doc == cid).astype(np.int64), pa.int64()),
+    })
+
+
 def q_minhash_pairs(sf_dir: str) -> pa.Table:
     from org_rdkit_lucene_ray.stages.dedup import minhash_dup_pairs
 
@@ -1745,6 +1765,20 @@ SELECT min(doc_id)::BIGINT AS doc_id, count(*)::BIGINT AS n_copies
 FROM documents GROUP BY md5(text) ORDER BY doc_id
 """,
     "token_jaccard_pairs": _JACCARD_SQL,
+    # transitive closure of the exact-Jaccard pair graph; component id =
+    # min reachable node, keep = is-own-min (survivor election)
+    "dedup_clusters": f"""
+WITH RECURSIVE pr AS ({_JACCARD_SQL.replace("ORDER BY 1, 2", "")}),
+edges AS (SELECT a AS u, b AS v FROM pr UNION SELECT b, a FROM pr),
+reach(u, v) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON e.u = r.v AND e.v <> r.u)
+SELECT u AS doc_id,
+       least(u, min(v)) AS component_id,
+       CAST(u = least(u, min(v)) AS BIGINT) AS keep
+FROM reach GROUP BY u ORDER BY 1
+""",
     "index_stats": f"""
 WITH dl AS (SELECT len({_TOKS}) AS dl FROM documents)
 SELECT count(*)::BIGINT AS n_docs,
@@ -2078,6 +2112,7 @@ QUERIES = {
     "row_range_filter": q_row_range_filter,
     "exact_dedup": q_exact_dedup,
     "token_jaccard_pairs": q_token_jaccard_pairs,
+    "dedup_clusters": q_dedup_clusters,
     "minhash_pairs": q_minhash_pairs,
     "simhash_pairs": q_simhash_pairs,
     "index_stats": q_index_stats,

@@ -688,3 +688,67 @@ def test_duplicate_span_stats(ray_session):
     assert (out[1]["dup_grams"], out[1]["covered_tokens"],
             out[1]["n_tokens"]) == (2, 6, 8)
     assert (out[2]["dup_grams"], out[2]["covered_tokens"]) == (2, 6)
+
+
+def test_connected_components_topologies(ray_session):
+    """Large-star/small-star CC: path, clique, pair, and a bridge merging
+    two structures all label to the component-min doc id."""
+    import pyarrow as pa
+
+    from org_rdkit_lucene_ray.stages.components import connected_components
+
+    pairs = pa.table({"a": [1, 2, 3, 4, 10, 10, 11, 20, 30, 31, 32],
+                      "b": [2, 3, 4, 5, 11, 12, 12, 21, 31, 32, 5]})
+    got = {r["doc_id"]: r["component_id"]
+           for r in connected_components(pairs).take_all()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 30: 1, 31: 1, 32: 1,
+                   10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+    # empty graph -> empty labels, stable schema
+    empty = connected_components(pairs.slice(0, 0))
+    assert empty.count() == 0
+
+
+def test_connected_components_random_vs_union_find(ray_session):
+    """Property: CC labels == driver-side union-find on random graphs
+    (including long paths, which stress the round count)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from org_rdkit_lucene_ray.stages.components import connected_components
+
+    rng = np.random.default_rng(7)
+    n = 300
+    a = rng.integers(0, n, 400)
+    b = rng.integers(0, n, 400)
+    # add a deliberate long path over high ids (worst case for label prop)
+    path = np.arange(n, n + 60)
+    a = np.concatenate([a, path[:-1]])
+    b = np.concatenate([b, path[1:]])
+    keep = a != b
+    a, b = a[keep], b[keep]
+
+    parent = list(range(n + 60))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for x, y in zip(a.tolist(), b.tolist()):
+        rx, ry = find(x), find(y)
+        if rx != ry:
+            parent[max(rx, ry)] = min(rx, ry)
+    # canonical min-id label per node that appears in an edge
+    nodes = sorted(set(a.tolist()) | set(b.tolist()))
+    label = {}
+    for v in sorted(nodes):
+        r = find(v)
+        label.setdefault(r, v)  # first (smallest) member of the root's class
+    want = {v: label[find(v)] for v in nodes}
+
+    pairs = pa.table({"a": pa.array(a, pa.int64()),
+                      "b": pa.array(b, pa.int64())})
+    got = {r["doc_id"]: r["component_id"]
+           for r in connected_components(pairs, n_buckets=8).take_all()}
+    assert got == want
