@@ -220,3 +220,72 @@ def connected_components(
         )
     )
     return children.union(roots)
+
+
+def near_dedup(
+    docs: rd.Dataset,
+    *,
+    pairs: pa.Table | rd.Dataset | None = None,
+    method: str = "minhash",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    **pair_kwargs,
+) -> rd.Dataset:
+    """End-to-end near-dedup: pair generation -> connected components ->
+    keep each component's min-id member plus every unpaired doc.
+
+    ``method`` picks the pair generator (``"minhash"`` | ``"simhash"``,
+    both in :mod:`stages.dedup`; extra kwargs pass through), or supply a
+    precomputed ``pairs`` table (columns ``a``, ``b``) to skip generation.
+
+    Scale shape: the only driver-side materialization is the DROP-ID
+    vector (8 B per duplicate doc — bounded by the duplicate count, not
+    the corpus; the same operating regime as the minhash candidate list).
+    It is ``ray.put`` once and each filter batch does a vectorized
+    ``searchsorted`` membership test — the corpus itself streams through
+    one ``map_batches`` with its storage partitioning intact (no shuffle,
+    so the output stays resumable per input fragment). For corpora whose
+    duplicate fraction makes even the id vector unwieldy, generate pairs
+    per partition and run this per key-range instead.
+    """
+    import ray
+
+    from org_rdkit_lucene_ray.stages.dedup import _bcast
+
+    if pairs is None:
+        if method == "minhash":
+            from org_rdkit_lucene_ray.stages.dedup import minhash_dup_pairs
+
+            pairs = minhash_dup_pairs(docs, id_col=id_col,
+                                      text_col=text_col, **pair_kwargs)
+        elif method == "simhash":
+            from org_rdkit_lucene_ray.stages.dedup import simhash_dup_pairs
+
+            pairs = simhash_dup_pairs(docs, id_col=id_col,
+                                      text_col=text_col, **pair_kwargs)
+        else:
+            raise ValueError(f"unknown near_dedup method {method!r} "
+                             "(expected 'minhash' or 'simhash')")
+    labels = connected_components(pairs)
+
+    def losers(t: pa.Table) -> pa.Table:
+        d = t["doc_id"].to_numpy(zero_copy_only=False)
+        c = t["component_id"].to_numpy(zero_copy_only=False)
+        return pa.table({"doc_id": pa.array(d[d != c], pa.int64())})
+
+    rows = labels.map_batches(losers, batch_format="pyarrow").take_all()
+    drops = np.sort(np.asarray([r["doc_id"] for r in rows], dtype=np.int64))
+    ref = ray.put(drops)
+
+    def keep_batch(t: pa.Table) -> pa.Table:
+        d = _bcast(ref)
+        if d.size == 0:
+            return t
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(d, ids)
+        hit = (idx < d.size) & (d[np.minimum(idx, d.size - 1)] == ids)
+        if not hit.any():
+            return t
+        return t.filter(pa.array(~hit))
+
+    return docs.map_batches(keep_batch, batch_format="pyarrow")

@@ -752,3 +752,38 @@ def test_connected_components_random_vs_union_find(ray_session):
     got = {r["doc_id"]: r["component_id"]
            for r in connected_components(pairs, n_buckets=8).take_all()}
     assert got == want
+
+
+def test_near_dedup_end_to_end(docs_ds):
+    """Pairs -> components -> survivors: kept set == component minima of
+    the actual pair graph plus all unpaired docs (checked against a
+    driver-side union-find over the same pairs); the precomputed-pairs
+    path applies an explicit pair table exactly."""
+    import pyarrow as pa
+
+    from org_rdkit_lucene_ray.stages.components import near_dedup
+
+    pairs = minhash_dup_pairs(docs_ds, threshold=0.7, num_perm=64, bands=16)
+    kept = sorted(r["doc_id"] for r in
+                  near_dedup(docs_ds, pairs=pairs).take_all())
+    parent = list(range(30))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in zip(pairs["a"].to_pylist(), pairs["b"].to_pylist()):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = sorted(d for d in range(30) if find(d) == d)
+    assert kept == want
+    # the planted dups never survive over their cluster minimum
+    assert {10, 11, 12, 13}.isdisjoint(kept)
+    # precomputed-pairs path: explicit pair table applied exactly
+    pre = pa.table({"a": [3, 3, 4, 5], "b": [10, 11, 12, 13]})
+    kept2 = sorted(r["doc_id"] for r in
+                   near_dedup(docs_ds, pairs=pre).take_all())
+    assert kept2 == sorted(set(range(30)) - {10, 11, 12, 13})
