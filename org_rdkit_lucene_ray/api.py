@@ -92,6 +92,14 @@ class Engine:
 
         return add_documents(self.index_dir, input_paths, **kw)
 
+    def delete(self, query: str, *, mode: str = "or") -> dict:
+        """Tombstone every match of ``query`` in a new delete-only
+        generation (``IndexWriter.deleteDocuments(Query)`` analog); made
+        physical by the next :meth:`merge`."""
+        from org_rdkit_lucene_ray.pipelines.merge import delete_by_query
+
+        return delete_by_query(self.index_dir, query, mode=mode)
+
     def merge(self, **kw) -> dict:
         """Compact all live generations (``close(true)`` merge analog)."""
         from org_rdkit_lucene_ray.pipelines.merge import merge_generations

@@ -208,6 +208,68 @@ def add_documents(
     return out
 
 
+def delete_by_query(index_dir: str, query: str, *, mode: str = "or") -> dict:
+    """Lucene ``IndexWriter.deleteDocuments(Query)`` analog
+    (``ChemicalIndex.java:798-853`` deletes by PK term; Lucene's writer
+    generalizes to any query): tombstone every current match of ``query``
+    in a new **delete-only generation** — a generation with no segments of
+    its own (``includes`` = the parent generations' segments, cumulative
+    ``deletes.parquet`` alongside).
+
+    Immutable-generation semantics are preserved: readers on the old
+    CURRENT never observe a half-applied delete, the swap is one rename,
+    and concurrent :func:`add_documents` / :func:`merge_generations` chain
+    off the new generation exactly as they do off a delta. Like Lucene,
+    deleted docs still count in df/avgdl until a merge physically drops
+    them.
+
+    ``mode``: ``"or"`` | ``"and"`` (term sets), ``"boolean"``
+    (+MUST/-MUST_NOT grammar), ``"parser"`` (full query-string grammar) —
+    the same search surfaces, so anything findable is deletable.
+    """
+    from org_rdkit_lucene_ray.pipelines.query import Searcher
+
+    base_gen = current_generation(index_dir)
+    if base_gen is None:
+        raise ValueError(f"{index_dir} has no CURRENT generation to delete from")
+    manifest = read_manifest(index_dir, base_gen)
+    s = Searcher(index_dir)          # opens base_gen; validates format
+    if mode == "or":
+        hits = s.search_or(query)
+    elif mode == "and":
+        hits = s.search_and(query)
+    elif mode == "boolean":
+        hits = s.search_boolean(query)
+    elif mode == "parser":
+        hits = s.search_query(query)
+    else:
+        raise ValueError(f"unknown delete_by_query mode {mode!r} "
+                         "(expected or|and|boolean|parser)")
+    hits = np.asarray(hits, dtype=np.int64)
+    prior = read_deletes(index_dir, base_gen)
+    all_dead = np.unique(np.concatenate([prior, hits])) \
+        if (hits.size or prior.size) else np.zeros(0, np.int64)
+
+    new_gen = gen_name(int(base_gen.split("-")[1]) + 1)
+    gdir = os.path.join(index_dir, new_gen)
+    os.makedirs(gdir, exist_ok=True)
+    if all_dead.size:
+        atomic_write_table(pa.table({"doc_id": pa.array(all_dead, pa.int64())}),
+                           os.path.join(gdir, "deletes.parquet"))
+    parents = live_generations(index_dir, base_gen)
+    out = {
+        "generation": new_gen,
+        "includes": parents,         # delete-only: no segments of its own
+        "config": manifest["config"],
+        "stats": {**manifest["stats"], "n_deletes": int(all_dead.size)},
+        "parent": base_gen,
+        "n_new_deletes": int(hits.size),
+    }
+    atomic_write_json(out, os.path.join(gdir, "manifest.json"))
+    set_current_generation(index_dir, new_gen)
+    return out
+
+
 # --------------------------------------------------------------------- merge
 def _decode_chunk_flat(t: pa.Table) -> tuple[pa.Array, np.ndarray, np.ndarray,
                                              np.ndarray, np.ndarray]:

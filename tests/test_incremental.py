@@ -377,3 +377,65 @@ def test_sharded_search_on_incremental_index(ray_session, incr_index):
             [(d, float(np.float32(sc))) for d, sc in want], q
         for s in shards:
             assert s.df("baba") == full.df("baba")
+
+
+def test_delete_by_query_generation_chain(ray_session, tmp_path_factory):
+    """delete_by_query writes a delete-only generation: matches vanish
+    immediately (snapshot swap), survive an add_documents chained on top,
+    and are physically dropped by merge; df/avgdl stay Lucene-stale until
+    the merge."""
+    import pyarrow as pa
+
+    from org_rdkit_lucene_ray.pipelines.merge import delete_by_query
+    from org_rdkit_lucene_ray.synth import gen_pages
+
+    def frag(tbl, name):
+        d = tmp_path_factory.mktemp(name)
+        pq.write_table(tbl, str(d / "p.parquet"))
+        return str(d)
+
+    base = gen_pages(300, seed=31, dup_url_frac=0.0, near_dup_frac=0.0)
+    idx = str(tmp_path_factory.mktemp("delq_idx"))
+    build_index(frag(base, "delq_base"), idx, cfg=CFG)
+
+    s0 = Searcher(idx)
+    victims = {int(d) for d in s0.search_and("baba cece")}
+    assert victims, "query must match something for the test to bite"
+    n0 = s0.n_docs
+
+    out = delete_by_query(idx, "baba cece", mode="and")
+    assert out["n_new_deletes"] == len(victims)
+    assert out["includes"] == ["gen-000000"]     # no segments of its own
+
+    s1 = Searcher(idx)
+    # matches gone from every search surface; stats still Lucene-stale
+    assert {int(d) for d in s1.search_and("baba cece")} == set()
+    assert set(map(int, s1.search_or("baba"))).isdisjoint(victims)
+    assert s1.n_docs == n0
+    # idempotent-ish: re-deleting finds nothing new
+    out2 = delete_by_query(idx, "baba cece", mode="and")
+    assert out2["n_new_deletes"] == 0
+
+    # a delta chains off the delete-only generation; deletes persist
+    d1 = gen_pages(80, seed=32, dup_url_frac=0.0, near_dup_frac=0.0)
+    d1 = d1.set_column(
+        0, "url", pa.array([u.replace("https://", "https://delta.")
+                            for u in d1["url"].to_pylist()], pa.string()))
+    add_documents(idx, frag(d1, "delq_d1"))
+    s2 = Searcher(idx)
+    assert {int(d) for d in s2.search_and("baba cece")}.isdisjoint(victims)
+    assert read_deletes(idx).size >= len(victims)
+
+    merged = merge_generations(idx)
+    # exact arithmetic: all tombstones at merge time are the victims
+    # (delta urls were disjoint, so no upsert tombstones joined them)
+    assert merged["stats"]["n_docs"] == n0 + 80 - len(victims)
+    s3 = Searcher(idx)
+    # the base victims are physically gone; delta docs matching the same
+    # query are legitimately live
+    assert {int(d) for d in s3.search_and("baba cece")}.isdisjoint(victims)
+    assert s3.n_docs == n0 + 80 - len(victims)
+    # BMW pruning stays exact on the post-delete index
+    for q in gen_queries(n_random=8).to_pylist():
+        assert s3.topk_bmw(q["query"], int(q["k"])) == \
+            s3.topk_exhaustive(q["query"], int(q["k"])), q["query"]
