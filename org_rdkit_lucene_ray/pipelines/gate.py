@@ -519,6 +519,64 @@ FROM w GROUP BY doc_id ORDER BY doc_id
 """
 
 
+DECON_N = 8          # gram order (13 in GPT-3; 8 so the sf corpora overlap)
+DECON_MOD = 23       # every 23rd doc seeds the synthetic "benchmark"
+DECON_SLICE = (3, 21)  # bench doc = tokens [3, 21) of the seed doc
+
+
+def q_decontaminate(sf_dir: str) -> rd.Dataset:
+    """Benchmark n-gram decontamination (GPT-3 appendix-C shape): flag
+    corpus docs sharing any word ``DECON_N``-gram with an eval benchmark.
+    The corpus ships no benchmark, so the gate derives one
+    deterministically: every ``DECON_MOD``-th doc contributes its token
+    slice ``DECON_SLICE`` as one "eval question" (SQL-mirrored). The
+    operator under test (:func:`stages.decontaminate.ngram_decontaminate`)
+    broadcasts the benchmark gram hashes once and streams the corpus
+    through one shuffle-free ``map_batches`` membership pass."""
+    from org_rdkit_lucene_ray.stages.decontaminate import ngram_decontaminate
+
+    cfg = REGISTRY["standard"]
+    lo, hi = DECON_SLICE
+
+    def bench_rows(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        t = t.filter(pa.array(ids % DECON_MOD == 0))
+        toks = tokenize_column(t["text"].combine_chunks(), cfg)
+        sliced = pc.list_slice(toks, lo, hi)
+        return pa.table({"text": pc.binary_join(sliced, " ")})
+
+    docs = _docs(sf_dir, columns=["doc_id", "text"])
+    bench = docs.map_batches(bench_rows, batch_format="pyarrow")
+    return ngram_decontaminate(docs, bench, n=DECON_N)
+
+
+# DuckDB mirror: list_slice is 1-based INCLUSIVE, so python [3, 21) is
+# (4, 21); grams of a doc shorter than N tokens collapse to ONE whole-doc
+# gram (the engine's _batch_shingles contract). Tokens are [a-z0-9]+ so the
+# '_' join is injective.
+_DECON_GRAMS = (f"CASE WHEN len({{tk}}) < {DECON_N} "
+                f"THEN [array_to_string({{tk}}, '_')] "
+                f"ELSE list_transform(range(1, len({{tk}}) - {DECON_N - 2}), "
+                f"i -> array_to_string(list_slice({{tk}}, i, i + {DECON_N - 1}), '_')) END")
+
+_DECONTAMINATE_SQL = f"""
+WITH toks AS (SELECT doc_id, {{toks}} AS tk FROM documents),
+b AS (SELECT list_slice(tk, {DECON_SLICE[0] + 1}, {DECON_SLICE[1]}) AS btk
+      FROM toks WHERE doc_id % {DECON_MOD} = 0),
+bg AS (SELECT DISTINCT unnest({_DECON_GRAMS.format(tk='btk')}) AS gram
+       FROM b WHERE len(btk) > 0),
+dg AS (SELECT doc_id, unnest(list_distinct({_DECON_GRAMS.format(tk='tk')})) AS gram
+       FROM toks WHERE len(tk) > 0),
+agg AS (SELECT d.doc_id, count(*) AS n_grams,
+               sum(CASE WHEN bg.gram IS NULL THEN 0 ELSE 1 END) AS n_dirty
+        FROM dg d LEFT JOIN bg USING (gram) GROUP BY d.doc_id)
+SELECT t.doc_id, COALESCE(a.n_grams, 0)::BIGINT AS n_grams,
+       COALESCE(a.n_dirty, 0)::BIGINT AS n_dirty,
+       CAST(COALESCE(a.n_dirty, 0) > 0 AS BIGINT) AS contaminated
+FROM toks t LEFT JOIN agg a USING (doc_id) ORDER BY t.doc_id
+"""
+
+
 def q_pii_scrub(sf_dir: str) -> rd.Dataset:
     """PII redaction pass (Dolma/ROOTS-style regex scrub). The corpus
     carries no PII, so a gate pre-stage injects deterministic
@@ -1754,6 +1812,7 @@ ORDER BY doc_id
     "stratified_sample": _stratified_sample_sql(),
     "pii_scrub": _pii_scrub_sql(),
     "duplicate_spans": _DUPLICATE_SPANS_SQL.format(toks=_TOKS),
+    "decontaminate": _DECONTAMINATE_SQL.format(toks=_TOKS),
     "langid": _LANGID_SQL,
     "row_range_filter": """
 SELECT doc_id, lang FROM documents
@@ -2108,6 +2167,7 @@ QUERIES = {
     "stratified_sample": q_stratified_sample,
     "pii_scrub": q_pii_scrub,
     "duplicate_spans": q_duplicate_spans,
+    "decontaminate": q_decontaminate,
     "langid": q_langid,
     "row_range_filter": q_row_range_filter,
     "exact_dedup": q_exact_dedup,

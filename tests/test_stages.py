@@ -787,3 +787,63 @@ def test_near_dedup_end_to_end(docs_ds):
     kept2 = sorted(r["doc_id"] for r in
                    near_dedup(docs_ds, pairs=pre).take_all())
     assert kept2 == sorted(set(range(30)) - {10, 11, 12, 13})
+
+
+# --------------------------------------------------------------- decontaminate
+def test_ngram_decontaminate_semantics(ray_session):
+    """Distinct-gram counting, short-doc whole-gram contract, clean docs,
+    and the n_dirty arithmetic against a hand-computed corpus."""
+    import pyarrow as pa
+
+    from org_rdkit_lucene_ray.stages.decontaminate import ngram_decontaminate
+
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+        "text": pa.array([
+            "alpha beta gamma delta epsilon",   # contains bench gram at pos 1
+            "zeta eta theta",                    # clean
+            "beta gamma",                        # 2 tokens < n -> ONE whole gram
+            "",                                  # no tokens -> no grams
+        ]),
+    }))
+    bench = rd.from_arrow(pa.table({
+        "text": pa.array(["beta gamma delta",    # one exact 3-gram
+                          "beta gamma"]),        # a 2-token bench doc: whole-gram
+    }))
+    out = {r["doc_id"]: r for r in
+           ngram_decontaminate(docs, bench, n=3).take_all()}
+    # doc 0: grams = (a,b,g) (b,g,d) (g,d,e); (b,g,d) is the bench gram
+    assert out[0]["n_grams"] == 3 and out[0]["n_dirty"] == 1
+    assert out[0]["contaminated"] == 1
+    # doc 1: 1 gram, clean
+    assert out[1]["n_grams"] == 1 and out[1]["n_dirty"] == 0
+    assert out[1]["contaminated"] == 0
+    # doc 2: one whole-doc gram "beta gamma" == the short bench doc's gram
+    assert out[2]["n_grams"] == 1 and out[2]["n_dirty"] == 1
+    # doc 3: empty
+    assert out[3]["n_grams"] == 0 and out[3]["n_dirty"] == 0
+
+
+def test_ngram_decontaminate_empty_bench_and_guard(ray_session):
+    """An empty benchmark yields an all-clean verdict; an oversized gram
+    set refuses to broadcast."""
+    import pyarrow as pa
+
+    import org_rdkit_lucene_ray.stages.decontaminate as dc
+
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array([0, 1], pa.int64()),
+        "text": pa.array(["alpha beta gamma", "delta epsilon zeta"]),
+    }))
+    empty_bench = rd.from_arrow(pa.table({"text": pa.array([], pa.string())}))
+    out = dc.ngram_decontaminate(docs, empty_bench, n=2).take_all()
+    assert all(r["n_dirty"] == 0 and r["contaminated"] == 0 for r in out)
+    assert all(r["n_grams"] == 2 for r in out)
+
+    old = dc.BENCH_GRAM_LIMIT
+    dc.BENCH_GRAM_LIMIT = 1
+    try:
+        with pytest.raises(ValueError, match="SMALL"):
+            dc.ngram_decontaminate(docs, docs, n=2)
+    finally:
+        dc.BENCH_GRAM_LIMIT = old
