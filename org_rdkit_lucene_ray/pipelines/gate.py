@@ -902,6 +902,59 @@ def q_simhash_pairs(sf_dir: str) -> pa.Table:
 # ---------------------------------------------------------------------------
 # search family (over the built inverted index)
 # ---------------------------------------------------------------------------
+_DELETE_INDEX_CACHE: dict[str, str] = {}
+DELETE_QUERY = "query window scan"   # conjunctive: docs with all three terms
+
+
+def q_delete_by_query(sf_dir: str) -> rd.Dataset:
+    """Index lifecycle gate for ``IndexWriter.deleteDocuments(Query)``:
+    build a fresh index, :func:`~.merge.delete_by_query` every conjunctive
+    match of ``DELETE_QUERY``, compact with ``merge_generations``, then
+    enumerate the merged forward index — every surviving ``(doc_id, dl)``.
+    The oracle recomputes the complement set and the per-doc token counts
+    from SQL, so a tombstone missed (or over-applied) anywhere in the
+    delete -> merge chain hash-mismatches. The chain is deterministic, so
+    the mutated index is cached per sf_dir like the read-only gate index."""
+    idx = _DELETE_INDEX_CACHE.get(sf_dir)
+    if idx is None:
+        idx = tempfile.mkdtemp(prefix="orl_gate_delidx_")
+        cfg = IndexConfig(docs_per_segment=4096, term_buckets=8, block_size=64,
+                          field_columns=("lang",))
+        from org_rdkit_lucene_ray.pipelines.build import build_index
+        from org_rdkit_lucene_ray.pipelines.merge import (
+            delete_by_query,
+            merge_generations,
+        )
+
+        build_index(
+            [os.path.join(sf_dir, "documents.parquet")],
+            idx, cfg=cfg, use_html=False, text_column="text",
+            url_column=None, ts_column=None, lang_column="lang",
+            id_column="doc_id", dedup=False, verify_extraction=False,
+        )
+        delete_by_query(idx, DELETE_QUERY, mode="and")
+        merge_generations(idx)
+        _DELETE_INDEX_CACHE[sf_dir] = idx
+    from org_rdkit_lucene_ray.state.segment import gen_dir
+
+    def project(t: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": pc.cast(t["doc_id"], pa.int64()),
+                         "dl": pc.cast(t["dl"], pa.int64())})
+
+    return rd.read_parquet(os.path.join(gen_dir(idx), "fwd"),
+                           columns=["doc_id", "dl"]).map_batches(
+        project, batch_format="pyarrow")
+
+
+_DELETE_BY_QUERY_SQL = f"""
+WITH toks AS (SELECT doc_id, {{toks}} AS tk FROM documents)
+SELECT doc_id, len(tk)::BIGINT AS dl FROM toks
+WHERE NOT (list_contains(tk, 'query') AND list_contains(tk, 'window')
+           AND list_contains(tk, 'scan'))
+ORDER BY doc_id
+"""
+
+
 def q_index_stats(sf_dir: str) -> pa.Table:
     s = _searcher(sf_dir)
     return pa.table({"n_docs": pa.array([s.n_docs], pa.int64()),
@@ -1843,6 +1896,7 @@ WITH dl AS (SELECT len({_TOKS}) AS dl FROM documents)
 SELECT count(*)::BIGINT AS n_docs,
        CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl
 """,
+    "delete_by_query": _DELETE_BY_QUERY_SQL.format(toks=_TOKS),
     "bm25_topk": _bm25_sql(),
     "search_and": _bool_sql("and"),
     "fp_search": _fp_search_sql(),
@@ -2176,6 +2230,7 @@ QUERIES = {
     "minhash_pairs": q_minhash_pairs,
     "simhash_pairs": q_simhash_pairs,
     "index_stats": q_index_stats,
+    "delete_by_query": q_delete_by_query,
     "bm25_topk": q_bm25_topk,
     "search_and": q_search_and,
     "fielded_search": q_fielded_search,
