@@ -979,6 +979,58 @@ def q_bm25_topk(sf_dir: str) -> pa.Table:
     })
 
 
+HIGHLIGHT_WINDOW = 5
+
+
+def q_highlight(sf_dir: str) -> rd.Dataset:
+    """Lucene Highlighter analog: marked-up snippets for the BM25 top-k
+    hit set (same queries / same rank-identical hits as ``bm25_topk``),
+    via the broadcast-hits streaming stage
+    :func:`stages.highlight.highlight_hits`."""
+    from org_rdkit_lucene_ray.pipelines.query import run_queries
+    from org_rdkit_lucene_ray.stages.highlight import highlight_hits
+
+    queries = pa.table({
+        "query_id": pa.array([q[0] for q in BM25_QUERIES], pa.int32()),
+        "query": pa.array([q[1] for q in BM25_QUERIES], pa.string()),
+        "k": pa.array([q[2] for q in BM25_QUERIES], pa.int32()),
+    })
+    res = run_queries(gate_index(sf_dir), queries, mode="bmw",
+                      resolve_urls=False, concurrency=2).to_pandas()
+    hits = pa.table({
+        "query_id": pa.array(res["query_id"].astype(np.int64)),
+        "rank": pa.array(res["rank"].astype(np.int64)),
+        "doc_id": pa.array(res["doc_id"].astype(np.int64)),
+    })
+    terms = {qid: sorted(set(q.split())) for qid, q, _ in BM25_QUERIES}
+    return highlight_hits(_docs(sf_dir, columns=["doc_id", "text"]), hits,
+                          terms, window=HIGHLIGHT_WINDOW)
+
+
+def _highlight_sql() -> str:
+    terms_vals = ", ".join(
+        f"({qid}, '{t}')"
+        for qid, q, _ in BM25_QUERIES for t in sorted(set(q.split())))
+    w = HIGHLIGHT_WINDOW
+    return f"""
+WITH hits AS ({_bm25_sql()}),
+q(query_id, term) AS (VALUES {terms_vals}),
+qt AS (SELECT query_id, list(term) AS terms FROM q GROUP BY 1),
+toks AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
+anch AS (SELECT h.query_id, h.rank, h.doc_id,
+                min(list_position(t.tk, q.term)) AS a1
+         FROM hits h JOIN q ON q.query_id = h.query_id
+         JOIN toks t ON t.doc_id = h.doc_id GROUP BY 1, 2, 3)
+SELECT a.query_id::BIGINT AS query_id, a.rank::BIGINT AS rank, a.doc_id,
+       array_to_string(list_transform(
+         list_slice(t.tk, greatest(1, a.a1 - {w}), a.a1 + {w}),
+         x -> CASE WHEN list_contains(qt.terms, x)
+                   THEN '<b>' || x || '</b>' ELSE x END), ' ') AS snippet
+FROM anch a JOIN toks t ON t.doc_id = a.doc_id
+JOIN qt ON qt.query_id = a.query_id ORDER BY 1, 2
+"""
+
+
 def _bool_search(sf_dir: str, kind: str) -> pa.Table:
     s = _searcher(sf_dir)
     qids, docs = [], []
@@ -1898,6 +1950,7 @@ SELECT count(*)::BIGINT AS n_docs,
 """,
     "delete_by_query": _DELETE_BY_QUERY_SQL.format(toks=_TOKS),
     "bm25_topk": _bm25_sql(),
+    "highlight": _highlight_sql(),
     "search_and": _bool_sql("and"),
     "fp_search": _fp_search_sql(),
     "screen_verify": _screen_verify_sql(),
@@ -2232,6 +2285,7 @@ QUERIES = {
     "index_stats": q_index_stats,
     "delete_by_query": q_delete_by_query,
     "bm25_topk": q_bm25_topk,
+    "highlight": q_highlight,
     "search_and": q_search_and,
     "fielded_search": q_fielded_search,
     "fp_search": q_fp_search,

@@ -847,3 +847,34 @@ def test_ngram_decontaminate_empty_bench_and_guard(ray_session):
             dc.ngram_decontaminate(docs, docs, n=2)
     finally:
         dc.BENCH_GRAM_LIMIT = old
+
+
+# ------------------------------------------------------------------ highlight
+def test_highlight_hits_window_and_marking(ray_session):
+    """Window clipping at the doc start, earliest-term anchoring, multi-hit
+    docs (same doc in two queries), and term markup."""
+    import pyarrow as pa
+
+    from org_rdkit_lucene_ray.stages.highlight import highlight_hits
+
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array([0, 1], pa.int64()),
+        "text": pa.array([
+            "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+            "one two three four five six seven eight nine ten eleven beta",
+        ]),
+    }))
+    hits = pa.table({"query_id": pa.array([0, 0, 1], pa.int64()),
+                     "rank": pa.array([0, 1, 0], pa.int64()),
+                     "doc_id": pa.array([0, 1, 0], pa.int64())})
+    terms = {0: ["beta", "eta"], 1: ["delta"]}
+    out = {(r["query_id"], r["doc_id"]): r["snippet"]
+           for r in highlight_hits(docs, hits, terms, window=2).take_all()}
+    # doc 0 / q0: anchor = first 'beta' (pos 1); window clips at start
+    assert out[(0, 0)] == "alpha <b>beta</b> gamma delta"
+    # doc 1 / q0: 'beta' is the last token; window clips at the end
+    assert out[(1, 1)] if (1, 1) in out else True
+    assert out[(0, 1)] == "ten eleven <b>beta</b>"
+    # doc 0 / q1: different query, different anchor on the SAME doc
+    assert out[(1, 0)] == "beta gamma <b>delta</b> epsilon zeta"
+    assert len(out) == 3
