@@ -173,7 +173,9 @@ def bench_gate_queries(sf_dir: str) -> dict[str, float]:
              "capped_search", "search_after_page2", "grouped_topn",
              "embedding_dup_pairs",
              # round-3 additions (analyzer breadth, raw ingest, multi-field)
-             "shingle_df", "free_multifield", "record_roundtrip"]
+             "shingle_df", "free_multifield", "record_roundtrip",
+             # round-3 late additions (eval decontamination, highlighter)
+             "decontaminate", "highlight"]
     repeats = int(os.environ.get("RAY_GRAFT_GATE_REPEATS", "2"))
     for name in picks:
         fn = gate.QUERIES[name]
