@@ -979,6 +979,67 @@ def q_bm25_topk(sf_dir: str) -> pa.Table:
     })
 
 
+PAGERANK_ITER = 5
+
+
+def q_pagerank(sf_dir: str) -> rd.Dataset:
+    """Link-graph centrality (integer fixed-point PageRank,
+    :func:`stages.graph.pagerank`): the corpus carries no hyperlinks, so
+    the gate derives a deterministic 3-out-link graph from doc ids
+    (SQL-mirrored), then runs ``PAGERANK_ITER`` exact integer sweeps —
+    hash-comparable because every update is order-independent int64
+    arithmetic."""
+    from org_rdkit_lucene_ray.stages.graph import pagerank
+
+    docs = _docs(sf_dir, columns=["doc_id"])
+    n = docs.count()
+
+    def mk_edges(t: pa.Table) -> pa.Table:
+        i = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        src = np.concatenate([i, i, i])
+        dst = np.concatenate([(i * 7 + 3) % n, (i * 13 + 11) % n,
+                              (i * 29 + 17) % n])
+        keep = src != dst
+        pairs = np.unique(np.stack([src[keep], dst[keep]], axis=1), axis=0)
+        return pa.table({"src": pa.array(pairs[:, 0], pa.int64()),
+                         "dst": pa.array(pairs[:, 1], pa.int64())})
+
+    edges = docs.map_batches(mk_edges, batch_format="pyarrow")
+    return pagerank(edges, n, n_iter=PAGERANK_ITER, num_partitions=4)
+
+
+def _pagerank_sql() -> str:
+    from org_rdkit_lucene_ray.stages.graph import PR_SCALE
+
+    # the out-link lists materialize in an inner CTE before the unnest:
+    # DuckDB 1.0's binder ICEs ("Failed to bind column reference") on
+    # DISTINCT over an unnest whose list elements embed a scalar subquery
+    head = f"""
+WITH nn AS (SELECT count(*) AS n FROM documents),
+lists AS (SELECT doc_id AS src,
+                 [(doc_id * 7 + 3) % (SELECT n FROM nn),
+                  (doc_id * 13 + 11) % (SELECT n FROM nn),
+                  (doc_id * 29 + 17) % (SELECT n FROM nn)] AS ds
+          FROM documents),
+cand AS (SELECT src, unnest(ds) AS dst FROM lists),
+edges AS (SELECT DISTINCT src, dst FROM cand WHERE src <> dst),
+outdeg AS (SELECT src, count(*) AS odeg FROM edges GROUP BY src),
+nodes AS (SELECT doc_id AS node FROM documents),
+r0 AS (SELECT node, CAST({PR_SCALE} // (SELECT n FROM nn) AS BIGINT) AS rank
+       FROM nodes)"""
+    sweeps = "".join(f""",
+r{k} AS (SELECT nd.node,
+         CAST((3 * CAST({PR_SCALE} AS BIGINT)) // (20 * (SELECT n FROM nn))
+              + COALESCE(c.s, 0) AS BIGINT) AS rank
+         FROM nodes nd LEFT JOIN (
+           SELECT e.dst AS jn, sum((r.rank * 17) // (20 * o.odeg)) AS s
+           FROM edges e JOIN r{k - 1} r ON r.node = e.src
+           JOIN outdeg o ON o.src = e.src GROUP BY e.dst) c ON c.jn = nd.node)"""
+        for k in range(1, PAGERANK_ITER + 1))
+    return (head + sweeps
+            + f"\nSELECT node, rank FROM r{PAGERANK_ITER} ORDER BY node")
+
+
 HIGHLIGHT_WINDOW = 5
 
 
@@ -1951,6 +2012,7 @@ SELECT count(*)::BIGINT AS n_docs,
     "delete_by_query": _DELETE_BY_QUERY_SQL.format(toks=_TOKS),
     "bm25_topk": _bm25_sql(),
     "highlight": _highlight_sql(),
+    "pagerank": _pagerank_sql(),
     "search_and": _bool_sql("and"),
     "fp_search": _fp_search_sql(),
     "screen_verify": _screen_verify_sql(),
@@ -2286,6 +2348,7 @@ QUERIES = {
     "delete_by_query": q_delete_by_query,
     "bm25_topk": q_bm25_topk,
     "highlight": q_highlight,
+    "pagerank": q_pagerank,
     "search_and": q_search_and,
     "fielded_search": q_fielded_search,
     "fp_search": q_fp_search,

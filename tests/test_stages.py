@@ -878,3 +878,42 @@ def test_highlight_hits_window_and_marking(ray_session):
     # doc 0 / q1: different query, different anchor on the SAME doc
     assert out[(1, 0)] == "beta gamma <b>delta</b> epsilon zeta"
     assert len(out) == 3
+
+
+# ------------------------------------------------------------------ pagerank
+def test_pagerank_both_paths_exact(ray_session):
+    """Broadcast and hash-join paths produce bit-identical int64 ranks
+    equal to the single-machine reference of the same integer recurrence,
+    including dangling nodes (mass dropped) and no-in-edge nodes
+    (teleport-only rank)."""
+    import pyarrow as pa
+
+    from org_rdkit_lucene_ray.stages.graph import (
+        PR_SCALE,
+        pagerank,
+        pagerank_reference,
+    )
+
+    N = 60
+    rng = np.random.default_rng(11)
+    src = rng.integers(0, N - 2, 240)     # nodes N-2, N-1 dangling: no out
+    dst = rng.integers(0, N, 240)
+    keep = src != dst
+    e = np.unique(np.stack([src[keep], dst[keep]], 1), axis=0)
+    src, dst = e[:, 0].astype(np.int64), e[:, 1].astype(np.int64)
+    edges = rd.from_arrow(pa.table({"src": src, "dst": dst})).repartition(3)
+    want = pagerank_reference(src, dst, N, n_iter=4)
+
+    got_b = {r["node"]: r["rank"]
+             for r in pagerank(edges, N, n_iter=4).take_all()}
+    got_j = {r["node"]: r["rank"]
+             for r in pagerank(edges, N, n_iter=4, num_partitions=2,
+                               broadcast_nodes_limit=0).take_all()}
+    assert len(got_b) == N == len(got_j)
+    assert all(got_b[n] == want[n] for n in range(N))
+    assert all(got_j[n] == want[n] for n in range(N))
+    # dangling mass is dropped, so total mass < PR_SCALE but positive
+    assert 0 < sum(got_b.values()) <= PR_SCALE
+
+    with pytest.raises(ValueError, match="positive"):
+        pagerank(edges, 0)
