@@ -979,6 +979,64 @@ def q_bm25_topk(sf_dir: str) -> pa.Table:
     })
 
 
+PPL_TOPK = 50
+
+
+def q_perplexity_topk(sf_dir: str) -> pa.Table:
+    """CCNet-style perplexity filter: train an add-one bigram LM on the
+    corpus (:func:`stages.lm.train_bigram_lm`), score every doc's mean
+    transition NLL distributed, and return the ``PPL_TOPK`` most-perplexing
+    docs (the drop candidates). Rank-compare gate (BM25 policy): ordering
+    on float32-cast NLL with doc_id tie-break, scores not emitted."""
+    from org_rdkit_lucene_ray.stages.lm import (
+        perplexity_scores,
+        train_bigram_lm,
+    )
+
+    docs = _docs(sf_dir, columns=["doc_id", "text"])
+    model = train_bigram_lm(docs)
+    scores = perplexity_scores(docs, model)
+
+    def part_top(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater(t["n_transitions"], 0))
+        nll32 = t["nll"].to_numpy().astype(np.float32)
+        ids = t["doc_id"].to_numpy()
+        order = np.lexsort((ids, -nll32))[:PPL_TOPK]
+        return pa.table({"doc_id": pa.array(ids[order], pa.int64()),
+                         "nll32": pa.array(nll32[order], pa.float32())})
+
+    parts = scores.map_batches(part_top, batch_format="pyarrow").take_all()
+    ids = np.array([r["doc_id"] for r in parts], np.int64)
+    nl = np.array([r["nll32"] for r in parts], np.float32)
+    order = np.lexsort((ids, -nl))[:PPL_TOPK]
+    return pa.table({
+        "rank": pa.array(np.arange(order.size), pa.int64()),
+        "doc_id": pa.array(ids[order], pa.int64()),
+    })
+
+
+_PERPLEXITY_SQL = f"""
+WITH toks AS (SELECT doc_id, {{toks}} AS tk FROM documents),
+tr AS (SELECT doc_id,
+              unnest(list_slice(tk, 1, len(tk) - 1)) AS w1,
+              unnest(list_slice(tk, 2, len(tk))) AS w2
+       FROM toks WHERE len(tk) >= 2),
+cb AS (SELECT w1, w2, count(*) AS c FROM tr GROUP BY 1, 2),
+cc AS (SELECT w1, count(*) AS c FROM tr GROUP BY 1),
+vv AS (SELECT count(DISTINCT t) AS v
+       FROM (SELECT unnest(tk) AS t FROM toks)),
+sc AS (SELECT tr.doc_id,
+              avg(-ln((cb.c + 1.0) / (cc.c + (SELECT v FROM vv)))) AS nll
+       FROM tr JOIN cb ON cb.w1 = tr.w1 AND cb.w2 = tr.w2
+               JOIN cc ON cc.w1 = tr.w1
+       GROUP BY tr.doc_id),
+rk AS (SELECT doc_id, row_number() OVER (
+         ORDER BY CAST(nll AS REAL) DESC, doc_id ASC) - 1 AS rank FROM sc)
+SELECT rank::BIGINT AS rank, doc_id FROM rk WHERE rank < {PPL_TOPK}
+ORDER BY rank
+"""
+
+
 PAGERANK_ITER = 5
 
 
@@ -2013,6 +2071,7 @@ SELECT count(*)::BIGINT AS n_docs,
     "bm25_topk": _bm25_sql(),
     "highlight": _highlight_sql(),
     "pagerank": _pagerank_sql(),
+    "perplexity_topk": _PERPLEXITY_SQL.format(toks=_TOKS),
     "search_and": _bool_sql("and"),
     "fp_search": _fp_search_sql(),
     "screen_verify": _screen_verify_sql(),
@@ -2349,6 +2408,7 @@ QUERIES = {
     "bm25_topk": q_bm25_topk,
     "highlight": q_highlight,
     "pagerank": q_pagerank,
+    "perplexity_topk": q_perplexity_topk,
     "search_and": q_search_and,
     "fielded_search": q_fielded_search,
     "fp_search": q_fp_search,

@@ -1,0 +1,170 @@
+"""Statistical-LM perplexity scoring — the CCNet-style quality filter.
+
+CCNet (Wenzek et al. 2020) and the pipelines derived from it (RedPajama,
+FineWeb ancestors) score each document's perplexity under a language
+model trained on a trusted corpus and drop/bucket the tail. This module
+implements the same shape with an add-one-smoothed bigram model
+(Jurafsky & Martin ch. 3 arithmetic) trained distributed over a Ray
+Dataset — the KenLM stand-in this container can express.
+
+Scale shape:
+- **train** streams the corpus through one ``map_batches`` that emits
+  per-batch pre-aggregated (hash, count) partials — occurrence-sized data
+  never leaves the batch — and reduces them on the driver into sorted
+  count arrays (the model must materialize somewhere to be broadcast; a
+  guard refuses models past ``MODEL_LIMIT`` entries). At 100 TB you train
+  on a sample (CCNet trains on Wikipedia, not the crawl) and score the
+  full corpus, so the model side stays small by construction.
+- **score** broadcasts the model once via ``ray.put`` and streams the
+  corpus through a second shuffle-free ``map_batches``: token hashes via
+  the shared FNV-1a, per-occurrence bigram/context lookups via
+  ``searchsorted``, per-doc reductions via ``np.add.at``. No Python
+  per-token loop anywhere.
+
+Token/bigram identity is 64-bit FNV-based hashing (shared with the
+dedup/decontaminate stages): collision odds ~``entries^2 / 2^65``,
+negligible false-merge risk at any corpus a driver-side model fits.
+"""
+
+from __future__ import annotations
+
+import logging
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data as rd
+
+from org_rdkit_lucene_ray.functions.analyze import REGISTRY, tokenize_column
+from org_rdkit_lucene_ray.stages.dedup import _bcast
+
+logger = logging.getLogger(__name__)
+
+MODEL_LIMIT = 50_000_000    # sorted-array entries (16 B each -> 800 MB)
+_B = np.uint64(1099511628211)
+
+
+def _token_and_bigram_hashes(texts: pa.Array, cfg) -> tuple[
+        np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """-> (doc index per transition, bigram hash, context hash, flat token
+    hashes) for one batch, fully vectorized."""
+    from org_rdkit_lucene_ray.pipelines.build import stable_term_hash
+
+    toks = tokenize_column(texts, cfg)
+    flat = pc.list_flatten(toks)
+    counts = pc.list_value_length(toks).to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    if len(flat) == 0:
+        z = np.zeros(0, np.uint64)
+        return np.zeros(0, np.int64), z, z, z
+    enc = pc.dictionary_encode(flat)
+    th = stable_term_hash(enc.dictionary)[
+        enc.indices.to_numpy(zero_copy_only=False)]
+    starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    docs2 = np.flatnonzero(counts >= 2)
+    if not docs2.size:
+        z = np.zeros(0, np.uint64)
+        return np.zeros(0, np.int64), z, z, th
+    n_tr = counts[docs2] - 1
+    tr_doc = np.repeat(docs2, n_tr)
+    bounds = np.concatenate([[0], np.cumsum(n_tr)])
+    intra = np.arange(bounds[-1]) - np.repeat(bounds[:-1], n_tr)
+    pos = starts[tr_doc] + intra
+    ctx = th[pos]
+    with np.errstate(over="ignore"):
+        big = (ctx * _B) ^ th[pos + 1]
+    return tr_doc, big, ctx, th
+
+
+def train_bigram_lm(docs: rd.Dataset, *, text_col: str = "text",
+                    analyzer: str = "standard") -> dict:
+    """Add-one-smoothed bigram model: ``p(w2|w1) = (c(w1 w2) + 1) /
+    (c(w1·) + V)`` with ``V`` = distinct corpus tokens. Returns sorted
+    hash->count arrays ready to broadcast."""
+    cfg = REGISTRY[analyzer]
+
+    def partial(t: pa.Table) -> pa.Table:
+        _, big, ctx, th = _token_and_bigram_hashes(
+            t[text_col].combine_chunks(), cfg)
+        bu, bn = np.unique(big, return_counts=True)
+        cu, cn = np.unique(ctx, return_counts=True)
+        vu = np.unique(th)
+        kind = np.concatenate([np.zeros(bu.size, np.int8),
+                               np.ones(cu.size, np.int8),
+                               np.full(vu.size, 2, np.int8)])
+        h = np.concatenate([bu, cu, vu]).view(np.int64)
+        n = np.concatenate([bn, cn, np.ones(vu.size, np.int64)])
+        return pa.table({"kind": pa.array(kind, pa.int8()),
+                         "h": pa.array(h, pa.int64()),
+                         "n": pa.array(n.astype(np.int64), pa.int64())})
+
+    parts = docs.map_batches(partial, batch_format="pyarrow").take_all()
+    kind = np.array([r["kind"] for r in parts], np.int8)
+    h = np.array([r["h"] for r in parts], np.int64).view(np.uint64)
+    n = np.array([r["n"] for r in parts], np.int64)
+
+    def reduce_kind(k: int, count: bool) -> tuple[np.ndarray, np.ndarray]:
+        sel = kind == k
+        hh, nn = h[sel], n[sel]
+        uniq, inv = np.unique(hh, return_inverse=True)
+        if not count:
+            return uniq, np.ones(uniq.size, np.int64)
+        sums = np.zeros(uniq.size, np.int64)
+        np.add.at(sums, inv, nn)
+        return uniq, sums
+
+    big_h, big_n = reduce_kind(0, True)
+    ctx_h, ctx_n = reduce_kind(1, True)
+    vocab_h, _ = reduce_kind(2, False)
+    if big_h.size + ctx_h.size > MODEL_LIMIT:
+        raise ValueError(
+            f"bigram model has {big_h.size + ctx_h.size} entries "
+            f"(> {MODEL_LIMIT}); train on a sample (CCNet shape), not "
+            "the full corpus")
+    logger.info("bigram LM: %d bigrams, %d contexts, V=%d",
+                big_h.size, ctx_h.size, vocab_h.size)
+    return {"big_h": big_h, "big_n": big_n, "ctx_h": ctx_h, "ctx_n": ctx_n,
+            "V": int(vocab_h.size)}
+
+
+def _lookup(sorted_h: np.ndarray, sorted_n: np.ndarray,
+            keys: np.ndarray) -> np.ndarray:
+    if not sorted_h.size:
+        return np.zeros(keys.size, np.int64)
+    pos = np.searchsorted(sorted_h, keys)
+    pos_c = np.minimum(pos, sorted_h.size - 1)
+    out = np.where(sorted_h[pos_c] == keys, sorted_n[pos_c], 0)
+    return out.astype(np.int64)
+
+
+def perplexity_scores(docs: rd.Dataset, model: dict, *,
+                      text_col: str = "text", id_col: str = "doc_id",
+                      analyzer: str = "standard") -> rd.Dataset:
+    """Per-doc mean negative log-likelihood over bigram transitions:
+    ``(doc_id, n_transitions, nll)``; docs with fewer than 2 tokens get
+    ``n_transitions = 0`` and ``nll = 0`` (no evidence). ``exp(nll)`` is
+    the perplexity; ranking on ``nll`` is equivalent and avoids the exp."""
+    cfg = REGISTRY[analyzer]
+    ref = ray.put(model)
+
+    def score(t: pa.Table) -> pa.Table:
+        m = _bcast(ref)
+        ids = pc.cast(t[id_col], pa.int64())
+        tr_doc, big, ctx, _ = _token_and_bigram_hashes(
+            t[text_col].combine_chunks(), cfg)
+        n_tr = np.zeros(len(t), np.int64)
+        nll_sum = np.zeros(len(t), np.float64)
+        if tr_doc.size:
+            cb = _lookup(m["big_h"], m["big_n"], big)
+            cc = _lookup(m["ctx_h"], m["ctx_n"], ctx)
+            p = (cb + 1.0) / (cc + float(m["V"]))
+            np.add.at(n_tr, tr_doc, 1)
+            np.add.at(nll_sum, tr_doc, -np.log(p))
+        nll = np.divide(nll_sum, n_tr, out=np.zeros_like(nll_sum),
+                        where=n_tr > 0)
+        return pa.table({"doc_id": ids,
+                         "n_transitions": pa.array(n_tr, pa.int64()),
+                         "nll": pa.array(nll, pa.float64())})
+
+    return docs.map_batches(score, batch_format="pyarrow")

@@ -917,3 +917,41 @@ def test_pagerank_both_paths_exact(ray_session):
 
     with pytest.raises(ValueError, match="positive"):
         pagerank(edges, 0)
+
+
+# ------------------------------------------------------------ perplexity LM
+def test_bigram_lm_hand_computed(ray_session):
+    """Counts and smoothed NLL against a hand-computed corpus: verifies
+    add-one arithmetic, unseen-bigram smoothing, short docs (0
+    transitions), and V = distinct corpus tokens."""
+    import pyarrow as pa
+
+    from org_rdkit_lucene_ray.stages.lm import (
+        perplexity_scores,
+        train_bigram_lm,
+    )
+
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array([0, 1, 2], pa.int64()),
+        "text": pa.array(["a b a b", "a c", "x"]),
+    }))
+    model = train_bigram_lm(docs)
+    # V = {a,b,c,x} = 4; bigrams: (a b)x2, (b a)x1, (a c)x1; ctx a=3, b=1
+    assert model["V"] == 4
+    out = {r["doc_id"]: r for r in perplexity_scores(docs, model).take_all()}
+    V = 4.0
+    nll0 = -(np.log(3 / (3 + V)) + np.log(2 / (1 + V)) + np.log(3 / (3 + V))) / 3
+    nll1 = -np.log(2 / (3 + V)) / 1
+    assert out[0]["n_transitions"] == 3
+    assert out[0]["nll"] == pytest.approx(nll0, rel=1e-12)
+    assert out[1]["nll"] == pytest.approx(nll1, rel=1e-12)
+    assert out[2]["n_transitions"] == 0 and out[2]["nll"] == 0.0
+
+    # unseen transitions score with cb=0 smoothing (score novel docs)
+    novel = rd.from_arrow(pa.table({
+        "doc_id": pa.array([9], pa.int64()),
+        "text": pa.array(["c x"]),
+    }))
+    r9 = perplexity_scores(novel, model).take_all()[0]
+    # ctx 'c' never starts a bigram in training -> cc=0
+    assert r9["nll"] == pytest.approx(-np.log(1 / (0 + V)), rel=1e-12)
