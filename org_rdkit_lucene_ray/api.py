@@ -168,6 +168,27 @@ class Engine:
 
         return search_phrases(self.searcher(), docs, phrases, **kw)
 
+    def search_with_snippets(self, docs: rd.Dataset, query: str,
+                             k: int = 10, *, window: int = 5,
+                             text_col: str = "text",
+                             id_col: str = "doc_id") -> rd.Dataset:
+        """BM25 top-k plus a highlighted fragment per hit (Lucene
+        Highlighter analog): the hit list broadcasts, the stored-text
+        Dataset streams through one shuffle-free pass. Result rows =
+        ``(query_id=0, rank, doc_id, snippet)``."""
+        from org_rdkit_lucene_ray.stages.highlight import highlight_hits
+
+        s = self.searcher()
+        hits = s.topk(query, k)
+        tbl = pa.table({
+            "query_id": pa.array([0] * len(hits), pa.int64()),
+            "rank": pa.array(range(len(hits)), pa.int64()),
+            "doc_id": pa.array([int(d) for d, _ in hits], pa.int64()),
+        })
+        terms = {0: sorted(set(s._query_terms(query)))}
+        return highlight_hits(docs, tbl, terms, window=window,
+                              text_col=text_col, id_col=id_col)
+
     def run_queries(self, queries: pa.Table | rd.Dataset, **kw) -> rd.Dataset:
         """Batch workload through the searcher actor pool (the
         ``-benchmark`` surface)."""

@@ -466,6 +466,32 @@ def test_engine_facade(ray_session, built_index, oracle_index, pages_dir,
     assert e2.stats()["n_docs"] == pre["n_docs"] - pre.get("n_deletes", 0)
 
 
+def test_engine_search_with_snippets(ray_session):
+    """Highlighter surface: snippets cover exactly the top-k hit set, in
+    rank order, with query terms marked."""
+    import tempfile
+
+    import ray.data as rd
+
+    from org_rdkit_lucene_ray import Engine
+    from org_rdkit_lucene_ray.config import IndexConfig
+
+    sf = "/root/testdata/sf0.001/documents.parquet"
+    idx = tempfile.mkdtemp(prefix="orl_snip_idx_")
+    e = Engine.build(
+        [sf], idx,
+        cfg=IndexConfig(docs_per_segment=256, term_buckets=4, block_size=32),
+        use_html=False, text_column="text", url_column=None, ts_column=None,
+        lang_column="lang", id_column="doc_id", dedup=False,
+        verify_extraction=False)
+    docs = rd.read_parquet(sf, columns=["doc_id", "text"])
+    top = e.topk("hash join", 4)
+    out = sorted(e.search_with_snippets(docs, "hash join", k=4).take_all(),
+                 key=lambda r: r["rank"])
+    assert [r["doc_id"] for r in out] == [d for d, _ in top]
+    assert all("<b>" in r["snippet"] for r in out)
+
+
 def test_phrase_match_mask_semantics():
     """Positional phrase kernel: exact adjacency, in-order slop, repeated
     terms, cross-row isolation, single-term, and empty-row behavior."""
