@@ -291,6 +291,30 @@ def q_top_terms(sf_dir: str) -> pa.Table:
                      "total_tf": pa.array([r["total_tf"] for r in rows], pa.int64())})
 
 
+CMS_TOPK = 20
+
+
+def q_heavy_hitters_cms(sf_dir: str) -> pa.Table:
+    """Count-min-sketch heavy hitters, verdict-style (HLL-gate policy):
+    the engine computes BOTH the exact top-``CMS_TOPK`` term frequencies
+    (distributed, the ``top_terms`` pipeline) and their count-min
+    estimates (:func:`stages.sketch.cms_sketch` — one fixed-size integer
+    matrix per batch, elementwise-add merge), then emits the exact counts
+    plus a per-term ``met`` verdict: the estimate must never undercount
+    and must overcount by at most max(16, 2%). The oracle pins the exact
+    counts and ``met = 1``; a sketch regression hash-mismatches."""
+    from org_rdkit_lucene_ray.stages.sketch import cms_query, cms_sketch
+
+    sk = cms_sketch(_docs(sf_dir, columns=["text"]), "text", tokenize=True)
+    top = q_top_terms(sf_dir).slice(0, CMS_TOPK)
+    est = cms_query(sk, top["term"].combine_chunks())
+    tf = top["total_tf"].to_numpy()
+    slack = np.maximum(16, (tf * 2 + 99) // 100)      # ceil(2%)
+    met = ((est >= tf) & (est <= tf + slack)).astype(np.int64)
+    return pa.table({"term": top["term"], "total_tf": top["total_tf"],
+                     "met": pa.array(met, pa.int64())})
+
+
 def q_lang_counts(sf_dir: str) -> rd.Dataset:
     from ray.data.aggregate import Count
 
@@ -2022,6 +2046,11 @@ WITH tok AS (SELECT unnest({_TOKS}) AS term FROM documents)
 SELECT term, count(*)::BIGINT AS total_tf FROM tok
 GROUP BY term ORDER BY total_tf DESC, term ASC LIMIT 50
 """,
+    "heavy_hitters_cms": f"""
+WITH tok AS (SELECT unnest({_TOKS}) AS term FROM documents)
+SELECT term, count(*)::BIGINT AS total_tf, 1::BIGINT AS met FROM tok
+GROUP BY term ORDER BY total_tf DESC, term ASC LIMIT {CMS_TOPK}
+""",
     "lang_counts": "SELECT lang, count(*)::BIGINT AS n_docs FROM documents GROUP BY lang ORDER BY lang",
     "quality_scores": _QUALITY_SQL,
     "quality_filter": f"""
@@ -2384,6 +2413,7 @@ QUERIES = {
     "doc_lengths": q_doc_lengths,
     "token_counts": q_token_counts,
     "distinct_terms_hll": q_distinct_terms_hll,
+    "heavy_hitters_cms": q_heavy_hitters_cms,
     "top_terms": q_top_terms,
     "lang_counts": q_lang_counts,
     "quality_scores": q_quality_scores,

@@ -105,3 +105,82 @@ def distinct_count_hll(ds: rd.Dataset, col: str, *, p: int = _P_DEFAULT,
     for r in rows:
         merged = np.maximum(merged, np.frombuffer(r["regs"], np.uint8))
     return hll_estimate(merged)
+
+
+# ------------------------------------------------------------- count-min
+# multiply-shift row hashes (Dietzfelbinger et al. 1997): seeded odd
+# multipliers -> deterministic, partition-independent
+_CMS_MULT = np.array([0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F,
+                      0x165667B19E3779F9, 0xD6E8FEB86659FD93,
+                      0xA5A5A5A5A5A5A5A5 | 1, 0x27D4EB2F165667C5],
+                     dtype=np.uint64)
+
+
+def _cms_rows(hashes: np.ndarray, depth: int, log2w: int) -> np.ndarray:
+    """(depth, n) int64 bucket indices for uint64 hashes."""
+    with np.errstate(over="ignore"):
+        return np.stack([
+            ((hashes * _CMS_MULT[d]) >> np.uint64(64 - log2w)).astype(np.int64)
+            for d in range(depth)])
+
+
+def cms_sketch(ds: rd.Dataset, col: str, *, depth: int = 4,
+               log2w: int = 14, tokenize: bool = False) -> dict:
+    """Count-min sketch (Cormode & Muthukrishnan 2005) of the value (or
+    analyzer-term) OCCURRENCE multiset of ``col``: one fixed
+    ``depth x 2^log2w`` int64 matrix per batch rides back to the driver
+    and partials merge by elementwise ADD — exact integer arithmetic, so
+    the merged sketch is a pure function of the input multiset regardless
+    of partitioning or combine order. Point estimates never undercount;
+    overcount <= e/width x total occurrences with high probability.
+    Returns ``{"counts": (depth, width) int64, "total": int}``."""
+    from org_rdkit_lucene_ray.pipelines.build import stable_term_hash
+
+    if depth > len(_CMS_MULT):
+        raise ValueError(f"depth <= {len(_CMS_MULT)}")
+    width = 1 << log2w
+
+    def partial(t: pa.Table) -> pa.Table:
+        if tokenize:
+            from org_rdkit_lucene_ray.functions.analyze import (
+                REGISTRY,
+                tokenize_column,
+            )
+
+            vals = pc.list_flatten(
+                tokenize_column(t[col].combine_chunks(), REGISTRY["standard"]))
+        else:
+            vals = pc.cast(t[col].combine_chunks(), pa.string())
+        # hash the dictionary once, count occurrences per distinct value,
+        # then scatter the counts — occurrences never hash individually
+        enc = pc.dictionary_encode(vals)
+        dh = stable_term_hash(enc.dictionary)
+        occ = np.bincount(enc.indices.to_numpy(zero_copy_only=False),
+                          minlength=len(enc.dictionary)).astype(np.int64)
+        m = np.zeros((depth, width), np.int64)
+        rows = _cms_rows(dh, depth, log2w)
+        for d in range(depth):
+            np.add.at(m[d], rows[d], occ)
+        return pa.table({"m": pa.array([m.tobytes()], pa.binary()),
+                         "n": pa.array([int(occ.sum())], pa.int64())})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").take_all()
+    merged = np.zeros((depth, width), np.int64)
+    total = 0
+    for r in parts:
+        merged += np.frombuffer(r["m"], np.int64).reshape(depth, width)
+        total += int(r["n"])
+    return {"counts": merged, "total": total, "log2w": log2w, "depth": depth}
+
+
+def cms_query(sketch: dict, terms: pa.Array | list[str]) -> np.ndarray:
+    """Point-estimate occurrence counts for ``terms`` (int64, vectorized:
+    min over the depth rows)."""
+    from org_rdkit_lucene_ray.pipelines.build import stable_term_hash
+
+    arr = terms if isinstance(terms, pa.Array) else pa.array(terms, pa.string())
+    h = stable_term_hash(arr)
+    rows = _cms_rows(h, sketch["depth"], sketch["log2w"])
+    ests = np.stack([sketch["counts"][d][rows[d]]
+                     for d in range(sketch["depth"])])
+    return ests.min(axis=0).astype(np.int64)

@@ -955,3 +955,33 @@ def test_bigram_lm_hand_computed(ray_session):
     r9 = perplexity_scores(novel, model).take_all()[0]
     # ctx 'c' never starts a bigram in training -> cc=0
     assert r9["nll"] == pytest.approx(-np.log(1 / (0 + V)), rel=1e-12)
+
+
+# ----------------------------------------------------------------- count-min
+def test_cms_sketch_properties(ray_session):
+    """Count-min guarantees on a known multiset: never undercounts, exact
+    for isolated terms at this width, partition-invariant (same sketch for
+    1 block and 4 blocks), and estimates >= truth for every term."""
+    import pyarrow as pa
+
+    from org_rdkit_lucene_ray.stages.sketch import cms_query, cms_sketch
+
+    texts = ["apple apple banana", "apple cherry", "banana banana date"]
+    tbl = pa.table({"text": pa.array(texts * 5)})
+    truth = {"apple": 15, "banana": 15, "cherry": 5, "date": 5}
+
+    sk1 = cms_sketch(rd.from_arrow(tbl), "text", tokenize=True)
+    sk4 = cms_sketch(rd.from_arrow(tbl).repartition(4), "text", tokenize=True)
+    assert np.array_equal(sk1["counts"], sk4["counts"])
+    assert sk1["total"] == sum(truth.values())
+
+    terms = sorted(truth)
+    est = cms_query(sk1, terms)
+    for t, e in zip(terms, est):
+        assert e >= truth[t]
+    # 4 distinct terms in a 2^14-wide sketch: collisions impossible to
+    # matter -> exact
+    assert est.tolist() == [truth[t] for t in terms]
+
+    with pytest.raises(ValueError, match="depth"):
+        cms_sketch(rd.from_arrow(tbl), "text", depth=99)
