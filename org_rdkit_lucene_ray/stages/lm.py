@@ -10,9 +10,11 @@ Dataset — the KenLM stand-in this container can express.
 Scale shape:
 - **train** streams the corpus through one ``map_batches`` that emits
   per-batch pre-aggregated (hash, count) partials — occurrence-sized data
-  never leaves the batch — and reduces them on the driver into sorted
-  count arrays (the model must materialize somewhere to be broadcast; a
-  guard refuses models past ``MODEL_LIMIT`` entries). At 100 TB you train
+  never leaves the batch — then reduces them DISTRIBUTED in a
+  hash-range-bucketed ``groupby``; the driver only concatenates the
+  per-bucket sorted unique arrays (the model must materialize somewhere
+  to be broadcast; a guard refuses models past ``MODEL_LIMIT`` entries).
+  At 100 TB you train
   on a sample (CCNet trains on Wikipedia, not the crawl) and score the
   full corpus, so the model side stays small by construction.
 - **score** broadcasts the model once via ``ray.put`` and streams the
@@ -77,42 +79,86 @@ def _token_and_bigram_hashes(texts: pa.Array, cfg) -> tuple[
     return tr_doc, big, ctx, th
 
 
+_FOLD_BUCKETS = 32        # top-5-bit hash-range buckets for the model fold
+_KINDS = 3                # 0 = bigram, 1 = context, 2 = vocab
+
+
 def train_bigram_lm(docs: rd.Dataset, *, text_col: str = "text",
                     analyzer: str = "standard") -> dict:
     """Add-one-smoothed bigram model: ``p(w2|w1) = (c(w1 w2) + 1) /
     (c(w1·) + V)`` with ``V`` = distinct corpus tokens. Returns sorted
-    hash->count arrays ready to broadcast."""
+    hash->count arrays ready to broadcast.
+
+    The count fold is DISTRIBUTED: each batch emits its per-batch unique
+    (hash, count) arrays pre-split into ``_FOLD_BUCKETS`` top-hash-bit
+    ranges (packed blobs — per-entry rows never exist); a
+    ``groupby(bucket).map_groups`` merges each range with a worker-side
+    sort+``reduceat``; the driver only CONCATENATES the per-bucket
+    results, which arrive disjoint and internally sorted, so the global
+    arrays are sorted without any driver-side sort. (The driver runs
+    under ``OMP_NUM_THREADS=1``, where a single 40M-entry ``np.unique``
+    measured 6x slower than the same call in a plain process — the fold
+    must not live there.)"""
     cfg = REGISTRY[analyzer]
+    shift = np.uint64(64 - int(np.log2(_FOLD_BUCKETS)))
 
     def partial(t: pa.Table) -> pa.Table:
         _, big, ctx, th = _token_and_bigram_hashes(
             t[text_col].combine_chunks(), cfg)
-        bu, bn = np.unique(big, return_counts=True)
-        cu, cn = np.unique(ctx, return_counts=True)
-        vu = np.unique(th)
-        kind = np.concatenate([np.zeros(bu.size, np.int8),
-                               np.ones(cu.size, np.int8),
-                               np.full(vu.size, 2, np.int8)])
-        h = np.concatenate([bu, cu, vu]).view(np.int64)
-        n = np.concatenate([bn, cn, np.ones(vu.size, np.int64)])
-        return pa.table({"kind": pa.array(kind, pa.int8()),
-                         "h": pa.array(h, pa.int64()),
-                         "n": pa.array(n.astype(np.int64), pa.int64())})
+        bkeys: list[int] = []
+        hs: list[bytes] = []
+        ns: list[bytes] = []
+        for kind, (u, c) in enumerate([
+                np.unique(big, return_counts=True),
+                np.unique(ctx, return_counts=True),
+                (np.unique(th), None)]):
+            if c is None:
+                c = np.ones(u.size, np.int64)
+            # u is sorted, so each bucket is a contiguous slice
+            edges = np.searchsorted((u >> shift).astype(np.int64),
+                                    np.arange(_FOLD_BUCKETS + 1))
+            for b in range(_FOLD_BUCKETS):
+                lo, hi = int(edges[b]), int(edges[b + 1])
+                if hi > lo:
+                    bkeys.append(kind * _FOLD_BUCKETS + b)
+                    hs.append(u[lo:hi].tobytes())
+                    ns.append(c[lo:hi].astype(np.int64).tobytes())
+        return pa.table({"bkey": pa.array(bkeys, pa.int64()),
+                         "h": pa.array(hs, pa.large_binary()),
+                         "n": pa.array(ns, pa.large_binary())})
 
-    parts = docs.map_batches(partial, batch_format="pyarrow").take_all()
-    kind = np.array([r["kind"] for r in parts], np.int8)
-    h = np.array([r["h"] for r in parts], np.int64).view(np.uint64)
-    n = np.array([r["n"] for r in parts], np.int64)
+    def fold(g: pa.Table) -> pa.Table:
+        bkey = g["bkey"][0].as_py()
+        hh = np.concatenate([np.frombuffer(x.as_py(), np.uint64)
+                             for x in g["h"]])
+        nn = np.concatenate([np.frombuffer(x.as_py(), np.int64)
+                             for x in g["n"]])
+        order = np.argsort(hh, kind="stable")
+        sh, sn = hh[order], nn[order]
+        starts = np.flatnonzero(
+            np.concatenate([[True], sh[1:] != sh[:-1]]))
+        return pa.table({
+            "bkey": pa.array([bkey], pa.int64()),
+            "h": pa.array([sh[starts].tobytes()], pa.large_binary()),
+            "n": pa.array([np.add.reduceat(sn, starts).tobytes()],
+                          pa.large_binary())})
+
+    rows = (docs.map_batches(partial, batch_format="pyarrow")
+            .groupby("bkey").map_groups(fold, batch_format="pyarrow")
+            .take_all())
+    rows.sort(key=lambda r: r["bkey"])
 
     def reduce_kind(k: int, count: bool) -> tuple[np.ndarray, np.ndarray]:
-        sel = kind == k
-        hh, nn = h[sel], n[sel]
-        uniq, inv = np.unique(hh, return_inverse=True)
+        mine = [r for r in rows if r["bkey"] // _FOLD_BUCKETS == k]
+        if not mine:
+            z = np.zeros(0, np.uint64)
+            return z, np.zeros(0, np.int64)
+        uniq = np.concatenate([np.frombuffer(r["h"], np.uint64)
+                               for r in mine])
         if not count:
             return uniq, np.ones(uniq.size, np.int64)
-        sums = np.zeros(uniq.size, np.int64)
-        np.add.at(sums, inv, nn)
-        return uniq, sums
+        return uniq, np.concatenate([np.frombuffer(r["n"], np.int64)
+                                     for r in mine])
 
     big_h, big_n = reduce_kind(0, True)
     ctx_h, ctx_n = reduce_kind(1, True)
