@@ -174,8 +174,10 @@ def bench_gate_queries(sf_dir: str) -> dict[str, float]:
              "embedding_dup_pairs",
              # round-3 additions (analyzer breadth, raw ingest, multi-field)
              "shingle_df", "free_multifield", "record_roundtrip",
-             # round-3 late additions (eval decontamination, highlighter)
-             "decontaminate", "highlight"]
+             # round-3 late additions (eval decontamination, highlighter,
+             # CCNet paragraph dedup, link-graph centrality, LM scoring)
+             "decontaminate", "highlight", "paragraph_dedup", "pagerank",
+             "perplexity_topk"]
     repeats = int(os.environ.get("RAY_GRAFT_GATE_REPEATS", "2"))
     for name in picks:
         fn = gate.QUERIES[name]
