@@ -177,7 +177,7 @@ def bench_gate_queries(sf_dir: str) -> dict[str, float]:
              # round-3 late additions (eval decontamination, highlighter,
              # CCNet paragraph dedup, link-graph centrality, LM scoring)
              "decontaminate", "highlight", "paragraph_dedup", "pagerank",
-             "perplexity_topk"]
+             "perplexity_topk", "price_quantiles"]
     repeats = int(os.environ.get("RAY_GRAFT_GATE_REPEATS", "2"))
     for name in picks:
         fn = gate.QUERIES[name]

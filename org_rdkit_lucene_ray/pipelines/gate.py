@@ -1641,6 +1641,21 @@ def q_orders_by_segment(sf_dir: str) -> rd.Dataset:
     return agg.map_batches(finish, batch_format="pyarrow")
 
 
+PRICE_QUANTILES = [0.01, 0.25, 0.5, 0.75, 0.99]
+
+
+def q_price_quantiles(sf_dir: str) -> pa.Table:
+    """Exact distributed quantiles (histogram-descent order-statistic
+    selection, :mod:`stages.quantile` — no sort, no shuffle; the selected
+    value is an exact element of the column, so both engines agree
+    bit-for-bit). DuckDB ``quantile_disc`` convention."""
+    from org_rdkit_lucene_ray.stages.quantile import exact_quantiles
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
+                         columns=["l_extendedprice"])
+    return exact_quantiles(ds, "l_extendedprice", PRICE_QUANTILES)
+
+
 # ---------------------------------------------------------------------------
 # embeddings: similarity search
 # ---------------------------------------------------------------------------
@@ -2292,6 +2307,10 @@ SELECT c.c_mktsegment AS mktsegment, count(*)::BIGINT AS n_orders,
 FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
 GROUP BY 1 ORDER BY 1
 """,
+    "price_quantiles": "\nUNION ALL\n".join(
+        f"SELECT {q}::DOUBLE AS q, "
+        f"quantile_disc(l_extendedprice, {q})::DOUBLE AS value FROM lineitem"
+        for q in PRICE_QUANTILES) + "\nORDER BY q",
     "ann_topk": f"""
 WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
            WHERE vec_id IN ({_ANN_IDS})),
@@ -2464,6 +2483,7 @@ QUERIES = {
     "grouped_topn": q_grouped_topn,
     "events_type_stats": q_events_type_stats,
     "orders_by_segment": q_orders_by_segment,
+    "price_quantiles": q_price_quantiles,
     "ann_topk": q_ann_topk,
     "ann_threshold": q_ann_threshold,
     "ivf_topk": q_ivf_topk,

@@ -1,0 +1,193 @@
+"""Exact distributed quantiles by order-statistic selection — no sort, no
+shuffle, bounded driver state.
+
+The reference computes only means over its benchmark results
+(``LuceneBenchmark.java:158-182``); a 100 TB curation pipeline needs exact
+percentiles of quality scores / doc lengths / prices to derive filter
+thresholds, and a distributed ``sort`` for one scalar per quantile is the
+wrong tool (an all-to-all over the whole corpus).  This stage selects the
+exact k-th order statistics with the classic histogram-descent trick over
+the IEEE-754 total order:
+
+- every float64 maps to a **monotone uint64 key** (sign-flip trick: flip
+  the sign bit for positives, all bits for negatives), so order statistics
+  over doubles become order statistics over unsigned integers;
+- each pass streams the column once through ``map_batches``, emitting one
+  fixed ``2^log2_buckets``-cell int64 histogram of the keys' next
+  ``log2_buckets`` bits per batch (partials merge by elementwise ADD —
+  exact integers, any combine order).  The driver folds the tiny
+  histograms, locates the bucket containing each target rank, and narrows
+  that target's key prefix;
+- once every unresolved target's bucket population is under
+  ``gather_limit``, ONE final pass gathers just the keys inside the
+  surviving prefix ranges (output size known in advance from the
+  histograms) and the driver picks the exact ranks from the small sorted
+  array.
+
+Worst case (adversarially equal high bits) is ``64/log2_buckets`` passes,
+after which a still-oversized bucket IS a single exact key; typical
+numeric data resolves in 2 passes (histogram + gather).  Every pass is a
+streaming projection — at 100 TB each pass ships
+``batches x 2^log2_buckets x 8`` bytes of histogram, never data rows.
+
+Rank convention matches DuckDB's ``quantile_disc`` (verified empirically):
+``rank(q) = max(0, ceil(q*n) - 1)`` over the null-free ascending order.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+
+_SIGN = np.uint64(0x8000000000000000)
+
+
+def _f64_to_key(vals: np.ndarray) -> np.ndarray:
+    """float64 -> order-preserving uint64 (IEEE-754 total order; -0.0 sorts
+    just below +0.0, which cannot change any quantile VALUE since they
+    compare equal)."""
+    bits = np.ascontiguousarray(vals, dtype=np.float64).view(np.int64)
+    u = bits.view(np.uint64)
+    return np.where(bits >= 0, u ^ _SIGN, ~u)
+
+
+def _key_to_f64(key: int) -> float:
+    """Inverse of :func:`_f64_to_key` for one key (driver-side)."""
+    k = np.uint64(key)
+    i = (k ^ _SIGN) if (k & _SIGN) else ~k
+    v = float(np.array([i], dtype=np.uint64).view(np.float64)[0])
+    return 0.0 if v == 0.0 else v     # normalize -0.0
+
+
+def _valid_keys(t: pa.Table, col: str) -> np.ndarray:
+    arr = t[col].combine_chunks()
+    if arr.type != pa.float64():
+        arr = pc.cast(arr, pa.float64())
+    arr = arr.filter(pc.and_kleene(pc.is_valid(arr),
+                                   pc.invert(pc.is_nan(arr))))
+    return _f64_to_key(arr.to_numpy(zero_copy_only=False))
+
+
+def exact_quantiles(ds: rd.Dataset, col: str, qs: list[float], *,
+                    log2_buckets: int = 16,
+                    gather_limit: int = 4_000_000) -> pa.Table:
+    """Exact ``quantile_disc``-convention quantiles of ``ds[col]`` (nulls
+    and NaNs ignored, like SQL aggregates).  Returns a table
+    ``(q: float64, value: float64)`` sorted by q.
+
+    ``ds`` is projected to the single column and materialized once so the
+    2-4 descent passes don't re-execute upstream stages (every consumer of
+    a lazy Dataset re-runs its whole pipeline); one float64 column is the
+    cheapest possible resident — at 100 TB the object store spills it, or
+    callers pass a plain ``read_parquet`` dataset whose re-read per pass
+    is itself just the pruned column."""
+    if not qs:
+        return pa.table({"q": pa.array([], pa.float64()),
+                         "value": pa.array([], pa.float64())})
+    proj = ds.select_columns([col]).materialize()
+    bits = log2_buckets
+    n_b = 1 << bits
+
+    def _hist(t: pa.Table, *, shift: int, prefixes: list[int]) -> pa.Table:
+        """One (len(prefixes) x 2^bits) histogram row of the keys' bits
+        [shift, shift+bits) restricted to keys matching each prefix
+        (prefix = key >> (shift+bits))."""
+        keys = _valid_keys(t, col)
+        top = shift + bits
+        hi = keys >> np.uint64(top) if top < 64 else np.zeros(keys.size, np.uint64)
+        out = np.zeros((len(prefixes), n_b), np.int64)
+        for i, p in enumerate(prefixes):
+            sel = keys[hi == np.uint64(p)]
+            b = ((sel >> np.uint64(shift)) & np.uint64(n_b - 1)).astype(np.int64)
+            out[i] = np.bincount(b, minlength=n_b)
+        return pa.table({"h": pa.array([out.tobytes()], pa.binary()),
+                         "n": pa.array([int(keys.size)], pa.int64())})
+
+    # pass 1: total count + top-level histogram
+    shift = 64 - bits
+    rows = proj.map_batches(
+        _hist, fn_kwargs=dict(shift=shift, prefixes=[0]),
+        batch_format="pyarrow").take_all()
+    n = sum(int(r["n"]) for r in rows)
+    if n == 0:
+        return pa.table({"q": pa.array(sorted(qs), pa.float64()),
+                         "value": pa.array([None] * len(qs), pa.float64())})
+    hist = np.zeros(n_b, np.int64)
+    for r in rows:
+        hist += np.frombuffer(r["h"], np.int64)
+
+    def _narrow(h: np.ndarray, lrank: int) -> tuple[int, int, int]:
+        """bucket, new local rank, bucket count."""
+        cum = np.cumsum(h)
+        b = int(np.searchsorted(cum, lrank + 1))
+        before = int(cum[b - 1]) if b else 0
+        return b, lrank - before, int(h[b])
+
+    # per-target state: (q, prefix, pshift, local_rank, count) where
+    # prefix = key >> pshift for every key in the target's range
+    state = []
+    for q in sorted(qs):
+        rank = max(0, math.ceil(q * n) - 1)
+        b, lr, cnt = _narrow(hist, rank)
+        state.append((q, b, shift, lr, cnt))
+
+    while True:
+        unresolved = [s for s in state if s[4] > gather_limit and s[2] > 0]
+        if not unresolved:
+            break
+        shift -= bits
+        prefixes = sorted({s[1] for s in unresolved})
+        rows = proj.map_batches(
+            _hist, fn_kwargs=dict(shift=shift, prefixes=prefixes),
+            batch_format="pyarrow").take_all()
+        hists = np.zeros((len(prefixes), n_b), np.int64)
+        for r in rows:
+            hists += np.frombuffer(r["h"], np.int64).reshape(len(prefixes), n_b)
+        nxt = []
+        for q, p, ps, lr, cnt in state:
+            if cnt <= gather_limit or ps == 0:
+                nxt.append((q, p, ps, lr, cnt))
+                continue
+            b, nlr, ncnt = _narrow(hists[prefixes.index(p)], lr)
+            nxt.append((q, (p << bits) | b, shift, nlr, ncnt))
+        state = nxt
+
+    out_vals: dict[float, float] = {}
+    # fully-descended oversized buckets are a single exact key (all 64 bits
+    # pinned): the order statistic is that key, no gather needed
+    for q, p, ps, _lr, cnt in state:
+        if cnt > gather_limit and ps == 0:
+            out_vals[q] = _key_to_f64(p)
+    gather = [s for s in state if s[0] not in out_vals]
+    if gather:
+        # half-open key ranges [lo, hi] (inclusive) per surviving prefix
+        ranges = sorted({(s[1] << s[2],
+                          ((s[1] + 1) << s[2]) - 1) for s in gather})
+        lo = np.asarray([r[0] for r in ranges], np.uint64)
+        hi = np.asarray([r[1] for r in ranges], np.uint64)
+
+        def _gather(t: pa.Table) -> pa.Table:
+            keys = _valid_keys(t, col)
+            m = np.zeros(keys.size, bool)
+            for a, b in zip(lo, hi):
+                m |= (keys >= a) & (keys <= b)
+            return pa.table({"k": pa.array(keys[m].view(np.int64),
+                                           pa.int64())})
+
+        parts = [b["k"].to_numpy().view(np.uint64)
+                 for b in proj.map_batches(_gather, batch_format="pyarrow")
+                 .iter_batches(batch_format="pyarrow")]
+        keys = np.sort(np.concatenate(parts)) if parts else \
+            np.zeros(0, np.uint64)
+        for q, p, ps, lr, _cnt in gather:
+            start = int(np.searchsorted(keys, np.uint64(p << ps), "left"))
+            out_vals[q] = _key_to_f64(int(keys[start + lr]))
+
+    qs_sorted = sorted(qs)
+    return pa.table({"q": pa.array(qs_sorted, pa.float64()),
+                     "value": pa.array([out_vals[q] for q in qs_sorted],
+                                       pa.float64())})

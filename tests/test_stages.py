@@ -985,3 +985,62 @@ def test_cms_sketch_properties(ray_session):
 
     with pytest.raises(ValueError, match="depth"):
         cms_sketch(rd.from_arrow(tbl), "text", depth=99)
+
+
+# ----------------------------------------------------------------- quantiles
+def test_exact_quantiles_matches_numpy_order_statistics(ray_session):
+    """quantile_disc convention (rank = max(0, ceil(q*n)-1)) against a
+    driver-side sort, across sign mix, duplicates, nulls and NaNs — and a
+    forced multi-pass descent (tiny buckets + gather_limit) must agree
+    with the single-gather path bit-for-bit."""
+    from org_rdkit_lucene_ray.stages.quantile import exact_quantiles
+
+    rng = np.random.default_rng(11)
+    vals = np.concatenate([
+        rng.normal(0, 1e6, 4000),            # mixed sign
+        np.repeat([-3.5, 0.0, 42.0], 500),   # heavy duplicates
+        rng.uniform(-1e-9, 1e-9, 1000),      # subnormal-ish cluster
+    ])
+    col = pa.array(vals, pa.float64())
+    with_gaps = pa.concat_arrays([
+        col, pa.array([None, float("nan"), None], pa.float64())])
+    ds = rd.from_arrow(pa.table({"x": with_gaps})).repartition(7)
+
+    qs = [0.0, 0.01, 0.25, 0.5, 0.9, 1.0]
+    clean = np.sort(vals)
+    import math
+    want = {q: clean[max(0, math.ceil(q * clean.size) - 1)] for q in qs}
+
+    got = exact_quantiles(ds, "x", qs)
+    for q, v in zip(got["q"].to_pylist(), got["value"].to_pylist()):
+        assert v == want[q], (q, v, want[q])
+
+    # force the descent loop: 16-wide histograms, gather only under 64 keys
+    got2 = exact_quantiles(ds, "x", qs, log2_buckets=4, gather_limit=64)
+    assert got2.equals(got)
+
+
+def test_exact_quantiles_empty_and_all_null(ray_session):
+    from org_rdkit_lucene_ray.stages.quantile import exact_quantiles
+
+    empty = rd.from_arrow(pa.table({"x": pa.array([], pa.float64())}))
+    out = exact_quantiles(empty, "x", [0.5])
+    assert out["value"].to_pylist() == [None]
+
+    nulls = rd.from_arrow(pa.table(
+        {"x": pa.array([None, None], pa.float64())}))
+    out = exact_quantiles(nulls, "x", [0.25, 0.75])
+    assert out["value"].to_pylist() == [None, None]
+
+    assert exact_quantiles(empty, "x", []).num_rows == 0
+
+
+def test_exact_quantiles_single_hot_key(ray_session):
+    """A value repeated past gather_limit pins all 64 bits during descent
+    (the no-gather branch) and must come back exactly."""
+    from org_rdkit_lucene_ray.stages.quantile import exact_quantiles
+
+    tbl = pa.table({"x": pa.array([7.25] * 3000 + [1.0, 99.0], pa.float64())})
+    out = exact_quantiles(rd.from_arrow(tbl).repartition(3), "x", [0.5],
+                          log2_buckets=4, gather_limit=100)
+    assert out["value"].to_pylist() == [7.25]
