@@ -177,7 +177,9 @@ def bench_gate_queries(sf_dir: str) -> dict[str, float]:
              # round-3 late additions (eval decontamination, highlighter,
              # CCNet paragraph dedup, link-graph centrality, LM scoring)
              "decontaminate", "highlight", "paragraph_dedup", "pagerank",
-             "perplexity_topk", "price_quantiles"]
+             "perplexity_topk", "price_quantiles",
+             # round-3 joins (large-large hash join, as-of join)
+             "order_revenue", "asof_view_attribution"]
     repeats = int(os.environ.get("RAY_GRAFT_GATE_REPEATS", "2"))
     for name in picks:
         fn = gate.QUERIES[name]

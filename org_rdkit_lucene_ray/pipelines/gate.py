@@ -1656,6 +1656,106 @@ def q_price_quantiles(sf_dir: str) -> pa.Table:
     return exact_quantiles(ds, "l_extendedprice", PRICE_QUANTILES)
 
 
+def q_order_revenue(sf_dir: str) -> rd.Dataset:
+    """LARGE-LARGE distributed hash join (both sides shuffle — the shape
+    `orders_by_segment`'s broadcast join can't take when neither side fits
+    a lookup table): lineitem ⋈ orders on orderkey, revenue by order
+    priority.
+
+    Scale shape: lineitem is pre-aggregated per orderkey INSIDE
+    ``map_batches`` before the join (~4 lineitems/order collapse to one
+    row, so the exchange ships ~25% of the rows), the join itself is
+    Ray-native hash-partitioned (`Dataset.join`), and the post-join
+    reduction is a per-batch partial over the 5 priorities followed by a
+    5-row groupby. Revenue ``price*(1-discount)`` is computed in exact
+    integer 1e-4 units (2-dp price cents × 2-dp discount percent), summed
+    as int64, divided once — the oracle mirrors the identical integer
+    expression, so the floats are bitwise-equal."""
+    from ray.data.aggregate import Sum
+
+    def pre_agg(t: pa.Table) -> pa.Table:
+        key = t["l_orderkey"].to_numpy(zero_copy_only=False)
+        price_c = np.round(t["l_extendedprice"].to_numpy() * 100.0).astype(np.int64)
+        disc_pc = np.round(t["l_discount"].to_numpy() * 100.0).astype(np.int64)
+        rev = price_c * (100 - disc_pc)
+        uniq, inv = np.unique(key, return_inverse=True)
+        sums = np.zeros(uniq.size, np.int64)
+        np.add.at(sums, inv, rev)
+        return pa.table({
+            "l_orderkey": pa.array(uniq, pa.int64()),
+            "rev_e4": pa.array(sums, pa.int64()),
+            "n_items": pa.array(np.bincount(inv).astype(np.int64), pa.int64()),
+        })
+
+    li = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+    ).map_batches(pre_agg, batch_format="pyarrow")
+    orders = rd.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                             columns=["o_orderkey", "o_orderpriority"])
+    joined = li.join(orders, "inner", 16,
+                     on=("l_orderkey",), right_on=("o_orderkey",))
+
+    def by_priority(t: pa.Table) -> pa.Table:
+        prio = t["o_orderpriority"]
+        uniq = pc.unique(prio.combine_chunks())
+        inv = pc.index_in(prio, uniq).combine_chunks().to_numpy(
+            zero_copy_only=False)
+        rev = np.zeros(len(uniq), np.int64)
+        items = np.zeros(len(uniq), np.int64)
+        np.add.at(rev, inv, t["rev_e4"].to_numpy(zero_copy_only=False))
+        np.add.at(items, inv, t["n_items"].to_numpy(zero_copy_only=False))
+        return pa.table({"priority": uniq,
+                         "rev_e4": pa.array(rev, pa.int64()),
+                         "n_items": pa.array(items, pa.int64())})
+
+    agg = (joined.map_batches(by_priority, batch_format="pyarrow")
+           .groupby("priority")
+           .aggregate(Sum("rev_e4", alias_name="rev_e4"),
+                      Sum("n_items", alias_name="n_items")))
+
+    def finish(t: pa.Table) -> pa.Table:
+        rev = t["rev_e4"].to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table({
+            "priority": t["priority"],
+            "n_items": pc.cast(t["n_items"], pa.int64()),
+            "revenue": pa.array(rev / 1e4, pa.float64()),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def q_asof_view_attribution(sf_dir: str) -> rd.Dataset:
+    """As-of join (``stages/join.py``): every purchase event attributed to
+    the user's most recent view at-or-before the purchase timestamp —
+    DuckDB ``ASOF JOIN`` semantics, one hash-bucket exchange, vectorized
+    rank-compressed searchsorted match per bucket. The lag is exact
+    integer microseconds, so hash parity is trivial. (Matched-view ids
+    are computed but not emitted: equal-timestamp ties would make them
+    engine-dependent; ``view_ts``/``lag_us`` are tie-invariant.)"""
+    from org_rdkit_lucene_ray.stages.join import asof_join
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["event_id", "user_id", "ts", "event_type"])
+    out = asof_join(ev.filter(expr="event_type == 'purchase'"),
+                    ev.filter(expr="event_type == 'view'"),
+                    on="user_id", ts="ts",
+                    left_cols=["event_id", "user_id"],
+                    right_cols=[])
+
+    def finish(t: pa.Table) -> pa.Table:
+        lag = pc.subtract(pc.cast(t["ts"], pa.int64()),
+                          pc.cast(t["ts_r"], pa.int64()))
+        return pa.table({
+            "event_id": t["event_id"],
+            "user_id": t["user_id"],
+            "view_ts": t["ts_r"],
+            "lag_us": pc.cast(lag, pa.int64()),
+        })
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 # embeddings: similarity search
 # ---------------------------------------------------------------------------
@@ -2307,6 +2407,21 @@ SELECT c.c_mktsegment AS mktsegment, count(*)::BIGINT AS n_orders,
 FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
 GROUP BY 1 ORDER BY 1
 """,
+    "order_revenue": """
+SELECT o.o_orderpriority AS priority, count(*)::BIGINT AS n_items,
+       (sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+            * (100 - CAST(round(l.l_discount * 100) AS BIGINT))) / 1e4)::DOUBLE
+           AS revenue
+FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+GROUP BY 1 ORDER BY 1
+""",
+    "asof_view_attribution": """
+SELECT p.event_id AS event_id, p.user_id AS user_id, v.ts AS view_ts,
+       date_diff('microsecond', v.ts, p.ts)::BIGINT AS lag_us
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF JOIN (SELECT * FROM events WHERE event_type = 'view') v
+  ON p.user_id = v.user_id AND p.ts >= v.ts
+""",
     "price_quantiles": "\nUNION ALL\n".join(
         f"SELECT {q}::DOUBLE AS q, "
         f"quantile_disc(l_extendedprice, {q})::DOUBLE AS value FROM lineitem"
@@ -2484,6 +2599,8 @@ QUERIES = {
     "events_type_stats": q_events_type_stats,
     "orders_by_segment": q_orders_by_segment,
     "price_quantiles": q_price_quantiles,
+    "order_revenue": q_order_revenue,
+    "asof_view_attribution": q_asof_view_attribution,
     "ann_topk": q_ann_topk,
     "ann_threshold": q_ann_threshold,
     "ivf_topk": q_ivf_topk,

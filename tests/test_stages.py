@@ -1044,3 +1044,64 @@ def test_exact_quantiles_single_hot_key(ray_session):
     out = exact_quantiles(rd.from_arrow(tbl).repartition(3), "x", [0.5],
                           log2_buckets=4, gather_limit=100)
     assert out["value"].to_pylist() == [7.25]
+
+
+# ----------------------------------------------------------------- asof join
+def test_asof_join_matches_pandas_merge_asof(ray_session):
+    """Random keyed series vs pandas merge_asof (backward, by-key), plus
+    the strict (<) variant and inner-drop of never-matched left rows."""
+    from org_rdkit_lucene_ray.stages.join import asof_join
+
+    rng = np.random.default_rng(5)
+    n_l, n_r = 400, 300
+    lt = pa.table({
+        "k": pa.array(rng.integers(0, 20, n_l), pa.int64()),
+        "t": pa.array(rng.integers(0, 1000, n_l), pa.int64()),
+        "lv": pa.array(np.arange(n_l), pa.int64()),
+    })
+    rt = pa.table({
+        "k": pa.array(rng.integers(0, 25, n_r), pa.int64()),
+        "t": pa.array(rng.integers(0, 1000, n_r), pa.int64()),
+        "rv": pa.array(np.arange(n_r), pa.int64()),
+    })
+    left = rd.from_arrow(lt).repartition(5)
+    right = rd.from_arrow(rt).repartition(3)
+
+    def oracle(strict: bool) -> pd.DataFrame:
+        l = lt.to_pandas().sort_values("t", kind="mergesort")
+        r = rt.to_pandas().sort_values("t", kind="mergesort")
+        r["t_r"] = r["t"]     # merge_asof drops the right `on` column
+        m = pd.merge_asof(l, r, on="t", by="k", suffixes=("", "_r"),
+                          allow_exact_matches=not strict)
+        m = m.dropna(subset=["t_r"])
+        # right can have duplicate (k, t): merge_asof picks the LAST of
+        # the tied rows (positional); our contract only pins (k, t_r), so
+        # compare the tie-invariant columns
+        return m[["lv", "t_r"]].astype({"t_r": "int64"}) \
+            .sort_values("lv").reset_index(drop=True)
+
+    for strict in (False, True):
+        out = asof_join(left, right, on="k", ts="t",
+                        left_cols=["lv", "k"], right_cols=["rv"],
+                        strict=strict, num_buckets=8)
+        got = out.to_pandas()[["lv", "t_r"]] \
+            .sort_values("lv").reset_index(drop=True)
+        pd.testing.assert_frame_equal(got, oracle(strict))
+
+
+def test_asof_join_bucket_isolation(ray_session):
+    """A right row must never match a left row of a DIFFERENT key even
+    when both land in the same hash bucket (num_buckets=1 forces it)."""
+    from org_rdkit_lucene_ray.stages.join import asof_join
+
+    left = rd.from_arrow(pa.table({
+        "k": pa.array([1, 2], pa.int64()),
+        "t": pa.array([100, 100], pa.int64())}))
+    right = rd.from_arrow(pa.table({
+        "k": pa.array([1], pa.int64()),
+        "t": pa.array([50], pa.int64())}))
+    out = asof_join(left, right, on="k", ts="t",
+                    left_cols=["k"], right_cols=[], num_buckets=1) \
+        .to_pandas().sort_values("k")
+    assert out["k"].tolist() == [1]
+    assert out["t_r"].tolist() == [50]
