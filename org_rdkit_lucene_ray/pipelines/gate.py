@@ -1656,6 +1656,20 @@ def q_price_quantiles(sf_dir: str) -> pa.Table:
     return exact_quantiles(ds, "l_extendedprice", PRICE_QUANTILES)
 
 
+GROUP_QUANTILES = [0.25, 0.5, 0.75, 0.95]
+
+
+def q_price_quantiles_by_flag(sf_dir: str) -> pa.Table:
+    """Per-group exact quantiles (independent histogram descents per
+    l_returnflag — still no sort/shuffle; :func:`exact_quantiles_by`)."""
+    from org_rdkit_lucene_ray.stages.quantile import exact_quantiles_by
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
+                         columns=["l_extendedprice", "l_returnflag"])
+    return exact_quantiles_by(ds, "l_extendedprice", "l_returnflag",
+                              GROUP_QUANTILES)
+
+
 def q_order_revenue(sf_dir: str) -> rd.Dataset:
     """LARGE-LARGE distributed hash join (both sides shuffle — the shape
     `orders_by_segment`'s broadcast join can't take when neither side fits
@@ -1720,6 +1734,57 @@ def q_order_revenue(sf_dir: str) -> rd.Dataset:
             "priority": t["priority"],
             "n_items": pc.cast(t["n_items"], pa.int64()),
             "revenue": pa.array(rev / 1e4, pa.float64()),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+PRICE_BANDS = [0.0, 25_000.0, 50_000.0, 75_000.0, 100_000.0]
+_BAND_LABELS = ["b0_under25k", "b1_25to50k", "b2_50to75k", "b3_75to100k",
+                "b4_over100k"]
+
+
+def q_price_band_stats(sf_dir: str) -> rd.Dataset:
+    """Range (interval) join: every lineitem matched to its price band —
+    the non-equi join Ray Data lacks, done the broadcast way: the band
+    table is tiny and SORTED, so the join is one vectorized
+    ``np.searchsorted`` against the boundary array inside ``map_batches``
+    (no shuffle, no per-row predicate evaluation); the oracle is the
+    honest SQL interval join (``lo <= p < hi``) over a VALUES table.
+    Band totals are exact integer cents (the `orders_by_segment`
+    discipline)."""
+    from ray.data.aggregate import Sum
+
+    bounds = np.asarray(PRICE_BANDS[1:], np.float64)
+
+    def to_band(t: pa.Table) -> pa.Table:
+        p = t["l_extendedprice"].to_numpy()
+        idx = np.searchsorted(bounds, p, side="right")
+        cents = np.round(p * 100.0).astype(np.int64)
+        n = np.bincount(idx, minlength=len(_BAND_LABELS)).astype(np.int64)
+        c = np.zeros(len(_BAND_LABELS), np.int64)
+        np.add.at(c, idx, cents)
+        keep = n > 0
+        return pa.table({
+            "band": pa.array([_BAND_LABELS[i] for i in
+                              np.flatnonzero(keep)], pa.string()),
+            "n_items": pa.array(n[keep], pa.int64()),
+            "cents": pa.array(c[keep], pa.int64()),
+        })
+
+    agg = (rd.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
+                           columns=["l_extendedprice"])
+           .map_batches(to_band, batch_format="pyarrow")
+           .groupby("band")
+           .aggregate(Sum("n_items", alias_name="n_items"),
+                      Sum("cents", alias_name="cents")))
+
+    def finish(t: pa.Table) -> pa.Table:
+        cents = t["cents"].to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table({
+            "band": t["band"],
+            "n_items": pc.cast(t["n_items"], pa.int64()),
+            "total_price": pa.array(cents / 100.0, pa.float64()),
         })
 
     return agg.map_batches(finish, batch_format="pyarrow")
@@ -2407,12 +2472,29 @@ SELECT c.c_mktsegment AS mktsegment, count(*)::BIGINT AS n_orders,
 FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
 GROUP BY 1 ORDER BY 1
 """,
+    "price_quantiles_by_flag": "\nUNION ALL\n".join(
+        f'SELECT l_returnflag AS "group", {q}::DOUBLE AS q, '
+        f"quantile_disc(l_extendedprice, {q})::DOUBLE AS value "
+        f"FROM lineitem GROUP BY 1"
+        for q in GROUP_QUANTILES) + '\nORDER BY "group", q',
     "order_revenue": """
 SELECT o.o_orderpriority AS priority, count(*)::BIGINT AS n_items,
        (sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
             * (100 - CAST(round(l.l_discount * 100) AS BIGINT))) / 1e4)::DOUBLE
            AS revenue
 FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+GROUP BY 1 ORDER BY 1
+""",
+    "price_band_stats": """
+SELECT b.band AS band, count(*)::BIGINT AS n_items,
+       (sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)) / 100.0)::DOUBLE
+           AS total_price
+FROM lineitem l
+JOIN (VALUES """ + ", ".join(
+        f"('{lbl}', {lo}, {hi})" for lbl, lo, hi in zip(
+            _BAND_LABELS, PRICE_BANDS, PRICE_BANDS[1:] + [1e308])
+    ) + """) b(band, lo, hi)
+  ON l.l_extendedprice >= b.lo AND l.l_extendedprice < b.hi
 GROUP BY 1 ORDER BY 1
 """,
     "asof_view_attribution": """
@@ -2599,8 +2681,10 @@ QUERIES = {
     "events_type_stats": q_events_type_stats,
     "orders_by_segment": q_orders_by_segment,
     "price_quantiles": q_price_quantiles,
+    "price_quantiles_by_flag": q_price_quantiles_by_flag,
     "order_revenue": q_order_revenue,
     "asof_view_attribution": q_asof_view_attribution,
+    "price_band_stats": q_price_band_stats,
     "ann_topk": q_ann_topk,
     "ann_threshold": q_ann_threshold,
     "ivf_topk": q_ivf_topk,

@@ -191,3 +191,183 @@ def exact_quantiles(ds: rd.Dataset, col: str, qs: list[float], *,
     return pa.table({"q": pa.array(qs_sorted, pa.float64()),
                      "value": pa.array([out_vals[q] for q in qs_sorted],
                                        pa.float64())})
+
+
+def exact_quantiles_by(ds: rd.Dataset, col: str, by: str, qs: list[float], *,
+                       log2_buckets: int = 16,
+                       gather_limit: int = 4_000_000,
+                       max_groups: int = 64) -> pa.Table:
+    """Per-group exact ``quantile_disc`` quantiles — the same histogram
+    descent as :func:`exact_quantiles`, one independent descent state per
+    group, still no sort and no data-row shuffle.
+
+    Groups are discovered in the first pass; driver state is
+    ``groups x 2^log2_buckets x 8`` bytes per pass, so the group count is
+    capped (``max_groups``, explicit error) — this operator is for LOW
+    cardinality dimensions (language, split, return-flag). For
+    high-cardinality keys use a hash-bucket ``map_groups`` with an
+    in-group ``np.partition`` instead (the whole group must then fit a
+    worker, which is the opposite trade-off).
+
+    Returns ``(group: string, q: float64, value: float64)`` sorted by
+    (group, q); null/NaN measures and null group keys are dropped before
+    grouping (SQL aggregate semantics), so every emitted group has at
+    least one value.
+    """
+    if not qs:
+        return pa.table({"group": pa.array([], pa.string()),
+                         "q": pa.array([], pa.float64()),
+                         "value": pa.array([], pa.float64())})
+    proj = ds.select_columns([col, by]).materialize()
+    bits = log2_buckets
+    n_b = 1 << bits
+
+    def _group_keys(t: pa.Table) -> tuple[np.ndarray, list[str], np.ndarray]:
+        """(uint64 keys, group values, per-key group index) with
+        null/NaN measures dropped (null group values become 'None'-less:
+        rows with a null group are dropped too, matching SQL GROUP BY
+        over non-null dimensions; the testdata has none)."""
+        g = t[by].combine_chunks().cast(pa.string())
+        v = t[col].combine_chunks()
+        if v.type != pa.float64():
+            v = pc.cast(v, pa.float64())
+        keep = pc.and_kleene(
+            pc.and_kleene(pc.is_valid(v), pc.invert(pc.is_nan(v))),
+            pc.is_valid(g))
+        g, v = g.filter(keep), v.filter(keep)
+        uniq = pc.unique(g)
+        idx = pc.index_in(g, uniq).to_numpy(zero_copy_only=False)
+        keys = _f64_to_key(v.to_numpy(zero_copy_only=False))
+        return keys, uniq.to_pylist(), idx.astype(np.int64)
+
+    def _hist_by(t: pa.Table, *, shift: int,
+                 targets: list[tuple[str, int]] | None) -> pa.Table:
+        """targets=None: one top-level histogram per group present.
+        Otherwise one histogram per requested (group, prefix)."""
+        keys, groups, gidx = _group_keys(t)
+        top = shift + bits
+        hi = keys >> np.uint64(top) if top < 64 else np.zeros(keys.size, np.uint64)
+        out_g, out_h, out_n = [], [], []
+        if targets is None:
+            for i, gname in enumerate(groups):
+                sel = keys[gidx == i]
+                b = ((sel >> np.uint64(shift)) & np.uint64(n_b - 1)).astype(np.int64)
+                out_g.append(gname)
+                out_h.append(np.bincount(b, minlength=n_b).tobytes())
+                out_n.append(int(sel.size))
+        else:
+            pos = {gname: i for i, gname in enumerate(groups)}
+            for gname, p in targets:
+                i = pos.get(gname)
+                if i is None:
+                    continue
+                sel = keys[(gidx == i) & (hi == np.uint64(p))]
+                b = ((sel >> np.uint64(shift)) & np.uint64(n_b - 1)).astype(np.int64)
+                out_g.append(f"{gname}\x00{p}")
+                out_h.append(np.bincount(b, minlength=n_b).tobytes())
+                out_n.append(int(sel.size))
+        return pa.table({"g": pa.array(out_g, pa.string()),
+                         "h": pa.array(out_h, pa.binary()),
+                         "n": pa.array(out_n, pa.int64())})
+
+    def _fold(rows) -> dict[str, tuple[np.ndarray, int]]:
+        acc: dict[str, tuple[np.ndarray, int]] = {}
+        for r in rows:
+            h = np.frombuffer(r["h"], np.int64)
+            if r["g"] in acc:
+                acc[r["g"]] = (acc[r["g"]][0] + h, acc[r["g"]][1] + r["n"])
+            else:
+                acc[r["g"]] = (h.copy(), int(r["n"]))
+        return acc
+
+    shift = 64 - bits
+    folded = _fold(proj.map_batches(
+        _hist_by, fn_kwargs=dict(shift=shift, targets=None),
+        batch_format="pyarrow").take_all())
+    if len(folded) > max_groups:
+        raise ValueError(
+            f"exact_quantiles_by: {len(folded)} groups exceeds max_groups="
+            f"{max_groups}; use a map_groups quantile for high-cardinality keys")
+    qs_sorted = sorted(qs)
+
+    # per-(group, q) state: (prefix, pshift, local_rank, count)
+    state: dict[tuple[str, float], tuple[int, int, int, int]] = {}
+    group_n: dict[str, int] = {g: n for g, (_h, n) in folded.items()}
+    for g, (h, n) in folded.items():
+        cum = np.cumsum(h)
+        for q in qs_sorted:
+            rank = max(0, math.ceil(q * n) - 1)
+            b = int(np.searchsorted(cum, rank + 1))
+            before = int(cum[b - 1]) if b else 0
+            state[(g, q)] = (b, shift, rank - before, int(h[b]))
+
+    while True:
+        unresolved = {(g, q): s for (g, q), s in state.items()
+                      if s[3] > gather_limit and s[1] > 0}
+        if not unresolved:
+            break
+        shift -= bits
+        targets = sorted({(g, s[0]) for (g, _q), s in unresolved.items()})
+        folded_p = _fold(proj.map_batches(
+            _hist_by, fn_kwargs=dict(shift=shift, targets=targets),
+            batch_format="pyarrow").take_all())
+        for (g, q), (p, ps, lr, cnt) in state.items():
+            if cnt <= gather_limit or ps == 0:
+                continue
+            h = folded_p[f"{g}\x00{p}"][0]
+            cum = np.cumsum(h)
+            b = int(np.searchsorted(cum, lr + 1))
+            before = int(cum[b - 1]) if b else 0
+            state[(g, q)] = ((p << bits) | b, shift, lr - before, int(h[b]))
+
+    out: dict[tuple[str, float], float | None] = {}
+    for (g, q), (p, ps, lr, cnt) in state.items():
+        if group_n[g] == 0:
+            out[(g, q)] = None
+        elif cnt > gather_limit and ps == 0:
+            out[(g, q)] = _key_to_f64(p)
+    gather = [(g, q, *s) for (g, q), s in state.items() if (g, q) not in out]
+    if gather:
+        ranges = sorted({(g, p << ps, ((p + 1) << ps) - 1)
+                         for g, _q, p, ps, _lr, _cnt in gather})
+
+        def _gather(t: pa.Table) -> pa.Table:
+            keys, groups, gidx = _group_keys(t)
+            pos = {gname: i for i, gname in enumerate(groups)}
+            gs, ks = [], []
+            for gname, lo, hi in ranges:
+                i = pos.get(gname)
+                if i is None:
+                    continue
+                sel = keys[(gidx == i) & (keys >= np.uint64(lo))
+                           & (keys <= np.uint64(hi))]
+                gs.extend([gname] * sel.size)
+                ks.append(sel)
+            flat = (np.concatenate(ks) if ks
+                    else np.zeros(0, np.uint64)).view(np.int64)
+            return pa.table({"g": pa.array(gs, pa.string()),
+                             "k": pa.array(flat, pa.int64())})
+
+        per_group: dict[str, list[np.ndarray]] = {}
+        for b in proj.map_batches(_gather, batch_format="pyarrow") \
+                .iter_batches(batch_format="pyarrow"):
+            gs = b["g"].to_pylist()
+            ks = b["k"].to_numpy(zero_copy_only=False).view(np.uint64)
+            for gname in set(gs):
+                m = np.asarray([x == gname for x in gs])
+                per_group.setdefault(gname, []).append(ks[m])
+        sorted_keys = {g: np.sort(np.concatenate(parts))
+                       for g, parts in per_group.items()}
+        for g, q, p, ps, lr, _cnt in gather:
+            keys = sorted_keys[g]
+            start = int(np.searchsorted(keys, np.uint64(p << ps), "left"))
+            out[(g, q)] = _key_to_f64(int(keys[start + lr]))
+
+    groups_sorted = sorted(group_n)
+    return pa.table({
+        "group": pa.array([g for g in groups_sorted for _ in qs_sorted],
+                          pa.string()),
+        "q": pa.array(qs_sorted * len(groups_sorted), pa.float64()),
+        "value": pa.array([out[(g, q)] for g in groups_sorted
+                           for q in qs_sorted], pa.float64()),
+    })

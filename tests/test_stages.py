@@ -1105,3 +1105,33 @@ def test_asof_join_bucket_isolation(ray_session):
         .to_pandas().sort_values("k")
     assert out["k"].tolist() == [1]
     assert out["t_r"].tolist() == [50]
+
+
+def test_exact_quantiles_by_group(ray_session):
+    """Per-group descent vs per-group driver sort, including a group
+    small enough to resolve in one gather and the max_groups guard."""
+    import math
+
+    from org_rdkit_lucene_ray.stages.quantile import exact_quantiles_by
+
+    rng = np.random.default_rng(3)
+    groups = np.array(["a", "b", "c"])[rng.integers(0, 3, 5000)]
+    vals = rng.normal(0, 100, 5000)
+    vals[groups == "c"] = 7.0          # constant group
+    tbl = pa.table({"g": pa.array(groups), "x": pa.array(vals, pa.float64())})
+    ds = rd.from_arrow(tbl).repartition(6)
+
+    qs = [0.1, 0.5, 0.9]
+    got = exact_quantiles_by(ds, "x", "g", qs, log2_buckets=4,
+                             gather_limit=100)
+    want = {}
+    for g in "abc":
+        clean = np.sort(vals[groups == g])
+        for q in qs:
+            want[(g, q)] = clean[max(0, math.ceil(q * clean.size) - 1)]
+    for g, q, v in zip(got["group"].to_pylist(), got["q"].to_pylist(),
+                       got["value"].to_pylist()):
+        assert v == want[(g, q)], (g, q)
+
+    with pytest.raises(ValueError, match="max_groups"):
+        exact_quantiles_by(ds, "x", "g", [0.5], max_groups=2)
