@@ -82,7 +82,7 @@ def bench_headline(sf: str, num_cpus: int) -> dict:
     # term_buckets fixed per corpus (env-overridable), NOT per cpu count:
     # a cpu-dependent bucket count would change the task decomposition
     # between scaling runs and confound the efficiency measurement
-    buckets = int(os.environ.get("RAY_GRAFT_TERM_BUCKETS", "0")) or max(8, num_cpus)
+    buckets = int((os.environ.get("RAY_GRAFT_TERM_BUCKETS") or "0")) or max(8, num_cpus)
     cfg = IndexConfig(docs_per_segment=16_384, term_buckets=buckets,
                       block_size=128)
     t0 = time.perf_counter()
@@ -102,7 +102,7 @@ def bench_headline(sf: str, num_cpus: int) -> dict:
     # repeat-averaging protocol (LuceneBenchmark.java:158-182, :403-433)
     # with its per-query CSV (S6 sink analog). p50/p95 stay over the
     # FIRST run of each query (comparable across rounds).
-    searches_per_type = int(os.environ.get("RAY_GRAFT_SEARCHES_PER_TYPE", "3"))
+    searches_per_type = int((os.environ.get("RAY_GRAFT_SEARCHES_PER_TYPE") or "3"))
     s = Searcher(idx, warm_top_terms=16)
     lats = []
     csv_rows = []
@@ -180,7 +180,7 @@ def bench_gate_queries(sf_dir: str) -> dict[str, float]:
              "perplexity_topk", "price_quantiles",
              # round-3 joins (large-large hash join, as-of join)
              "order_revenue", "asof_view_attribution"]
-    repeats = int(os.environ.get("RAY_GRAFT_GATE_REPEATS", "2"))
+    repeats = int((os.environ.get("RAY_GRAFT_GATE_REPEATS") or "2"))
     for name in picks:
         fn = gate.QUERIES[name]
         best = None
@@ -219,8 +219,8 @@ def run_single(sf_dir: str, num_cpus: int, headline_only: bool,
     # below RAY_GRAFT_IDLE_THRESH (default 1.5) measures the code, not
     # the neighbors; the wait is capped so the harness can never hang,
     # and both the wait and the load brackets ride in the output JSON.
-    thresh = float(os.environ.get("RAY_GRAFT_IDLE_THRESH", "1.5"))
-    budget = float(os.environ.get("RAY_GRAFT_IDLE_WAIT", "90"))
+    thresh = float((os.environ.get("RAY_GRAFT_IDLE_THRESH") or "1.5"))
+    budget = float((os.environ.get("RAY_GRAFT_IDLE_WAIT") or "90"))
     w0 = time.time()
     while os.getloadavg()[0] >= thresh and time.time() - w0 < budget:
         time.sleep(5)
@@ -229,7 +229,7 @@ def run_single(sf_dir: str, num_cpus: int, headline_only: bool,
     t0 = time.perf_counter()
     # headline build best-of-N (same shared-VM defense as the gates/scaling;
     # each repeat builds from scratch into a fresh index dir)
-    repeats = int(os.environ.get("RAY_GRAFT_HEADLINE_REPEATS", "2"))
+    repeats = int((os.environ.get("RAY_GRAFT_HEADLINE_REPEATS") or "2"))
     head = None
     for _ in range(repeats):
         h = bench_headline(corpus_tag or sf, num_cpus)
@@ -260,7 +260,7 @@ def run_single(sf_dir: str, num_cpus: int, headline_only: bool,
         "host_load_end": [round(x, 2) for x in os.getloadavg()],
         "idle_wait_s": idle_wait,
         "protocol": {"headline_repeats": repeats,
-                     "gate_repeats": int(os.environ.get("RAY_GRAFT_GATE_REPEATS", "2")),
+                     "gate_repeats": int((os.environ.get("RAY_GRAFT_GATE_REPEATS") or "2")),
                      "timing": "best-of-N per gate and per headline build"},
     }
     ray.shutdown()
@@ -277,7 +277,7 @@ def run_scaling(sf_dir: str, cpus_lo: int | None = None, cpus_hi: int | None = N
     override with RAY_GRAFT_SCALING_CPUS="8,32" to measure the saturated
     pair (reported in BASELINE.md for transparency)."""
     if cpus_lo is None or cpus_hi is None:
-        pair = os.environ.get("RAY_GRAFT_SCALING_CPUS", "2,8").split(",")
+        pair = (os.environ.get("RAY_GRAFT_SCALING_CPUS") or "2,8").split(",")
         cpus_lo, cpus_hi = int(pair[0]), int(pair[1])
     # warm the OS page cache with one untimed read so BOTH runs measure
     # compute + exchange, not the first disk read (ray_guide §scaling)
@@ -293,7 +293,7 @@ def run_scaling(sf_dir: str, cpus_lo: int | None = None, cpus_hi: int | None = N
     # (measured: the same 8-cpu build 16.1–26.6 s across a day, tracking
     # the host load average) — best-of-N measures the code's capability,
     # not the neighbors'; both legs get the same treatment.
-    repeats = int(os.environ.get("RAY_GRAFT_SCALING_REPEATS", "3"))
+    repeats = int((os.environ.get("RAY_GRAFT_SCALING_REPEATS") or "3"))
     runs = {}
     for cpus in (cpus_lo, cpus_hi):
         # repeats happen HERE (fresh process per repeat); the inner headline
@@ -352,7 +352,7 @@ def main() -> None:
     ap.add_argument("--corpus-tag", default=None,
                     help="override the synth corpus tier (e.g. 'scaling')")
     args = ap.parse_args()
-    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    num_cpus = int((os.environ.get("RAY_GRAFT_CPUS") or "32"))
     if args.scaling:
         out = run_scaling(args.sf_dir)
     else:

@@ -351,11 +351,10 @@ def exact_quantiles_by(ds: rd.Dataset, col: str, by: str, qs: list[float], *,
         per_group: dict[str, list[np.ndarray]] = {}
         for b in proj.map_batches(_gather, batch_format="pyarrow") \
                 .iter_batches(batch_format="pyarrow"):
-            gs = b["g"].to_pylist()
+            ga = np.asarray(b["g"].to_pylist(), dtype=object)
             ks = b["k"].to_numpy(zero_copy_only=False).view(np.uint64)
-            for gname in set(gs):
-                m = np.asarray([x == gname for x in gs])
-                per_group.setdefault(gname, []).append(ks[m])
+            for gname in np.unique(ga):
+                per_group.setdefault(gname, []).append(ks[ga == gname])
         sorted_keys = {g: np.sort(np.concatenate(parts))
                        for g, parts in per_group.items()}
         for g, q, p, ps, lr, _cnt in gather:
