@@ -909,6 +909,74 @@ def q_dedup_clusters(sf_dir: str) -> pa.Table:
     })
 
 
+def q_semantic_dedup(sf_dir: str) -> pa.Table:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023) at its
+    exact baseline: embedding-cosine near-dup pairs (the already-oracled
+    ``embedding_dup_pairs`` graph) -> transitive components
+    (:mod:`stages.components`) -> min-id survivor election. The IVF-bucketed
+    pair generator (``embedding_dup_pairs_ivf``) is the 100-TB path for the
+    same composition; this gate pins the keep/drop contract exactly."""
+    from org_rdkit_lucene_ray.stages.components import connected_components
+
+    pairs = q_embedding_dup_pairs(sf_dir)
+    comp = connected_components(pairs.select(["a", "b"])).to_pandas()
+    comp = comp.sort_values("doc_id").reset_index(drop=True)
+    vec = comp["doc_id"].to_numpy(dtype=np.int64)
+    cid = comp["component_id"].to_numpy(dtype=np.int64)
+    return pa.table({
+        "vec_id": pa.array(vec, pa.int64()),
+        "component_id": pa.array(cid, pa.int64()),
+        "keep": pa.array((vec == cid).astype(np.int64), pa.int64()),
+    })
+
+
+def q_domain_stats(sf_dir: str) -> rd.Dataset:
+    """Per-domain corpus accounting (the C4/CCNet domain blocklist +
+    quota shape): derive each doc's url, extract the host, and aggregate
+    docs + chars per host. Per-batch Arrow ``group_by`` pre-aggregation
+    first, so only (host, partial) rows — bounded by host cardinality —
+    ride the final shuffle."""
+    docs = _docs(sf_dir, columns=["doc_id", "source", "n_chars"])
+
+    def hosts_of(t: pa.Table) -> pa.Table:
+        urls = _derive_urls(t)
+        host = pc.utf8_lower(pc.struct_field(
+            pc.extract_regex(urls, r"^[^:]+://(?P<host>[^/]+)"), 0))
+        g = pa.table({"host": host, "n_chars": t["n_chars"]}) \
+            .group_by("host").aggregate([("n_chars", "sum"),
+                                         ("host", "count")])
+        return pa.table({"host": g["host"],
+                         "n_docs": pc.cast(g["host_count"], pa.int64()),
+                         "total_chars": pc.cast(g["n_chars_sum"], pa.int64())})
+
+    parts = docs.map_batches(hosts_of, batch_format="pyarrow")
+
+    def fold(g: pa.Table) -> pa.Table:
+        return pa.table({
+            "host": g["host"][:1],
+            "n_docs": pa.array([pc.sum(g["n_docs"]).as_py()], pa.int64()),
+            "total_chars": pa.array([pc.sum(g["total_chars"]).as_py()],
+                                    pa.int64()),
+        })
+
+    return parts.groupby("host").map_groups(fold, batch_format="pyarrow")
+
+
+def _domain_stats_sql() -> str:
+    derive = ("'HTTPS://WWW.' || source || '.Example.COM/Path/' || "
+              "CAST(doc_id % 17 AS VARCHAR) || "
+              "CASE doc_id % 3 WHEN 0 THEN '/?utm_source=feed&utm_medium=x' "
+              "WHEN 1 THEN '/' ELSE '' END || "
+              "CASE WHEN doc_id % 5 = 0 THEN '#frag' ELSE '' END")
+    return f"""
+WITH u AS (SELECT doc_id, n_chars,
+                  lower(regexp_extract(({derive}), '^[^:]+://([^/]+)', 1)) AS host
+           FROM documents)
+SELECT host, count(*)::BIGINT AS n_docs, sum(n_chars)::BIGINT AS total_chars
+FROM u GROUP BY host ORDER BY host
+"""
+
+
 def q_minhash_pairs(sf_dir: str) -> pa.Table:
     from org_rdkit_lucene_ray.stages.dedup import minhash_dup_pairs
 
@@ -1001,6 +1069,258 @@ def q_bm25_topk(sf_dir: str) -> pa.Table:
         "rank": pa.array(res["rank"].astype(np.int64)),
         "doc_id": pa.array(res["doc_id"].astype(np.int64)),
     })
+
+
+def q_tfidf_topk(sf_dir: str) -> pa.Table:
+    """The pluggable-Similarity seam (Lucene ClassicSimilarity, the
+    TF-IDF VSM BM25Similarity replaced): the SAME index, query set and
+    distributed actor-pool surface as ``bm25_topk``, scored with
+    ``sqrt(tf) * idf_c^2 / sqrt(dl)``, ``idf_c = 1 + ln((N+1)/(df+1))``.
+    Rank-compare on float32-cast scores (repo float-parity policy)."""
+    from org_rdkit_lucene_ray.pipelines.query import run_queries
+
+    queries = pa.table({
+        "query_id": pa.array([q[0] for q in BM25_QUERIES], pa.int32()),
+        "query": pa.array([q[1] for q in BM25_QUERIES], pa.string()),
+        "k": pa.array([q[2] for q in BM25_QUERIES], pa.int32()),
+    })
+    res = run_queries(gate_index(sf_dir), queries, mode="bmw",
+                      resolve_urls=False, concurrency=2,
+                      similarity="classic").to_pandas()
+    res = res.sort_values(["query_id", "rank"])
+    return pa.table({
+        "query_id": pa.array(res["query_id"].astype(np.int64)),
+        "rank": pa.array(res["rank"].astype(np.int64)),
+        "doc_id": pa.array(res["doc_id"].astype(np.int64)),
+    })
+
+
+def _tfidf_sql() -> str:
+    terms_vals = ", ".join(
+        f"({qid}, '{t}')"
+        for qid, q, _ in BM25_QUERIES for t in sorted(q.split()))
+    k_vals = ", ".join(f"({qid}, {k})" for qid, _, k in BM25_QUERIES)
+    return f"""
+WITH docs AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+dl AS (SELECT doc_id, len(toks) AS dl FROM docs),
+stats AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM dl),
+tok AS (SELECT doc_id, unnest(toks) AS term FROM docs),
+tf AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf FROM tok GROUP BY 1, 2),
+df AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
+q(query_id, term) AS (VALUES {terms_vals}),
+qk(query_id, k) AS (VALUES {k_vals}),
+scores AS (
+  SELECT q.query_id, tf.doc_id,
+         SUM( ((1.0 + ln((s.n + 1.0) / (df.df + 1.0)))
+               * (1.0 + ln((s.n + 1.0) / (df.df + 1.0))))
+              * sqrt(tf.tf) / sqrt(CAST(dl.dl AS DOUBLE)) ) AS score
+  FROM q
+  JOIN tf ON tf.term = q.term
+  JOIN df ON df.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY 1, 2),
+ranked AS (
+  SELECT query_id, doc_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY CAST(score AS REAL) DESC, doc_id ASC) - 1 AS rank
+  FROM scores)
+SELECT r.query_id::BIGINT AS query_id, r.rank::BIGINT AS rank, r.doc_id
+FROM ranked r JOIN qk ON qk.query_id = r.query_id
+WHERE r.rank < qk.k ORDER BY 1, 2
+"""
+
+
+SORT_FIELD_K = 10
+
+
+def q_sort_by_field(sf_dir: str) -> pa.Table:
+    """Lucene ``Sort``/``SortField`` collection: OR hit sets ranked by the
+    stored ``dl`` field (doc length, the fwd fragments' NumericDocValues
+    analog) desc with doc-id-asc tie-break — per-fragment partial top-k,
+    global merge (:meth:`Searcher.search_sorted`). ``dl`` is exact int64,
+    so the gate hash covers values, not just ranks."""
+    s = _searcher(sf_dir)
+    qids, ranks, docs, dls = [], [], [], []
+    for qid, q in BOOL_QUERIES:
+        for r, (d, v) in enumerate(s.search_sorted(q, field="dl",
+                                                   k=SORT_FIELD_K)):
+            qids.append(qid)
+            ranks.append(r)
+            docs.append(d)
+            dls.append(v)
+    return pa.table({"query_id": pa.array(qids, pa.int64()),
+                     "rank": pa.array(ranks, pa.int64()),
+                     "doc_id": pa.array(docs, pa.int64()),
+                     "dl": pa.array(dls, pa.int64())})
+
+
+def _sort_by_field_sql() -> str:
+    terms_vals = ", ".join(
+        f"({qid}, '{t}')" for qid, q in BOOL_QUERIES
+        for t in sorted(set(q.split())))
+    return f"""
+WITH docs AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+tok AS (SELECT DISTINCT doc_id, unnest(toks) AS term FROM docs),
+q(query_id, term) AS (VALUES {terms_vals}),
+hits AS (SELECT DISTINCT q.query_id, tok.doc_id
+         FROM q JOIN tok ON tok.term = q.term),
+dl AS (SELECT doc_id, len(toks) AS dl FROM docs),
+ranked AS (SELECT h.query_id, h.doc_id, dl.dl,
+                  row_number() OVER (PARTITION BY h.query_id
+                                     ORDER BY dl.dl DESC, h.doc_id ASC) - 1 AS rank
+           FROM hits h JOIN dl ON dl.doc_id = h.doc_id)
+SELECT query_id::BIGINT AS query_id, rank::BIGINT AS rank, doc_id,
+       dl::BIGINT AS dl
+FROM ranked WHERE rank < {SORT_FIELD_K} ORDER BY 1, 2
+"""
+
+
+# (query_id, query); the shared synonym map expands each base term to its
+# group. Groups deliberately exercise: multi-member merge (0), a group next
+# to a plain term (1), and an absent-member synonym (2).
+SYN_QUERIES: list[tuple[int, str]] = [
+    (0, "hash"),
+    (1, "customer window"),
+    (2, "data key"),
+]
+SYNONYMS: dict[str, list[str]] = {
+    "hash": ["join", "merge"],
+    "window": ["filter"],
+    "data": ["value", "zzznotaterm"],
+}
+SYN_K = 10
+
+
+def q_synonym_search(sf_dir: str) -> pa.Table:
+    """Lucene ``SynonymQuery`` semantics (query-time synonym expansion,
+    the SynonymGraphFilter consumer): a synonym group scores as ONE
+    pseudo-term — tf summed across members per doc, df = max member df —
+    so multi-synonym matches are not double-idf-counted
+    (:meth:`Searcher.topk_synonyms`)."""
+    s = _searcher(sf_dir)
+    qids, ranks, docs = [], [], []
+    for qid, q in SYN_QUERIES:
+        for r, (d, _) in enumerate(s.topk_synonyms(q, SYNONYMS, k=SYN_K)):
+            qids.append(qid)
+            ranks.append(r)
+            docs.append(d)
+    return pa.table({"query_id": pa.array(qids, pa.int64()),
+                     "rank": pa.array(ranks, pa.int64()),
+                     "doc_id": pa.array(docs, pa.int64())})
+
+
+def _synonym_sql() -> str:
+    rows = []
+    for qid, q in SYN_QUERIES:
+        for base in sorted(q.split()):
+            grp = sorted({base, *SYNONYMS.get(base, [])})
+            rows.extend(f"({qid}, '{base}', '{m}')" for m in grp)
+    syn_vals = ", ".join(rows)
+    return f"""
+WITH docs AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+dl AS (SELECT doc_id, len(toks) AS dl FROM docs),
+stats AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+                 CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+tok AS (SELECT doc_id, unnest(toks) AS term FROM docs),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok GROUP BY 1, 2),
+df AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
+syn(query_id, grp, term) AS (VALUES {syn_vals}),
+gtf AS (SELECT s.query_id, s.grp, tf.doc_id,
+               CAST(sum(tf.tf) AS DOUBLE) AS tf
+        FROM syn s JOIN tf ON tf.term = s.term GROUP BY 1, 2, 3),
+gdf AS (SELECT s.query_id, s.grp, max(df.df) AS df
+        FROM syn s JOIN df ON df.term = s.term GROUP BY 1, 2),
+scores AS (
+  SELECT g.query_id, g.doc_id,
+         SUM( ln(1.0 + (s.n - gdf.df + 0.5) / (gdf.df + 0.5))
+              * (g.tf * (1.2 + 1.0))
+              / (g.tf + 1.2 * ((1.0 - 0.75) + (0.75 * dl.dl) / s.avgdl)) ) AS score
+  FROM gtf g
+  JOIN gdf ON gdf.query_id = g.query_id AND gdf.grp = g.grp
+  JOIN dl ON dl.doc_id = g.doc_id
+  CROSS JOIN stats s
+  GROUP BY 1, 2),
+ranked AS (
+  SELECT query_id, doc_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY CAST(score AS REAL) DESC, doc_id ASC) - 1 AS rank
+  FROM scores)
+SELECT query_id::BIGINT AS query_id, rank::BIGINT AS rank, doc_id
+FROM ranked WHERE rank < {SYN_K} ORDER BY 1, 2
+"""
+
+
+# per-occurrence boosts: "data^2 data" is TWO clauses (boost 2 and 1);
+# boosts are exactly-representable doubles so engine and oracle agree
+# bitwise per contribution
+BOOSTED_QUERIES: list[tuple[int, str, int]] = [
+    (0, "hash^2 join", 10),
+    (1, "customer^0.5 window merge^3", 10),
+    (2, "data^2 data value", 10),
+]
+
+
+def q_boosted_query(sf_dir: str) -> pa.Table:
+    """Query-time boosts (Lucene BoostQuery / QueryParser ``term^2``):
+    per-clause weight vectors scaled before the per-doc sum
+    (:meth:`Searcher.topk_boosted`)."""
+    s = _searcher(sf_dir)
+    qids, ranks, docs = [], [], []
+    for qid, q, k in BOOSTED_QUERIES:
+        for r, (d, _) in enumerate(s.topk_boosted(q, k=k)):
+            qids.append(qid)
+            ranks.append(r)
+            docs.append(d)
+    return pa.table({"query_id": pa.array(qids, pa.int64()),
+                     "rank": pa.array(ranks, pa.int64()),
+                     "doc_id": pa.array(docs, pa.int64())})
+
+
+def _boosted_sql() -> str:
+    rows = []
+    for qid, q, _k in BOOSTED_QUERIES:
+        clauses = []
+        for raw in q.split():
+            if "^" in raw:
+                body, boost = raw.rsplit("^", 1)
+            else:
+                body, boost = raw, "1"
+            clauses.append((body, float(boost)))
+        clauses.sort()
+        rows.extend(f"({qid}, '{b}', {bo!r})" for b, bo in clauses)
+    terms_vals = ", ".join(rows)
+    k_vals = ", ".join(f"({qid}, {k})" for qid, _, k in BOOSTED_QUERIES)
+    return f"""
+WITH docs AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+dl AS (SELECT doc_id, len(toks) AS dl FROM docs),
+stats AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+                 CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+tok AS (SELECT doc_id, unnest(toks) AS term FROM docs),
+tf AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf FROM tok GROUP BY 1, 2),
+df AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
+q(query_id, term, boost) AS (VALUES {terms_vals}),
+qk(query_id, k) AS (VALUES {k_vals}),
+scores AS (
+  SELECT q.query_id, tf.doc_id,
+         SUM( q.boost * ( ln(1.0 + (s.n - df.df + 0.5) / (df.df + 0.5))
+              * (tf.tf * (1.2 + 1.0))
+              / (tf.tf + 1.2 * ((1.0 - 0.75) + (0.75 * dl.dl) / s.avgdl)) ) ) AS score
+  FROM q
+  JOIN tf ON tf.term = q.term
+  JOIN df ON df.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY 1, 2),
+ranked AS (
+  SELECT query_id, doc_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY CAST(score AS REAL) DESC, doc_id ASC) - 1 AS rank
+  FROM scores)
+SELECT r.query_id::BIGINT AS query_id, r.rank::BIGINT AS rank, r.doc_id
+FROM ranked r JOIN qk ON qk.query_id = r.query_id
+WHERE r.rank < qk.k ORDER BY 1, 2
+"""
 
 
 PPL_TOPK = 50
@@ -2194,6 +2514,12 @@ WHERE v.rank < qk.k ORDER BY 1, 2
 """
 
 
+_EMB_PAIRS_SQL = f"""
+SELECT a.vec_id AS a, b.vec_id AS b
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding, b.embedding) >= {EMB_DUP_THRESHOLD}
+"""
+
 ORACLE_SQL: dict[str, str] = {
     "term_df": f"""
 WITH tok AS (
@@ -2523,12 +2849,24 @@ ranked AS (
 SELECT query_id::BIGINT AS query_id, rank::BIGINT AS rank, vec_id
 FROM ranked WHERE rank < {ANN_K} ORDER BY 1, 2
 """,
-    "embedding_dup_pairs": f"""
-SELECT a.vec_id AS a, b.vec_id AS b
-FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-WHERE list_cosine_similarity(a.embedding, b.embedding) >= {EMB_DUP_THRESHOLD}
-ORDER BY 1, 2
+    "embedding_dup_pairs": _EMB_PAIRS_SQL + "\nORDER BY 1, 2",
+    "semantic_dedup": f"""
+WITH RECURSIVE pr AS ({_EMB_PAIRS_SQL}),
+edges AS (SELECT a AS u, b AS v FROM pr UNION SELECT b, a FROM pr),
+reach(u, v) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON e.u = r.v AND e.v <> r.u)
+SELECT u AS vec_id,
+       least(u, min(v)) AS component_id,
+       CAST(u = least(u, min(v)) AS BIGINT) AS keep
+FROM reach GROUP BY u ORDER BY 1
 """,
+    "domain_stats": _domain_stats_sql(),
+    "tfidf_topk": _tfidf_sql(),
+    "sort_by_field": _sort_by_field_sql(),
+    "synonym_search": _synonym_sql(),
+    "boosted_query": _boosted_sql(),
     "ann_threshold": f"""
 WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
            WHERE vec_id IN ({_ANN_IDS}))
@@ -2647,6 +2985,12 @@ QUERIES = {
     "exact_dedup": q_exact_dedup,
     "token_jaccard_pairs": q_token_jaccard_pairs,
     "dedup_clusters": q_dedup_clusters,
+    "semantic_dedup": q_semantic_dedup,
+    "domain_stats": q_domain_stats,
+    "tfidf_topk": q_tfidf_topk,
+    "sort_by_field": q_sort_by_field,
+    "synonym_search": q_synonym_search,
+    "boosted_query": q_boosted_query,
     "minhash_pairs": q_minhash_pairs,
     "simhash_pairs": q_simhash_pairs,
     "index_stats": q_index_stats,

@@ -98,6 +98,11 @@ class _TermCursor:
         return self.weights
 
     def weight_at(self, pos: int) -> float:
+        if self.weights is not None:
+            # precomputed per-posting weight vector (any similarity) — the
+            # scalar BM25 fallback below only serves cursors built without
+            # one (tests constructing _TermCursor directly)
+            return float(self.weights[pos])
         k1, b = self._k1, self._b
         tf = float(self.tfs[pos])
         K = k1 * ((1.0 - b) + (b * float(self.dls[pos])) / self._avgdl)
@@ -198,7 +203,17 @@ class Searcher:
 
     def __init__(self, index_dir: str, generation: str | None = None,
                  shard: tuple[int, int] | None = None,
-                 warm_top_terms: int = 0):
+                 warm_top_terms: int = 0, similarity: str = "bm25"):
+        if similarity not in ("bm25", "classic"):
+            raise ValueError(f"unknown similarity {similarity!r} "
+                             "(expected 'bm25' or 'classic')")
+        # pluggable per-term weight formula (Lucene's Similarity seam:
+        # BM25Similarity is the modern default, ClassicSimilarity the
+        # TF-IDF VSM it replaced). Block-max bounds are derived from the
+        # LIVE weight vector in _decode_term, so every pruning path stays
+        # admissible for ANY positive weight formula — no per-similarity
+        # pruning code.
+        self.similarity = similarity
         self.manifest = read_manifest(index_dir, generation)
         check_format(self.manifest)   # refuse foreign bucket-hash formats
         self.gdir = gen_dir(index_dir, generation)
@@ -351,6 +366,27 @@ class Searcher:
         df = self.df(term)
         return math.log(1.0 + (self.n_docs - df + 0.5) / (df + 0.5))
 
+    def _sim_idf_of_df(self, df: int) -> float:
+        """idf under the active similarity: BM25's Robertson-Sparck-Jones
+        form, or ClassicSimilarity's ``1 + ln((N + 1) / (df + 1))``."""
+        import math
+        if self.similarity == "classic":
+            return 1.0 + math.log((self.n_docs + 1.0) / (df + 1.0))
+        return math.log(1.0 + (self.n_docs - df + 0.5) / (df + 0.5))
+
+    def _sim_idf(self, term: str) -> float:
+        return self._sim_idf_of_df(self.df(term))
+
+    def _weight_arrays(self, idf: float, tf: np.ndarray,
+                       dl: np.ndarray) -> np.ndarray:
+        """Per-posting float64 weight vector under the active similarity
+        (``tf``/``dl`` already float64). Op order matches the oracle SQL."""
+        if self.similarity == "classic":
+            return (idf * idf) * np.sqrt(tf) / np.sqrt(dl)
+        k1, b = self.bm25.k1, self.bm25.b
+        K = k1 * ((1.0 - b) + (b * dl) / self.avgdl)
+        return idf * (tf * (k1 + 1.0)) / (tf + K)
+
     # --------------------------------------------------------------- cursors
     def _decode_term(self, term: str):
         """Concatenate this term's chunks across segments (ascending sid);
@@ -373,11 +409,9 @@ class Searcher:
             # (same expression as _TermCursor.weight_vector; idf/avgdl are
             # fixed per searcher, so this is query-independent)
             docs, tfs, dls = dec
-            k1, b = self.bm25.k1, self.bm25.b
-            idf = self.idf(term)
-            tf = tfs.astype(np.float64)
-            K = k1 * ((1.0 - b) + (b * dls.astype(np.float64)) / self.avgdl)
-            weights = idf * (tf * (k1 + 1.0)) / (tf + K)
+            weights = self._weight_arrays(self._sim_idf(term),
+                                          tfs.astype(np.float64),
+                                          dls.astype(np.float64))
             bs = self.block_size
             starts = np.arange(0, docs.size, bs)
             blk_first = docs[starts]
@@ -444,7 +478,7 @@ class Searcher:
             if dec is None:
                 continue
             mult = occurrences.count(t)
-            cursors[t] = _TermCursor(t, *dec[:6], idf=self.idf(t), mult=mult,
+            cursors[t] = _TermCursor(t, *dec[:6], idf=self._sim_idf(t), mult=mult,
                                      bm25=self.bm25, avgdl=self.avgdl,
                                      weights=dec[6] if len(dec) > 6 else None)
         return occurrences, cursors
@@ -1224,6 +1258,140 @@ class Searcher:
             res = [(d, s) for d, s in res if d != exclude_doc]
         return res[:k]
 
+    def search_sorted(self, query: str, *, field: str = "dl", k: int = 10,
+                      descending: bool = True,
+                      mode: str = "or") -> list[tuple[int, int]]:
+        """Lucene ``Sort``/``SortField`` collector (TopFieldCollector):
+        rank the query's hit set by a STORED numeric field instead of
+        relevance. The forward fragments are the doc-values store; each
+        overlapping fragment contributes a footer-range-pruned pushdown
+        read and a per-fragment partial top-k, then one global merge —
+        the per-segment-collector + ``TopFieldDocs.merge`` shape, so at
+        web scale only ``k`` rows per fragment ride the merge.
+
+        Order: (field desc|asc, doc_id asc). Returns ``[(doc_id, value)]``
+        of length <= k. Numeric fields only (``dl``, ``warc_ts``-encoded
+        int64 — Lucene's NumericDocValues analog)."""
+        hits = (self.search_and(query) if mode == "and"
+                else self.search_or(query))
+        if hits.size == 0 or k <= 0:
+            return []
+        lo_id, hi_id = int(hits[0]), int(hits[-1])
+        parts_d, parts_v = [], []
+        for p, lo, hi, _bloom in self._fwd_meta():
+            if hi < lo_id or lo > hi_id:
+                continue
+            t = pq.read_table(
+                p, columns=["doc_id", field],
+                filters=[("doc_id", ">=", lo_id), ("doc_id", "<=", hi_id)])
+            if not t.num_rows:
+                continue
+            d = t["doc_id"].to_numpy()
+            m = np.isin(d, hits, assume_unique=True)
+            if not m.any():
+                continue
+            d = d[m]
+            v = t[field].to_numpy(zero_copy_only=False).astype(np.int64)[m]
+            order = np.lexsort((d, -v if descending else v))[:k]
+            parts_d.append(d[order])
+            parts_v.append(v[order])
+        if not parts_d:
+            return []
+        d = np.concatenate(parts_d)
+        v = np.concatenate(parts_v)
+        order = np.lexsort((d, -v if descending else v))[:k]
+        return [(int(d[i]), int(v[i])) for i in order]
+
+    def topk_synonyms(self, query: str, synonyms: dict[str, list[str]],
+                      k: int = 10) -> list[tuple[int, float]]:
+        """Lucene ``SynonymQuery`` scoring: each query-term occurrence
+        expands to its synonym group, and the GROUP scores as a single
+        pseudo-term — per-doc tf is the SUM of member tfs, the group df is
+        the MAX member df (SynonymQuery's blended docFreq) — so a doc
+        matching two synonyms is not double-idf-counted the way a plain OR
+        expansion would. Groups contribute in ascending base-term order
+        (float64, then one float32 cast), the repo's score-parity protocol.
+        """
+        occurrences = sorted(self._query_terms(query))
+        parts_d, parts_w = [], []
+        for base in occurrences:
+            grp = sorted({base, *(s.lower() for s in synonyms.get(base, []))})
+            docs_l, tfs_l, dls_l, dfs = [], [], [], []
+            for t in grp:
+                dfs.append(self.df(t))
+                dec = self._decode_term(t)
+                if dec is None:
+                    continue
+                docs_l.append(dec[0])
+                tfs_l.append(dec[1])
+                dls_l.append(dec[2])
+            if not docs_l:
+                continue
+            docs = np.concatenate(docs_l)
+            tfs = np.concatenate(tfs_l)
+            dls = np.concatenate(dls_l)
+            order = np.argsort(docs, kind="stable")
+            docs, tfs, dls = docs[order], tfs[order], dls[order]
+            starts = np.flatnonzero(
+                np.concatenate([[True], docs[1:] != docs[:-1]]))
+            gtf = np.add.reduceat(tfs, starts).astype(np.float64)
+            w = self._weight_arrays(self._sim_idf_of_df(max(dfs)), gtf,
+                                    dls[starts].astype(np.float64))
+            parts_d.append(docs[starts])
+            parts_w.append(w)
+        if not parts_d or k <= 0:
+            return []
+        docs = np.concatenate(parts_d)
+        ws = np.concatenate(parts_w)
+        order = np.argsort(docs, kind="stable")
+        docs_s, ws_s = docs[order], ws[order]
+        starts = np.flatnonzero(
+            np.concatenate([[True], docs_s[1:] != docs_s[:-1]]))
+        sums = np.add.reduceat(ws_s, starts).astype(np.float32)
+        docs_u = docs_s[starts]
+        top = np.lexsort((docs_u, -sums.astype(np.float64)))[:k]
+        return [(int(docs_u[i]), float(sums[i])) for i in top]
+
+    _BOOST_RE = None
+
+    def topk_boosted(self, query: str, k: int = 10) -> list[tuple[int, float]]:
+        """Query-time boosts (Lucene ``BoostQuery`` / QueryParser
+        ``term^2.5`` grammar): every whitespace clause may carry a
+        ``^boost`` suffix; the clause's per-posting weight vector is scaled
+        by the boost before the per-doc sum. Unboosted clauses get 1.0.
+        Clauses contribute in ascending (term, occurrence) order — the
+        same float-parity protocol as :meth:`score_all`."""
+        import re as _re
+
+        if Searcher._BOOST_RE is None:
+            Searcher._BOOST_RE = _re.compile(r"^(.*?)\^(\d+(?:\.\d+)?)$")
+        clauses: list[tuple[str, float]] = []
+        for raw in query.split():
+            m = Searcher._BOOST_RE.match(raw)
+            body, boost = (m.group(1), float(m.group(2))) if m else (raw, 1.0)
+            for t in self._query_terms(body):
+                clauses.append((t, boost))
+        clauses.sort()
+        parts_d, parts_w = [], []
+        for t, boost in clauses:
+            dec = self._decode_term(t)
+            if dec is None:
+                continue
+            parts_d.append(dec[0])
+            parts_w.append(boost * dec[6])
+        if not parts_d or k <= 0:
+            return []
+        docs = np.concatenate(parts_d)
+        ws = np.concatenate(parts_w)
+        order = np.argsort(docs, kind="stable")
+        docs_s, ws_s = docs[order], ws[order]
+        starts = np.flatnonzero(
+            np.concatenate([[True], docs_s[1:] != docs_s[:-1]]))
+        sums = np.add.reduceat(ws_s, starts).astype(np.float32)
+        docs_u = docs_s[starts]
+        top = np.lexsort((docs_u, -sums.astype(np.float64)))[:k]
+        return [(int(docs_u[i]), float(sums[i])) for i in top]
+
     def lookup_pk(self, url: str) -> pa.Table:
         """J1: point lookup by primary key (``searchMoleculeByPK:505-519``).
 
@@ -1303,9 +1471,10 @@ class SearcherStage:
 
     def __init__(self, index_dir: str, mode: str = "bmw", default_k: int = 10,
                  resolve_urls: bool = True, generation: str | None = None,
-                 warm_top_terms: int = 16):
+                 warm_top_terms: int = 16, similarity: str = "bm25"):
         self.searcher = Searcher(index_dir, generation,
-                                 warm_top_terms=warm_top_terms)
+                                 warm_top_terms=warm_top_terms,
+                                 similarity=similarity)
         self.mode = mode
         self.default_k = default_k
         self.resolve = resolve_urls
@@ -1494,6 +1663,7 @@ def run_queries(
     mode: str = "bmw",
     concurrency: int | tuple[int, int] | None = None,
     resolve_urls: bool = True,
+    similarity: str = "bm25",
 ) -> rd.Dataset:
     """The ``-benchmark`` query workload rebuilt (SURVEY §3.2): queries table
     -> searcher actor pool -> (query_id, rank, doc_id, url, score)."""
@@ -1508,7 +1678,9 @@ def run_queries(
     ds = _query_blocks(queries, concurrency)
     return ds.map_batches(
         SearcherStage,
-        fn_constructor_kwargs=dict(index_dir=index_dir, mode=mode, resolve_urls=resolve_urls),
+        fn_constructor_kwargs=dict(index_dir=index_dir, mode=mode,
+                                   resolve_urls=resolve_urls,
+                                   similarity=similarity),
         batch_format="pyarrow",
         batch_size=8,
         concurrency=concurrency,

@@ -543,3 +543,92 @@ def test_phrase_candidates_tf_refinement(searcher):
     assert all(tf_of[d] >= 2 for d in cand.tolist())
     assert searcher.phrase_candidates(["baba", "zzznotaterm"]).size == 0
     assert searcher.phrase_candidates([]).size == 0
+
+
+# ---------------------------------------------------------------- round-3b:
+# pluggable similarity, sort-by-field, SynonymQuery, query-time boosts
+def test_classic_similarity_rank_identity_across_scorers(built_index):
+    """ClassicSimilarity (TF-IDF VSM) must keep every pruning path exact:
+    block bounds derive from the LIVE weight vector, so bmw/wand ==
+    exhaustive for ANY positive weight formula."""
+    idx, _ = built_index
+    s = Searcher(idx, similarity="classic")
+    for q in gen_queries().to_pylist():
+        k = int(q["k"])
+        ex = s.topk_exhaustive(q["query"], k)
+        assert s.topk_wand(q["query"], k) == ex, q["query"]
+        assert s.topk_bmw(q["query"], k) == ex, q["query"]
+
+
+def test_classic_similarity_weight_formula(built_index):
+    import math
+
+    idx, _ = built_index
+    s = Searcher(idx, similarity="classic")
+    dec = s._decode_term("baba")
+    idf = 1.0 + math.log((s.n_docs + 1.0) / (s.df("baba") + 1.0))
+    want = (idf * idf) * np.sqrt(dec[1].astype(np.float64)) \
+        / np.sqrt(dec[2].astype(np.float64))
+    np.testing.assert_array_equal(dec[6], want)
+    # and it is genuinely a different ranking input than BM25
+    s_bm = Searcher(idx)
+    assert not np.array_equal(s_bm._decode_term("baba")[6], dec[6])
+
+
+def test_similarity_rejects_unknown(built_index):
+    idx, _ = built_index
+    with pytest.raises(ValueError, match="similarity"):
+        Searcher(idx, similarity="dfr")
+
+
+def test_search_sorted_matches_bruteforce(searcher, oracle_index):
+    q = "baba cece"
+    hits = searcher.search_or(q).tolist()
+    assert len(hits) > 10
+    dls = [(d, oracle_index.dl[d]) for d in hits]
+    want = sorted(dls, key=lambda x: (-x[1], x[0]))[:7]
+    assert searcher.search_sorted(q, field="dl", k=7) == want
+    want_asc = sorted(dls, key=lambda x: (x[1], x[0]))[:7]
+    assert searcher.search_sorted(q, field="dl", k=7,
+                                  descending=False) == want_asc
+    # AND mode + absent term -> empty
+    assert searcher.search_sorted("zzznotaterm", field="dl", k=5) == []
+
+
+def test_topk_synonyms_group_semantics(searcher, oracle_index):
+    """SynonymQuery contract: tf summed across members, df = max member
+    df — verified against a hand-rolled computation from the oracle's
+    postings."""
+    import math
+
+    syn = {"baba": ["cece"]}
+    got = searcher.topk_synonyms("baba", syn, k=10)
+    merged: dict[int, int] = {}
+    for t in ("baba", "cece"):
+        for d, tf in oracle_index.postings.get(t, []):
+            merged[d] = merged.get(d, 0) + tf
+    df_g = max(len(oracle_index.postings.get(t, [])) for t in ("baba", "cece"))
+    n, avgdl = oracle_index.n_docs, oracle_index.avgdl
+    k1, b = searcher.bm25.k1, searcher.bm25.b
+    idf = math.log(1.0 + (n - df_g + 0.5) / (df_g + 0.5))
+    scores = {}
+    for d, tf in merged.items():
+        K = k1 * ((1.0 - b) + (b * float(oracle_index.dl[d])) / avgdl)
+        scores[d] = float(np.float32(idf * (tf * (k1 + 1.0)) / (tf + K)))
+    want = sorted(scores.items(), key=lambda x: (-x[1], x[0]))[:10]
+    assert got == want
+    # an all-absent synonym group degrades to the plain single-term query
+    assert searcher.topk_synonyms("baba", {"baba": ["zzznotaterm"]}, k=10) \
+        == searcher.topk_exhaustive("baba", 10)
+
+
+def test_topk_boosted_semantics(searcher):
+    # all-1.0 boosts == plain exhaustive scoring
+    assert searcher.topk_boosted("baba cece", k=8) \
+        == searcher.topk_exhaustive("baba cece", 8)
+    # doubling is exact in IEEE: scores exactly 2x, ranks unchanged
+    one = searcher.topk_exhaustive("baba", 5)
+    two = searcher.topk_boosted("baba^2", k=5)
+    assert [d for d, _ in two] == [d for d, _ in one]
+    for (_, s1), (_, s2) in zip(one, two):
+        assert s2 == 2.0 * s1
