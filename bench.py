@@ -179,7 +179,10 @@ def bench_gate_queries(sf_dir: str) -> dict[str, float]:
              "decontaminate", "highlight", "paragraph_dedup", "pagerank",
              "perplexity_topk", "price_quantiles",
              # round-3 joins (large-large hash join, as-of join)
-             "order_revenue", "asof_view_attribution"]
+             "order_revenue", "asof_view_attribution",
+             # round-3 similarity/collector/curation additions
+             "tfidf_topk", "sort_by_field", "semantic_dedup",
+             "domain_stats"]
     repeats = int((os.environ.get("RAY_GRAFT_GATE_REPEATS") or "2"))
     for name in picks:
         fn = gate.QUERIES[name]
