@@ -1131,6 +1131,91 @@ WHERE r.rank < qk.k ORDER BY 1, 2
 """
 
 
+EXPLAIN_QUERY = "hash join"
+
+
+def q_explain_score(sf_dir: str) -> pa.Table:
+    """Lucene ``IndexSearcher.explain`` analog: per-clause score breakdown
+    (term, tf, df, float32 contribution) for the top-1 doc of
+    ``EXPLAIN_QUERY`` — the oracle recomputes both the winning doc and
+    every summand from first principles."""
+    s = _searcher(sf_dir)
+    top = s.topk(EXPLAIN_QUERY, 1)
+    if not top:
+        return pa.table({"term": pa.array([], pa.string()),
+                         "tf": pa.array([], pa.int64()),
+                         "df": pa.array([], pa.int64()),
+                         "weight": pa.array([], pa.float32()),
+                         "doc_id": pa.array([], pa.int64())})
+    d = top[0][0]
+    t = s.explain(EXPLAIN_QUERY, d)
+    return t.append_column(
+        "doc_id", pa.array(np.full(t.num_rows, d, np.int64)))
+
+
+def _explain_sql() -> str:
+    terms_vals = ", ".join(f"('{t}')" for t in sorted(EXPLAIN_QUERY.split()))
+    return f"""
+WITH docs AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+dl AS (SELECT doc_id, len(toks) AS dl FROM docs),
+stats AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+                 CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+tok AS (SELECT doc_id, unnest(toks) AS term FROM docs),
+tf AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf FROM tok GROUP BY 1, 2),
+df AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
+q(term) AS (VALUES {terms_vals}),
+w AS (SELECT tf.doc_id, q.term, tf.tf, df.df,
+             ln(1.0 + (s.n - df.df + 0.5) / (df.df + 0.5))
+             * (tf.tf * (1.2 + 1.0))
+             / (tf.tf + 1.2 * ((1.0 - 0.75) + (0.75 * dl.dl) / s.avgdl)) AS wt
+      FROM q JOIN tf ON tf.term = q.term
+             JOIN df ON df.term = q.term
+             JOIN dl ON dl.doc_id = tf.doc_id
+      CROSS JOIN stats s),
+top1 AS (SELECT doc_id FROM (SELECT doc_id, sum(wt) AS score FROM w GROUP BY 1)
+         ORDER BY CAST(score AS REAL) DESC, doc_id ASC LIMIT 1)
+SELECT w.term, CAST(w.tf AS BIGINT) AS tf, CAST(w.df AS BIGINT) AS df,
+       CAST(w.wt AS REAL) AS weight, w.doc_id
+FROM w JOIN top1 ON top1.doc_id = w.doc_id ORDER BY w.term
+"""
+
+
+def q_classifier_filter(sf_dir: str) -> rd.Dataset:
+    """fastText-shaped learned quality filter (:mod:`stages.classifier`):
+    mean-of-token-weights scoring with a broadcast hashed-vocabulary
+    model, keep ``score >= 0``. The gate's "model" is a deterministic
+    weight per vocab term (halves, so the float64 sum is exact and
+    order-independent — SQL-hash-comparable); a real model would arrive
+    as a trained weight table and score identically."""
+    from org_rdkit_lucene_ray.stages.classifier import (
+        linear_classifier_scores,
+    )
+
+    # vocab from the index's own df table (vocab-sized, tiny here; a real
+    # model ships its own vocabulary)
+    vocab = [r["term"] for r in q_term_df(sf_dir).take_all()
+             if ":" not in r["term"]]
+    w = [float((len(t) % 4) - 1.5 + (ord(t[0]) % 7) - 3.0) for t in vocab]
+    weights = pa.table({"term": pa.array(vocab, pa.string()),
+                        "weight": pa.array(w, pa.float64())})
+    return linear_classifier_scores(
+        _docs(sf_dir, columns=["doc_id", "text"]), weights, threshold=0.0)
+
+
+def _classifier_sql() -> str:
+    return f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
+tok AS (SELECT doc_id, unnest(tk) AS term FROM toks),
+w AS (SELECT doc_id,
+             (CAST(length(term) % 4 AS DOUBLE) - 1.5)
+           + (CAST(ascii(term) % 7 AS DOUBLE) - 3.0) AS wt FROM tok),
+sc AS (SELECT doc_id, count(*)::BIGINT AS n_tokens,
+              sum(wt) / count(*) AS score FROM w GROUP BY 1)
+SELECT doc_id, n_tokens, score, CAST(score >= 0.0 AS BIGINT) AS keep
+FROM sc ORDER BY doc_id
+"""
+
+
 SORT_FIELD_K = 10
 
 
@@ -2864,6 +2949,8 @@ FROM reach GROUP BY u ORDER BY 1
 """,
     "domain_stats": _domain_stats_sql(),
     "tfidf_topk": _tfidf_sql(),
+    "explain_score": _explain_sql(),
+    "classifier_filter": _classifier_sql(),
     "sort_by_field": _sort_by_field_sql(),
     "synonym_search": _synonym_sql(),
     "boosted_query": _boosted_sql(),
@@ -2988,6 +3075,8 @@ QUERIES = {
     "semantic_dedup": q_semantic_dedup,
     "domain_stats": q_domain_stats,
     "tfidf_topk": q_tfidf_topk,
+    "explain_score": q_explain_score,
+    "classifier_filter": q_classifier_filter,
     "sort_by_field": q_sort_by_field,
     "synonym_search": q_synonym_search,
     "boosted_query": q_boosted_query,

@@ -1392,6 +1392,32 @@ class Searcher:
         top = np.lexsort((docs_u, -sums.astype(np.float64)))[:k]
         return [(int(docs_u[i]), float(sums[i])) for i in top]
 
+    def explain(self, query: str, doc_id: int) -> pa.Table:
+        """Lucene ``IndexSearcher.explain`` analog: the per-clause score
+        breakdown for one (query, doc) pair — one row PER OCCURRENCE (the
+        same clause multiset the scorers sum), with the exact tf/df inputs
+        and each clause's contribution (the exact float64 summand of
+        score_all's ascending-term sum, rounded to float32 for the
+        display column — the same domain the rank comparator uses)."""
+        terms, tfs, dfs, ws = [], [], [], []
+        for t in sorted(self._query_terms(query)):
+            dec = self._decode_term(t)
+            if dec is None:
+                continue
+            i = int(np.searchsorted(dec[0], doc_id))
+            if i >= dec[0].size or int(dec[0][i]) != doc_id:
+                continue
+            terms.append(t)
+            tfs.append(int(dec[1][i]))
+            dfs.append(self.df(t))
+            ws.append(float(np.float32(dec[6][i])))
+        return pa.table({
+            "term": pa.array(terms, pa.string()),
+            "tf": pa.array(tfs, pa.int64()),
+            "df": pa.array(dfs, pa.int64()),
+            "weight": pa.array(ws, pa.float32()),
+        })
+
     def lookup_pk(self, url: str) -> pa.Table:
         """J1: point lookup by primary key (``searchMoleculeByPK:505-519``).
 

@@ -632,3 +632,23 @@ def test_topk_boosted_semantics(searcher):
     assert [d for d, _ in two] == [d for d, _ in one]
     for (_, s1), (_, s2) in zip(one, two):
         assert s2 == 2.0 * s1
+
+
+def test_explain_matches_score(searcher, oracle_index):
+    """explain rows are exactly the scorer's summands: float64-summing the
+    per-term contributions (recomputed at full precision) reproduces the
+    doc's float32 score; tf/df match the oracle index."""
+    q = "baba cece"
+    top = searcher.topk(q, 3)
+    for doc_id, score in top:
+        ex = searcher.explain(q, doc_id)
+        assert ex.num_rows >= 1
+        s64 = 0.0
+        for term, tf in zip(ex["term"].to_pylist(), ex["tf"].to_pylist()):
+            assert tf == dict(oracle_index.postings[term])[doc_id]
+            dec = searcher._decode_term(term)
+            i = int(np.searchsorted(dec[0], doc_id))
+            s64 += float(dec[6][i])
+        assert np.float32(s64) == np.float32(score)
+    # non-matching doc id -> zero rows
+    assert searcher.explain("baba", -1).num_rows == 0

@@ -1135,3 +1135,45 @@ def test_exact_quantiles_by_group(ray_session):
 
     with pytest.raises(ValueError, match="max_groups"):
         exact_quantiles_by(ds, "x", "g", [0.5], max_groups=2)
+
+
+def test_linear_classifier_hand_computed(ray_session):
+    """fastText-shape: score == mean of token weights, OOV tokens weigh 0,
+    zero-token docs are dropped, keep = score >= threshold."""
+    import ray.data as rd
+
+    from org_rdkit_lucene_ray.stages.classifier import (
+        linear_classifier_scores,
+    )
+
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+        "text": pa.array(["good good bad", "bad bad", "unknown words only",
+                          "...!!!"], pa.string()),
+    }))
+    weights = pa.table({
+        "term": pa.array(["good", "bad"], pa.string()),
+        "weight": pa.array([1.5, -0.5], pa.float64()),
+    })
+    out = linear_classifier_scores(docs, weights).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    # doc 3 ("...!!!") has no tokens -> dropped
+    assert out["doc_id"].tolist() == [0, 1, 2]
+    assert out["n_tokens"].tolist() == [3, 2, 3]
+    assert out["score"].tolist() == [(1.5 + 1.5 - 0.5) / 3, -0.5, 0.0]
+    assert out["keep"].tolist() == [1, 0, 1]
+
+
+def test_linear_classifier_rejects_hash_collision(ray_session):
+    import ray.data as rd
+
+    from org_rdkit_lucene_ray.stages.classifier import (
+        linear_classifier_scores,
+    )
+
+    docs = rd.from_arrow(pa.table({"doc_id": pa.array([0], pa.int64()),
+                                   "text": pa.array(["x"], pa.string())}))
+    dup = pa.table({"term": pa.array(["same", "same"], pa.string()),
+                    "weight": pa.array([1.0, 2.0], pa.float64())})
+    with pytest.raises(ValueError, match="collision"):
+        linear_classifier_scores(docs, dup)
