@@ -1131,6 +1131,58 @@ WHERE r.rank < qk.k ORDER BY 1, 2
 """
 
 
+COLLAPSE_QUERY = "data value"
+COLLAPSE_K = 5
+
+
+def q_collapse_field(sf_dir: str) -> pa.Table:
+    """Lucene grouping / field collapsing: one best hit per ``lang`` for
+    the query's scored hit set, groups ranked by their best hit
+    (:meth:`Searcher.collapse_topk`)."""
+    s = _searcher(sf_dir)
+    rows = s.collapse_topk(COLLAPSE_QUERY, "lang", k=COLLAPSE_K)
+    return pa.table({
+        "rank": pa.array(range(len(rows)), pa.int64()),
+        "lang": pa.array([r[0] for r in rows], pa.string()),
+        "doc_id": pa.array([r[1] for r in rows], pa.int64()),
+    })
+
+
+def _collapse_sql() -> str:
+    terms_vals = ", ".join(
+        f"('{t}')" for t in sorted(COLLAPSE_QUERY.split()))
+    return f"""
+WITH docs AS (SELECT doc_id, lower(lang) AS lang, {_TOKS} AS toks
+              FROM documents),
+dl AS (SELECT doc_id, len(toks) AS dl FROM docs),
+stats AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+                 CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+tok AS (SELECT doc_id, unnest(toks) AS term FROM docs),
+tf AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf FROM tok GROUP BY 1, 2),
+df AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
+q(term) AS (VALUES {terms_vals}),
+scores AS (
+  SELECT tf.doc_id,
+         SUM( ln(1.0 + (s.n - df.df + 0.5) / (df.df + 0.5))
+              * (tf.tf * (1.2 + 1.0))
+              / (tf.tf + 1.2 * ((1.0 - 0.75) + (0.75 * dl.dl) / s.avgdl)) ) AS score
+  FROM q JOIN tf ON tf.term = q.term
+         JOIN df ON df.term = q.term
+         JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s GROUP BY 1),
+best AS (SELECT d.lang, sc.doc_id, sc.score,
+                row_number() OVER (PARTITION BY d.lang
+                  ORDER BY CAST(sc.score AS REAL) DESC, sc.doc_id ASC) AS rn
+         FROM scores sc JOIN docs d ON d.doc_id = sc.doc_id),
+grps AS (SELECT lang, doc_id,
+                row_number() OVER (ORDER BY CAST(score AS REAL) DESC,
+                                   doc_id ASC) - 1 AS rank
+         FROM best WHERE rn = 1)
+SELECT rank::BIGINT AS rank, lang, doc_id
+FROM grps WHERE rank < {COLLAPSE_K} ORDER BY rank
+"""
+
+
 EXPLAIN_QUERY = "hash join"
 
 
@@ -2950,6 +3002,7 @@ FROM reach GROUP BY u ORDER BY 1
     "domain_stats": _domain_stats_sql(),
     "tfidf_topk": _tfidf_sql(),
     "explain_score": _explain_sql(),
+    "collapse_field": _collapse_sql(),
     "classifier_filter": _classifier_sql(),
     "sort_by_field": _sort_by_field_sql(),
     "synonym_search": _synonym_sql(),
@@ -3076,6 +3129,7 @@ QUERIES = {
     "domain_stats": q_domain_stats,
     "tfidf_topk": q_tfidf_topk,
     "explain_score": q_explain_score,
+    "collapse_field": q_collapse_field,
     "classifier_filter": q_classifier_filter,
     "sort_by_field": q_sort_by_field,
     "synonym_search": q_synonym_search,

@@ -1392,6 +1392,34 @@ class Searcher:
         top = np.lexsort((docs_u, -sums.astype(np.float64)))[:k]
         return [(int(docs_u[i]), float(sums[i])) for i in top]
 
+    def collapse_topk(self, query: str, field: str,
+                      k: int = 10) -> list[tuple[str, int, float]]:
+        """Lucene grouping / field collapsing (grouping module's
+        ``TopGroups`` with 1 doc per group, Elasticsearch ``collapse``):
+        the query's scored hit set keeps only the BEST hit per value of an
+        indexed field namespace, and the surviving groups rank by their
+        best hit's (score desc, doc asc). The fielded postings are the
+        group-assignment doc-values; comparisons happen on float32 scores
+        (the repo's rank domain). Returns ``[(field_value, doc_id,
+        score)]`` of length <= k."""
+        docs, scores = self.score_all(query)
+        if docs.size == 0 or k <= 0:
+            return []
+        prefix = field + ":"
+        out: list[tuple[str, int, float]] = []
+        for term in self.prefix_terms(prefix):
+            dec = self._decode_term(term)
+            if dec is None:
+                continue
+            m = np.isin(docs, dec[0], assume_unique=True)
+            if not m.any():
+                continue
+            d, s = docs[m], scores[m]
+            best = np.lexsort((d, -s.astype(np.float64)))[0]
+            out.append((term[len(prefix):], int(d[best]), float(s[best])))
+        out.sort(key=lambda r: (-np.float64(np.float32(r[2])), r[1]))
+        return out[:k]
+
     def explain(self, query: str, doc_id: int) -> pa.Table:
         """Lucene ``IndexSearcher.explain`` analog: the per-clause score
         breakdown for one (query, doc) pair — one row PER OCCURRENCE (the

@@ -652,3 +652,45 @@ def test_explain_matches_score(searcher, oracle_index):
         assert np.float32(s64) == np.float32(score)
     # non-matching doc id -> zero rows
     assert searcher.explain("baba", -1).num_rows == 0
+
+
+def test_collapse_topk_semantics(ray_session, tmp_path_factory):
+    """Field collapsing: one best hit per field value, groups ranked by
+    their best hit (score desc, doc asc); values with no hits are absent;
+    k caps the group list."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from org_rdkit_lucene_ray.config import IndexConfig
+    from org_rdkit_lucene_ray.pipelines.build import build_index
+
+    t = pa.table({
+        "url": pa.array([f"u{i}" for i in range(5)]),
+        "warc_ts": pa.array([0, 1, 2, 3, 4], pa.timestamp("us")),
+        # en: docs 0 (alpha x2) and 1 (alpha); de: doc 2 (alpha); fr: no hit
+        "text": pa.array(["alpha alpha", "alpha beta", "alpha",
+                          "gamma", "delta"]),
+        "lang": pa.array(["en", "en", "de", "fr", "fr"]),
+    })
+    d = tmp_path_factory.mktemp("collapse_pages")
+    pq.write_table(t, str(d / "p.parquet"))
+    idx = str(tmp_path_factory.mktemp("collapse_idx"))
+    cfg = IndexConfig(docs_per_segment=256, term_buckets=8, block_size=32,
+                      field_columns=("lang",))
+    build_index(str(d), idx, cfg=cfg, use_html=False, dedup=False,
+                verify_extraction=False)
+    s = Searcher(idx)
+    got = s.collapse_topk("alpha", "lang", k=10)
+    assert [(v, doc) for v, doc, _ in got][0] == ("en", 0)   # tf=2 wins
+    assert set(v for v, _, _ in got) == {"en", "de"}         # fr: no hits
+    assert len(got) == 2
+    # each group's doc is its best hit; "de" group holds doc 2
+    assert dict((v, doc) for v, doc, _ in got)["de"] == 2
+    # scores match the scorer's float32 domain
+    docs, scores = s.score_all("alpha")
+    lut = dict(zip(docs.tolist(), scores.tolist()))
+    for v, doc, sc in got:
+        assert sc == lut[doc]
+    # k caps groups
+    assert len(s.collapse_topk("alpha", "lang", k=1)) == 1
+    assert s.collapse_topk("zzznotaterm", "lang", k=5) == []
