@@ -687,6 +687,51 @@ def _stratified_sample_sql() -> str:
             "ORDER BY doc_id")
 
 
+def q_mixture_sample(sf_dir: str) -> rd.Dataset:
+    """Temperature-flattened training mix (the XLM / multilingual-BERT
+    sampling rule, Conneau & Lample 2019: downsample head languages,
+    exponent on the size ratio): per-language keep rate
+    ``sqrt(c_min / c_lang)`` — the smallest language keeps everything, a
+    language 4x larger keeps half. The rate math is one float64 divide +
+    ``sqrt`` (both IEEE correctly-rounded, so the SQL oracle's thresholds
+    are bit-identical); membership reuses the integer-only deterministic
+    hash rule of :mod:`stages.sample`. Source counts are a tiny
+    distributed groupby; only the domain-cardinality rate table touches
+    the driver."""
+    from org_rdkit_lucene_ray.stages.sample import stratified_sample
+
+    docs = _docs(sf_dir, columns=["doc_id", "lang"])
+    counts = {r["lang"]: r["count()"]
+              for r in docs.groupby("lang").count().take_all()}
+    cmin = min(counts.values())
+    rates = {s: float(np.sqrt(np.float64(cmin) / np.float64(c)))
+             for s, c in counts.items()}
+    ds = stratified_sample(docs, rates=rates, stratum_col="lang")
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": pc.cast(t["doc_id"], pa.int64()),
+                         "lang": t["lang"]})
+
+    return ds.map_batches(finish, batch_format="pyarrow")
+
+
+def _mixture_sample_sql() -> str:
+    from org_rdkit_lucene_ray.stages.sample import _FOLD, _MOD, _MULT
+
+    return f"""
+WITH c AS (SELECT lang, count(*)::BIGINT AS n FROM documents GROUP BY 1),
+m AS (SELECT min(n) AS cmin FROM c),
+r AS (SELECT lang,
+             CAST(floor(sqrt(CAST((SELECT cmin FROM m) AS DOUBLE)
+                             / CAST(n AS DOUBLE)) * {_MOD}) AS BIGINT) AS thr
+      FROM c)
+SELECT d.doc_id, d.lang
+FROM documents d JOIN r ON r.lang = d.lang
+WHERE ((d.doc_id % {_FOLD}) * {_MULT} + 12345) % {_MOD} < r.thr
+ORDER BY d.doc_id
+"""
+
+
 def q_doc_fingerprints(sf_dir: str) -> rd.Dataset:
     from org_rdkit_lucene_ray.stages.textstats import md5_fingerprint_batch
 
@@ -2706,6 +2751,7 @@ ORDER BY doc_id
     "url_dedup": _url_dedup_sql(),
     "paragraph_dedup": _PARAGRAPH_DEDUP_SQL.format(toks=_TOKS),
     "stratified_sample": _stratified_sample_sql(),
+    "mixture_sample": _mixture_sample_sql(),
     "pii_scrub": _pii_scrub_sql(),
     "duplicate_spans": _DUPLICATE_SPANS_SQL.format(toks=_TOKS),
     "decontaminate": _DECONTAMINATE_SQL.format(toks=_TOKS),
@@ -3117,6 +3163,7 @@ QUERIES = {
     "url_dedup": q_url_dedup,
     "paragraph_dedup": q_paragraph_dedup,
     "stratified_sample": q_stratified_sample,
+    "mixture_sample": q_mixture_sample,
     "pii_scrub": q_pii_scrub,
     "duplicate_spans": q_duplicate_spans,
     "decontaminate": q_decontaminate,

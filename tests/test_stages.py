@@ -1177,3 +1177,29 @@ def test_linear_classifier_rejects_hash_collision(ray_session):
                     "weight": pa.array([1.0, 2.0], pa.float64())})
     with pytest.raises(ValueError, match="collision"):
         linear_classifier_scores(docs, dup)
+
+
+def test_mixture_sample_temperature_rule(ray_session):
+    """Temperature flattening: the smallest language keeps everything;
+    keep fraction tracks sqrt(c_min/c); membership is deterministic and
+    partitioning-invariant (re-run equals itself)."""
+    from org_rdkit_lucene_ray.pipelines.gate import q_mixture_sample
+
+    sf = "/root/testdata/sf0.001"
+    got = q_mixture_sample(sf).to_pandas().sort_values("doc_id")
+    got2 = q_mixture_sample(sf).to_pandas().sort_values("doc_id")
+    assert got["doc_id"].tolist() == got2["doc_id"].tolist()
+    import pyarrow.parquet as pq
+
+    full = pq.read_table(f"{sf}/documents.parquet",
+                         columns=["doc_id", "lang"]).to_pandas()
+    c = full.groupby("lang").size()
+    kept = got.groupby("lang").size().reindex(c.index).fillna(0)
+    cmin = c.min()
+    for src in c.index:
+        rate = float(np.sqrt(np.float64(cmin) / np.float64(c[src])))
+        if c[src] == cmin:
+            assert kept[src] == c[src]          # rate 1.0 keeps all
+        else:
+            # hash-uniformity tolerance on small strata
+            assert abs(kept[src] / c[src] - rate) < 0.35
