@@ -732,6 +732,34 @@ ORDER BY d.doc_id
 """
 
 
+PACK_SEQ_LEN = 128
+
+
+def q_sequence_packing(sf_dir: str) -> rd.Dataset:
+    """GPT-style sequence packing offsets (:mod:`stages.packing`): each
+    doc's start offset in the packed token stream plus the fixed-length
+    training sequences it spans — a distributed ordered prefix sum,
+    oracle-checked against a SQL window sum."""
+    from org_rdkit_lucene_ray.stages.packing import packing_offsets
+
+    return packing_offsets(_docs(sf_dir, columns=["doc_id", "text"]),
+                           seq_len=PACK_SEQ_LEN, range_size=64)
+
+
+def _sequence_packing_sql() -> str:
+    return f"""
+WITH t AS (SELECT doc_id, len({_TOKS}) AS n FROM documents),
+o AS (SELECT doc_id, n,
+             COALESCE(SUM(n) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS st
+      FROM t)
+SELECT doc_id, n AS n_tokens, st AS start_token,
+       CAST(st // {PACK_SEQ_LEN} AS BIGINT) AS seq_first,
+       CAST((st + n - 1) // {PACK_SEQ_LEN} AS BIGINT) AS seq_last
+FROM o WHERE n > 0 ORDER BY doc_id
+"""
+
+
 def q_doc_fingerprints(sf_dir: str) -> rd.Dataset:
     from org_rdkit_lucene_ray.stages.textstats import md5_fingerprint_batch
 
@@ -2752,6 +2780,7 @@ ORDER BY doc_id
     "paragraph_dedup": _PARAGRAPH_DEDUP_SQL.format(toks=_TOKS),
     "stratified_sample": _stratified_sample_sql(),
     "mixture_sample": _mixture_sample_sql(),
+    "sequence_packing": _sequence_packing_sql(),
     "pii_scrub": _pii_scrub_sql(),
     "duplicate_spans": _DUPLICATE_SPANS_SQL.format(toks=_TOKS),
     "decontaminate": _DECONTAMINATE_SQL.format(toks=_TOKS),
@@ -3164,6 +3193,7 @@ QUERIES = {
     "paragraph_dedup": q_paragraph_dedup,
     "stratified_sample": q_stratified_sample,
     "mixture_sample": q_mixture_sample,
+    "sequence_packing": q_sequence_packing,
     "pii_scrub": q_pii_scrub,
     "duplicate_spans": q_duplicate_spans,
     "decontaminate": q_decontaminate,

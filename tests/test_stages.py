@@ -1203,3 +1203,36 @@ def test_mixture_sample_temperature_rule(ray_session):
         else:
             # hash-uniformity tolerance on small strata
             assert abs(kept[src] / c[src] - rate) < 0.35
+
+
+def test_packing_offsets_prefix_sum(ray_session):
+    """Distributed ordered prefix sum == numpy cumsum ground truth at a
+    range size that forces many ranges; spans tile the token stream."""
+    import ray.data as rd
+
+    from org_rdkit_lucene_ray.functions.analyze import (
+        REGISTRY,
+        analyze_text,
+    )
+    from org_rdkit_lucene_ray.stages.packing import packing_offsets
+
+    rng = np.random.RandomState(7)
+    texts = [" ".join(f"w{rng.randint(50)}" for _ in range(rng.randint(0, 9)))
+             for _ in range(300)]          # some empty docs
+    t = pa.table({"doc_id": pa.array(range(300), pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+    out = packing_offsets(rd.from_arrow(t), seq_len=16, range_size=32) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    n = np.array([len(analyze_text(x, REGISTRY["standard"])) for x in texts],
+                 np.int64)
+    starts = np.concatenate([[0], np.cumsum(n)[:-1]])
+    keep = n > 0
+    assert out["doc_id"].tolist() == np.flatnonzero(keep).tolist()
+    assert out["n_tokens"].tolist() == n[keep].tolist()
+    assert out["start_token"].tolist() == starts[keep].tolist()
+    assert (out["seq_first"] == out["start_token"] // 16).all()
+    assert (out["seq_last"] ==
+            (out["start_token"] + out["n_tokens"] - 1) // 16).all()
+    # the packed stream is gapless: next start == prev start + prev n
+    s, m = out["start_token"].to_numpy(), out["n_tokens"].to_numpy()
+    assert (s[1:] == s[:-1] + m[:-1]).all() and s[0] == 0
