@@ -1204,6 +1204,42 @@ WHERE r.rank < qk.k ORDER BY 1, 2
 """
 
 
+# (query_id, lo, hi, include_lo, include_hi) over the stored dl field
+NUMERIC_RANGES: list[tuple[int, int, int, bool, bool]] = [
+    (0, 40, 60, True, True),
+    (1, 40, 60, True, False),    # half-open
+    (2, 0, 5, True, True),       # sparse/empty tail
+]
+
+
+def q_numeric_range_search(sf_dir: str) -> pa.Table:
+    """Lucene PointRangeQuery analog: doc sets whose stored ``dl``
+    (doc length) falls in each range — per-fragment pushdown reads,
+    row-group stats as the BKD-cell bounds
+    (:meth:`Searcher.search_numeric_range`)."""
+    s = _searcher(sf_dir)
+    qids, docs = [], []
+    for qid, lo, hi, ilo, ihi in NUMERIC_RANGES:
+        hits = s.search_numeric_range("dl", lo, hi,
+                                      include_lo=ilo, include_hi=ihi)
+        qids.extend([qid] * len(hits))
+        docs.extend(int(d) for d in hits)
+    return pa.table({"query_id": pa.array(qids, pa.int64()),
+                     "doc_id": pa.array(docs, pa.int64())})
+
+
+def _numeric_range_sql() -> str:
+    parts = []
+    for qid, lo, hi, ilo, ihi in NUMERIC_RANGES:
+        opl = ">=" if ilo else ">"
+        oph = "<=" if ihi else "<"
+        parts.append(
+            f"SELECT {qid}::BIGINT AS query_id, doc_id FROM t "
+            f"WHERE dl {opl} {lo} AND dl {oph} {hi}")
+    return (f"WITH t AS (SELECT doc_id, len({_TOKS}) AS dl FROM documents)\n"
+            + "\nUNION ALL ".join(parts) + "\nORDER BY 1, 2")
+
+
 COLLAPSE_QUERY = "data value"
 COLLAPSE_K = 5
 
@@ -3078,6 +3114,7 @@ FROM reach GROUP BY u ORDER BY 1
     "tfidf_topk": _tfidf_sql(),
     "explain_score": _explain_sql(),
     "collapse_field": _collapse_sql(),
+    "numeric_range_search": _numeric_range_sql(),
     "classifier_filter": _classifier_sql(),
     "sort_by_field": _sort_by_field_sql(),
     "synonym_search": _synonym_sql(),
@@ -3207,6 +3244,7 @@ QUERIES = {
     "tfidf_topk": q_tfidf_topk,
     "explain_score": q_explain_score,
     "collapse_field": q_collapse_field,
+    "numeric_range_search": q_numeric_range_search,
     "classifier_filter": q_classifier_filter,
     "sort_by_field": q_sort_by_field,
     "synonym_search": q_synonym_search,

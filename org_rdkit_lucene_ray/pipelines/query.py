@@ -1392,6 +1392,29 @@ class Searcher:
         top = np.lexsort((docs_u, -sums.astype(np.float64)))[:k]
         return [(int(docs_u[i]), float(sums[i])) for i in top]
 
+    def search_numeric_range(self, field: str, lo, hi, *,
+                             include_lo: bool = True,
+                             include_hi: bool = True,
+                             max_hits: int | None = None) -> np.ndarray:
+        """Lucene ``PointRangeQuery`` / ``NumericDocValues`` range filter
+        over a STORED numeric field (``dl``, ``warc_ts``): per-fragment
+        predicate-pushdown reads — Parquet row-group statistics play the
+        role of the BKD tree's cell bounds, so non-overlapping row groups
+        never leave storage. Returns the ascending doc-id set
+        (tombstones masked; ``max_hits`` caps like the boolean family)."""
+        parts = []
+        opl = ">=" if include_lo else ">"
+        oph = "<=" if include_hi else "<"
+        for p, _lo, _hi, _bloom in self._fwd_meta():
+            t = pq.read_table(p, columns=["doc_id", field],
+                              filters=[(field, opl, lo), (field, oph, hi)])
+            if t.num_rows:
+                parts.append(self._not_deleted(t)["doc_id"].to_numpy())
+        if not parts:
+            return np.zeros(0, np.int64)
+        out = np.sort(np.concatenate(parts))
+        return out if max_hits is None else out[:max_hits]
+
     def collapse_topk(self, query: str, field: str,
                       k: int = 10) -> list[tuple[str, int, float]]:
         """Lucene grouping / field collapsing (grouping module's

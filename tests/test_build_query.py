@@ -694,3 +694,23 @@ def test_collapse_topk_semantics(ray_session, tmp_path_factory):
     # k caps groups
     assert len(s.collapse_topk("alpha", "lang", k=1)) == 1
     assert s.collapse_topk("zzznotaterm", "lang", k=5) == []
+
+
+def test_numeric_range_search(searcher, oracle_index):
+    """PointRangeQuery analog: hits == brute-force dl-range filter over
+    the oracle's doc lengths; bounds inclusive/exclusive honored;
+    max_hits caps; tombstone-free fixture so every stored doc counts."""
+    dls = oracle_index.dl
+    for lo, hi, ilo, ihi in [(10, 30, True, True), (10, 30, False, False),
+                             (0, 10_000, True, True), (9999, 10000, True, True)]:
+        want = sorted(d for d, n in dls.items()
+                      if (n >= lo if ilo else n > lo)
+                      and (n <= hi if ihi else n < hi))
+        got = searcher.search_numeric_range("dl", lo, hi,
+                                            include_lo=ilo,
+                                            include_hi=ihi).tolist()
+        assert got == want, (lo, hi, ilo, ihi)
+    full = searcher.search_numeric_range("dl", 0, 10_000)
+    assert searcher.search_numeric_range("dl", 0, 10_000,
+                                         max_hits=5).tolist() \
+        == full[:5].tolist()
