@@ -182,7 +182,8 @@ def bench_gate_queries(sf_dir: str) -> dict[str, float]:
              "order_revenue", "asof_view_attribution",
              # round-3 similarity/collector/curation additions
              "tfidf_topk", "sort_by_field", "semantic_dedup",
-             "domain_stats"]
+             "domain_stats", "classifier_filter", "mixture_sample",
+             "sequence_packing"]
     repeats = int((os.environ.get("RAY_GRAFT_GATE_REPEATS") or "2"))
     for name in picks:
         fn = gate.QUERIES[name]

@@ -157,6 +157,33 @@ class Engine:
     def resolve_urls(self, doc_ids: list[int]) -> dict[int, str]:
         return self.searcher().resolve_urls(doc_ids)
 
+    def search_sorted(self, query: str, *, field: str = "dl", k: int = 10,
+                      **kw) -> list[tuple[int, int]]:
+        """Sort-by-stored-field collection (Lucene ``Sort``)."""
+        return self.searcher().search_sorted(query, field=field, k=k, **kw)
+
+    def search_synonyms(self, query: str, synonyms: dict[str, list[str]],
+                        k: int = 10) -> list[tuple[int, float]]:
+        """SynonymQuery-scored top-k (tf summed, df = max member)."""
+        return self.searcher().topk_synonyms(query, synonyms, k=k)
+
+    def search_boosted(self, query: str, k: int = 10) -> list[tuple[int, float]]:
+        """Scored top-k honoring ``term^boost`` clauses."""
+        return self.searcher().topk_boosted(query, k=k)
+
+    def search_numeric_range(self, field: str, lo, hi, **kw) -> np.ndarray:
+        """PointRangeQuery over a stored numeric field."""
+        return self.searcher().search_numeric_range(field, lo, hi, **kw)
+
+    def collapse(self, query: str, field: str,
+                 k: int = 10) -> list[tuple[str, int, float]]:
+        """Field collapsing: best hit per field value, groups ranked."""
+        return self.searcher().collapse_topk(query, field, k=k)
+
+    def explain(self, query: str, doc_id: int) -> pa.Table:
+        """Per-clause score breakdown for one (query, doc) pair."""
+        return self.searcher().explain(query, doc_id)
+
     def search_phrases(self, docs: rd.Dataset,
                        phrases: list[tuple[int, str, int]],
                        **kw) -> rd.Dataset:

@@ -714,3 +714,22 @@ def test_numeric_range_search(searcher, oracle_index):
     assert searcher.search_numeric_range("dl", 0, 10_000,
                                          max_hits=5).tolist() \
         == full[:5].tolist()
+
+
+def test_engine_facade_round3b_surfaces(built_index):
+    """New facade passthroughs return the same results as the Searcher."""
+    from org_rdkit_lucene_ray.api import Engine
+
+    idx, _ = built_index
+    e = Engine(idx)
+    s = e.searcher()
+    assert e.search_sorted("baba", k=3) == s.search_sorted("baba", k=3)
+    assert e.search_boosted("baba^2 cece", k=4) == \
+        s.topk_boosted("baba^2 cece", k=4)
+    syn = {"baba": ["cece"]}
+    assert e.search_synonyms("baba", syn, k=4) == \
+        s.topk_synonyms("baba", syn, k=4)
+    assert e.search_numeric_range("dl", 10, 30).tolist() == \
+        s.search_numeric_range("dl", 10, 30).tolist()
+    top = e.search_boosted("baba", k=1)[0][0]
+    assert e.explain("baba", top).num_rows == 1
