@@ -732,6 +732,40 @@ ORDER BY d.doc_id
 """
 
 
+DOC_TOP_TERMS_K = 3
+
+
+def q_doc_top_terms(sf_dir: str) -> rd.Dataset:
+    """Batch MoreLikeThis / per-doc keyword extraction
+    (:func:`stages.textstats.top_terms_per_doc`): top-3 tf·idf terms per
+    doc against the index's own broadcast df dictionary."""
+    from org_rdkit_lucene_ray.stages.textstats import top_terms_per_doc
+
+    df = q_term_df(sf_dir).to_arrow_refs()
+    import ray as _ray
+    df_tbl = pa.concat_tables([_ray.get(r) for r in df])
+    s = _searcher(sf_dir)
+    return top_terms_per_doc(_docs(sf_dir, columns=["doc_id", "text"]),
+                             df_tbl, s.n_docs, k=DOC_TOP_TERMS_K)
+
+
+def _doc_top_terms_sql() -> str:
+    return f"""
+WITH docs AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+stats AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM docs),
+tok AS (SELECT doc_id, unnest(toks) AS term FROM docs),
+tf AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf FROM tok GROUP BY 1, 2),
+df AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
+sc AS (SELECT tf.doc_id, tf.term,
+              tf.tf * ln(1.0 + (s.n - df.df + 0.5) / (df.df + 0.5)) AS score
+       FROM tf JOIN df ON df.term = tf.term CROSS JOIN stats s),
+rk AS (SELECT doc_id, term, row_number() OVER (PARTITION BY doc_id
+         ORDER BY CAST(score AS REAL) DESC, term ASC) - 1 AS rnk FROM sc)
+SELECT doc_id, rnk::BIGINT AS rnk, term
+FROM rk WHERE rnk < {DOC_TOP_TERMS_K} ORDER BY 1, 2
+"""
+
+
 PACK_SEQ_LEN = 128
 
 
@@ -2817,6 +2851,7 @@ ORDER BY doc_id
     "stratified_sample": _stratified_sample_sql(),
     "mixture_sample": _mixture_sample_sql(),
     "sequence_packing": _sequence_packing_sql(),
+    "doc_top_terms": _doc_top_terms_sql(),
     "pii_scrub": _pii_scrub_sql(),
     "duplicate_spans": _DUPLICATE_SPANS_SQL.format(toks=_TOKS),
     "decontaminate": _DECONTAMINATE_SQL.format(toks=_TOKS),
@@ -3231,6 +3266,7 @@ QUERIES = {
     "stratified_sample": q_stratified_sample,
     "mixture_sample": q_mixture_sample,
     "sequence_packing": q_sequence_packing,
+    "doc_top_terms": q_doc_top_terms,
     "pii_scrub": q_pii_scrub,
     "duplicate_spans": q_duplicate_spans,
     "decontaminate": q_decontaminate,

@@ -293,3 +293,77 @@ class LangIdStage:
         out = np.where(cjk, "zh", np.where(hit, lang_arr, "und"))
         return batch.append_column(
             "lang_pred", pa.array(out.astype(object), pa.string()))
+
+
+# ------------------------------------------------- per-doc keyword extraction
+def top_terms_per_doc(docs, df_table: pa.Table, n_docs: int, *, k: int = 3,
+                      text_col: str = "text", id_col: str = "doc_id",
+                      analyzer: str = "standard"):
+    """Batch MoreLikeThis term selection (`MoreLikeThis.
+    retrieveInterestingTerms` for EVERY doc at once) — per-doc keyword
+    extraction, the tf·idf feature-export step of corpus curation.
+
+    The global (term, df) dictionary is the MODEL: broadcast once
+    (``ray.put``), term-SORTED so that ``pc.index_in`` positions double as
+    the lexicographic tie-break rank — no string comparisons in the hot
+    path. Per batch: tokenize, one ``index_in`` (C-speed hash join into
+    the dictionary), one lexsort+run-length fold for per-(doc, term) tf,
+    score ``tf * idf`` (the BM25 idf, as ``Searcher.mlt_terms``), rank on
+    float32 (score desc, term asc), keep the top ``k`` per doc. Output
+    (doc_id, rnk, term) is integer/string only — hash-stable.
+    """
+    import ray
+    import ray.data as rd  # noqa: F401  (type only)
+
+    order = pc.sort_indices(df_table["term"])
+    sorted_df = df_table.take(order)
+    dv = sorted_df["df"].to_numpy().astype(np.float64)
+    n = float(n_docs)
+    idf = np.log(1.0 + (n - dv + 0.5) / (dv + 0.5))
+    model = ray.put((sorted_df["term"].combine_chunks(), idf))
+    cfg = REGISTRY[analyzer]
+    kk = int(k)
+
+    def fn(t: pa.Table) -> pa.Table:
+        terms_sorted, idf_b = ray.get(model)
+        V = len(terms_sorted)
+        toks = tokenize_column(t[text_col].combine_chunks(), cfg)
+        flat = pc.list_flatten(toks)
+        parents = pc.list_parent_indices(toks) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                          "rnk": pa.array([], pa.int64()),
+                          "term": pa.array([], pa.string())})
+        if len(flat) == 0:
+            return empty
+        pos = pc.index_in(flat, value_set=terms_sorted)
+        pos_np = pos.to_numpy(zero_copy_only=False)
+        ok = ~np.isnan(pos_np.astype(np.float64)) if pos_np.dtype.kind == "f" \
+            else np.ones(len(pos_np), bool)
+        rank = np.where(ok, pos_np, 0).astype(np.int64)
+        key = parents * V + rank
+        key = key[ok]
+        if key.size == 0:
+            return empty
+        key.sort()
+        starts = np.flatnonzero(np.concatenate([[True], key[1:] != key[:-1]]))
+        tf = np.diff(np.concatenate([starts, [key.size]])).astype(np.float64)
+        uk = key[starts]
+        doc_ix = uk // V
+        rnk_ix = uk % V
+        s32 = (tf * idf_b[rnk_ix]).astype(np.float32)
+        sel = np.lexsort((rnk_ix, -s32.astype(np.float64), doc_ix))
+        d_s, r_s = doc_ix[sel], rnk_ix[sel]
+        run_start = np.flatnonzero(
+            np.concatenate([[True], d_s[1:] != d_s[:-1]]))
+        within = np.arange(d_s.size) - np.repeat(
+            run_start, np.diff(np.concatenate([run_start, [d_s.size]])))
+        m = within < kk
+        return pa.table({
+            "doc_id": pa.array(ids[d_s[m]], pa.int64()),
+            "rnk": pa.array(within[m], pa.int64()),
+            "term": terms_sorted.take(pa.array(r_s[m], pa.int64())),
+        })
+
+    return docs.map_batches(fn, batch_format="pyarrow")

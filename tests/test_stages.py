@@ -1236,3 +1236,30 @@ def test_packing_offsets_prefix_sum(ray_session):
     # the packed stream is gapless: next start == prev start + prev n
     s, m = out["start_token"].to_numpy(), out["n_tokens"].to_numpy()
     assert (s[1:] == s[:-1] + m[:-1]).all() and s[0] == 0
+
+
+def test_top_terms_per_doc_hand_computed(ray_session):
+    """Per-doc keyword extraction: tf*idf ranking, term-asc ties,
+    dictionary misses ignored, k caps per doc."""
+    import math
+
+    import ray.data as rd
+
+    from org_rdkit_lucene_ray.stages.textstats import top_terms_per_doc
+
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array([0, 1], pa.int64()),
+        "text": pa.array(["rare rare common oov", "common"], pa.string()),
+    }))
+    df = pa.table({"term": pa.array(["common", "rare"], pa.string()),
+                   "df": pa.array([2, 1], pa.int64())})
+    out = top_terms_per_doc(docs, df, n_docs=2, k=2).to_pandas() \
+        .sort_values(["doc_id", "rnk"]).reset_index(drop=True)
+    # doc 0: rare tf=2 idf=ln(1+1.5/1.5)=ln 2 -> 1.386; common tf=1
+    # idf=ln(1+0.5/2.5)=0.182; oov not in dictionary -> ignored
+    idf_rare = math.log(1.0 + (2 - 1 + 0.5) / 1.5)
+    idf_common = math.log(1.0 + (2 - 2 + 0.5) / 2.5)
+    assert 2 * idf_rare > idf_common
+    assert out[out.doc_id == 0]["term"].tolist() == ["rare", "common"]
+    assert out[out.doc_id == 1]["term"].tolist() == ["common"]
+    assert out["rnk"].tolist() == [0, 1, 0]
