@@ -294,6 +294,43 @@ def q_top_terms(sf_dir: str) -> pa.Table:
 CMS_TOPK = 20
 
 
+def q_lang_distinct_hll(sf_dir: str) -> pa.Table:
+    """Per-language HLL distinct-term estimates vs per-language exact
+    counts (GROUP BY sketch merging,
+    :func:`stages.sketch.grouped_distinct_hll`) — verdict gate like
+    ``distinct_terms_hll``: the oracle pins each language's exact count
+    and the ±5% accuracy flag."""
+    from ray.data.aggregate import Count
+
+    from org_rdkit_lucene_ray.stages.sketch import grouped_distinct_hll
+
+    docs = _docs(sf_dir, columns=["lang", "text"])
+    ests = grouped_distinct_hll(docs, "lang", "text", tokenize=True)
+
+    def distinct_terms(t: pa.Table) -> pa.Table:
+        toks = tokenize_column(t["text"].combine_chunks(), REGISTRY["standard"])
+        flat = pc.list_flatten(toks)
+        par = pc.list_parent_indices(toks)
+        g = pa.table({
+            "lang": t["lang"].combine_chunks().take(par),
+            "term": flat,
+        }).group_by(["lang", "term"]).aggregate([("term", "count")])
+        return g.select(["lang", "term"])
+
+    exact_rows = (docs.map_batches(distinct_terms, batch_format="pyarrow")
+                  .groupby(["lang", "term"]).aggregate(Count(alias_name="n"))
+                  .groupby("lang").count().take_all())
+    exact = {r["lang"]: r["count()"] for r in exact_rows}
+    langs = sorted(exact)
+    met = [int(abs(ests.get(lg, 0.0) / exact[lg] - 1.0) <= HLL_REL_ERR_BOUND)
+           if exact[lg] else 0 for lg in langs]
+    return pa.table({
+        "lang": pa.array(langs, pa.string()),
+        "exact_distinct": pa.array([int(exact[lg]) for lg in langs], pa.int64()),
+        "met": pa.array(met, pa.int64()),
+    })
+
+
 def q_heavy_hitters_cms(sf_dir: str) -> pa.Table:
     """Count-min-sketch heavy hitters, verdict-style (HLL-gate policy):
     the engine computes BOTH the exact top-``CMS_TOPK`` term frequencies
@@ -2107,6 +2144,35 @@ def q_point_lookup(sf_dir: str) -> pa.Table:
 # ---------------------------------------------------------------------------
 # events: windows / sessions / grouped top-n / grouped stats
 # ---------------------------------------------------------------------------
+HIST_BIN_WIDTH = 25.0
+
+
+def q_value_histogram(sf_dir: str) -> rd.Dataset:
+    """Fixed-width histogram of ``events.value`` — the column-profiling
+    primitive: per-batch ``np.unique`` partial counts (only (bin, n)
+    rows — bounded by bin cardinality — ride the exchange), one tiny
+    groupby fold. Bin = ``floor(value / width)``: a single IEEE divide +
+    floor, bit-identical in SQL."""
+    ev = _events(sf_dir, columns=["value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        v = t["value"].to_numpy(zero_copy_only=False)
+        v = v[~np.isnan(v)]
+        bins = np.floor(v / HIST_BIN_WIDTH).astype(np.int64)
+        u, c = np.unique(bins, return_counts=True)
+        return pa.table({"bin": pa.array(u, pa.int64()),
+                         "n": pa.array(c.astype(np.int64), pa.int64())})
+
+    def fold(g: pa.Table) -> pa.Table:
+        return pa.table({
+            "bin": g["bin"][:1],
+            "n": pa.array([pc.sum(g["n"]).as_py()], pa.int64()),
+        })
+
+    return (ev.map_batches(partial, batch_format="pyarrow")
+            .groupby("bin").map_groups(fold, batch_format="pyarrow"))
+
+
 def q_tumbling_hourly(sf_dir: str) -> rd.Dataset:
     from org_rdkit_lucene_ray.stages.window import tumbling_window_agg
 
@@ -2818,6 +2884,16 @@ WITH tok AS (SELECT DISTINCT unnest({_TOKS}) AS term FROM documents)
 SELECT count(*)::BIGINT AS exact_distinct, {HLL_REL_ERR_BOUND} AS rel_err_bound,
        1::BIGINT AS met FROM tok
 """,
+    "value_histogram": f"""
+SELECT CAST(floor(value / {HIST_BIN_WIDTH}) AS BIGINT) AS bin,
+       count(*)::BIGINT AS n
+FROM events WHERE value IS NOT NULL GROUP BY 1 ORDER BY 1
+""",
+    "lang_distinct_hll": f"""
+WITH tok AS (SELECT DISTINCT lang, unnest({_TOKS}) AS term FROM documents)
+SELECT lang, count(*)::BIGINT AS exact_distinct, 1::BIGINT AS met
+FROM tok GROUP BY lang ORDER BY lang
+""",
     "token_counts": """
 SELECT doc_id,
        len(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))::BIGINT
@@ -3254,6 +3330,8 @@ QUERIES = {
     "doc_lengths": q_doc_lengths,
     "token_counts": q_token_counts,
     "distinct_terms_hll": q_distinct_terms_hll,
+    "lang_distinct_hll": q_lang_distinct_hll,
+    "value_histogram": q_value_histogram,
     "heavy_hitters_cms": q_heavy_hitters_cms,
     "top_terms": q_top_terms,
     "lang_counts": q_lang_counts,

@@ -184,3 +184,50 @@ def cms_query(sketch: dict, terms: pa.Array | list[str]) -> np.ndarray:
     ests = np.stack([sketch["counts"][d][rows[d]]
                      for d in range(sketch["depth"])])
     return ests.min(axis=0).astype(np.int64)
+
+
+def grouped_distinct_hll(ds: rd.Dataset, group_col: str, col: str, *,
+                         p: int = _P_DEFAULT,
+                         tokenize: bool = False) -> dict[str, float]:
+    """Per-group HLL distinct estimates (one sketch per group value —
+    the GROUP BY form of :func:`distinct_count_hll`). Each batch emits
+    one (group, 2^p-byte register blob) row per group PRESENT in the
+    batch; a ``groupby(group).map_groups`` elementwise-max fold merges
+    them, so the exchange carries ``groups x batches`` fixed-size blobs
+    and the merge is order-independent (identical estimate under any
+    combine tree). Intended for low-cardinality dimensions (lang,
+    source); a high-cardinality group column would be better served by
+    exact groupby-count."""
+    from org_rdkit_lucene_ray.pipelines.build import stable_term_hash
+
+    def partial(t: pa.Table) -> pa.Table:
+        groups, blobs = [], []
+        gv = t[group_col].to_numpy(zero_copy_only=False)
+        for g in np.unique(gv):
+            sel = t.filter(pa.array(gv == g))
+            if tokenize:
+                from org_rdkit_lucene_ray.functions.analyze import (
+                    REGISTRY,
+                    tokenize_column,
+                )
+
+                vals = pc.unique(pc.list_flatten(tokenize_column(
+                    sel[col].combine_chunks(), REGISTRY["standard"])))
+            else:
+                vals = pc.unique(pc.cast(sel[col].combine_chunks(),
+                                         pa.string()))
+            groups.append(str(g))
+            blobs.append(hll_registers(stable_term_hash(vals), p).tobytes())
+        return pa.table({"grp": pa.array(groups, pa.string()),
+                         "regs": pa.array(blobs, pa.binary())})
+
+    def merge(g: pa.Table) -> pa.Table:
+        regs = np.zeros(1 << p, dtype=np.uint8)
+        for b in g["regs"].to_pylist():
+            regs = np.maximum(regs, np.frombuffer(b, np.uint8))
+        return pa.table({"grp": g["grp"][:1],
+                         "est": pa.array([hll_estimate(regs)], pa.float64())})
+
+    out = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby("grp").map_groups(merge, batch_format="pyarrow"))
+    return {r["grp"]: r["est"] for r in out.take_all()}
