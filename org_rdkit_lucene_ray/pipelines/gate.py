@@ -769,6 +769,54 @@ ORDER BY d.doc_id
 """
 
 
+SPELL_QUERIES: list[tuple[int, str]] = [   # misspellings of corpus vocab
+    (0, "hsah"),       # transposed "hash" (distance 2)
+    (1, "custmer"),    # deleted letter from "customer"
+    (2, "vactor"),     # substituted letter in "vector"
+]
+SPELL_K = 5
+
+
+def q_spell_suggest(sf_dir: str) -> pa.Table:
+    """Did-you-mean suggestions (Lucene DirectSpellChecker,
+    :meth:`Searcher.suggest_terms`): vocabulary terms within 2 edits,
+    ranked (distance asc, df desc, term asc)."""
+    s = _searcher(sf_dir)
+    qids, rnks, terms, dists, dfs = [], [], [], [], []
+    for qid, q in SPELL_QUERIES:
+        for r, (t, dist, df) in enumerate(
+                s.suggest_terms(q, max_edits=2, k=SPELL_K)):
+            qids.append(qid)
+            rnks.append(r)
+            terms.append(t)
+            dists.append(dist)
+            dfs.append(df)
+    return pa.table({"query_id": pa.array(qids, pa.int64()),
+                     "rnk": pa.array(rnks, pa.int64()),
+                     "term": pa.array(terms, pa.string()),
+                     "dist": pa.array(dists, pa.int64()),
+                     "df": pa.array(dfs, pa.int64())})
+
+
+def _spell_suggest_sql() -> str:
+    q_vals = ", ".join(f"({qid}, '{q}')" for qid, q in SPELL_QUERIES)
+    return f"""
+WITH docs AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+tok AS (SELECT DISTINCT doc_id, unnest(toks) AS term FROM docs),
+df AS (SELECT term, count(*)::BIGINT AS df FROM tok GROUP BY 1),
+q(query_id, qt) AS (VALUES {q_vals}),
+cand AS (SELECT q.query_id, df.term,
+                levenshtein(q.qt, df.term)::BIGINT AS dist, df.df
+         FROM q JOIN df ON levenshtein(q.qt, df.term) <= 2
+                       AND df.term <> q.qt),
+rk AS (SELECT query_id, term, dist, df,
+              row_number() OVER (PARTITION BY query_id
+                ORDER BY dist ASC, df DESC, term ASC) - 1 AS rnk FROM cand)
+SELECT query_id::BIGINT AS query_id, rnk::BIGINT AS rnk, term, dist, df
+FROM rk WHERE rnk < {SPELL_K} ORDER BY 1, 2
+"""
+
+
 DOC_TOP_TERMS_K = 3
 
 
@@ -2928,6 +2976,7 @@ ORDER BY doc_id
     "mixture_sample": _mixture_sample_sql(),
     "sequence_packing": _sequence_packing_sql(),
     "doc_top_terms": _doc_top_terms_sql(),
+    "spell_suggest": _spell_suggest_sql(),
     "pii_scrub": _pii_scrub_sql(),
     "duplicate_spans": _DUPLICATE_SPANS_SQL.format(toks=_TOKS),
     "decontaminate": _DECONTAMINATE_SQL.format(toks=_TOKS),
@@ -3345,6 +3394,7 @@ QUERIES = {
     "mixture_sample": q_mixture_sample,
     "sequence_packing": q_sequence_packing,
     "doc_top_terms": q_doc_top_terms,
+    "spell_suggest": q_spell_suggest,
     "pii_scrub": q_pii_scrub,
     "duplicate_spans": q_duplicate_spans,
     "decontaminate": q_decontaminate,

@@ -894,6 +894,27 @@ class Searcher:
                 out.append(t)
         return sorted(out)
 
+    def suggest_terms(self, term: str, *, max_edits: int = 2,
+                      k: int = 5) -> list[tuple[str, int, int]]:
+        """Did-you-mean spell suggestions (Lucene ``DirectSpellChecker``):
+        dictionary terms within ``max_edits`` of ``term``, ranked by
+        (edit distance asc, df desc, term asc) — Lucene's
+        ``SuggestWord.DEFAULT_COMPARATOR`` ordering. The exact query term
+        itself is excluded (it needs no correction). Fielded namespace
+        terms (``lang:de``) are skipped: suggestions come from the text
+        vocabulary, as the analyzer can never emit ``:``. Returns
+        ``[(suggestion, distance, df)]``."""
+        q = term.lower()
+        out = []
+        for t in self.fuzzy_terms(q, max_edits=max_edits):
+            if t == q or ":" in t:
+                continue
+            dist = next(d for d in range(1, max_edits + 1)
+                        if _levenshtein_within(q, t, d))
+            out.append((t, dist, self.df(t)))
+        out.sort(key=lambda r: (r[1], -r[2], r[0]))
+        return out[:k]
+
     def search_fuzzy(self, query: str, max_edits: int = 1,
                      max_hits: int | None = None) -> np.ndarray:
         """FuzzyQuery analog: every query term expands to its fuzzy term

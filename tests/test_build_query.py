@@ -733,3 +733,24 @@ def test_engine_facade_round3b_surfaces(built_index):
         s.search_numeric_range("dl", 10, 30).tolist()
     top = e.search_boosted("baba", k=1)[0][0]
     assert e.explain("baba", top).num_rows == 1
+
+
+def test_suggest_terms_ordering(searcher, oracle_index):
+    """DirectSpellChecker contract: distance asc, then df desc, then
+    term asc; the query term itself and fielded terms are excluded."""
+    # derive a misspelling of a known vocab word
+    base = "baba"
+    q = base[:-1] + "x"                       # 1 edit away from base
+    got = searcher.suggest_terms(q, max_edits=2, k=10)
+    assert got, "expected at least one suggestion"
+    assert all(t != q for t, _, _ in got)
+    assert all(":" not in t for t, _, _ in got)
+    # ranking keys are honored pairwise
+    keys = [(d, -df, t) for t, d, df in got]
+    assert keys == sorted(keys)
+    # distances are true Levenshtein values and within budget
+    for t, d, df in got:
+        assert 1 <= d <= 2
+        assert df == oracle_index.df(t)
+    # base word (distance 1) must appear before any distance-2 term
+    assert got[0][1] == 1
