@@ -1482,6 +1482,47 @@ def q_classifier_filter(sf_dir: str) -> rd.Dataset:
         _docs(sf_dir, columns=["doc_id", "text"]), weights, threshold=0.0)
 
 
+CLASSIFIER_KEEP_Q = 0.8
+
+
+def q_classifier_quantile_filter(sf_dir: str) -> rd.Dataset:
+    """Percentile-threshold quality curation (the DCLM / FineWeb-Edu
+    "keep the top X% by classifier score" step): score every doc with the
+    fastText-shaped classifier, take the EXACT ``CLASSIFIER_KEEP_Q``
+    score quantile (histogram descent, :mod:`stages.quantile` — no sort,
+    no shuffle), keep docs at or above it. Composes two independently
+    oracled operators; the oracle recomputes both from first
+    principles."""
+    from org_rdkit_lucene_ray.stages.quantile import exact_quantiles
+
+    scored = q_classifier_filter(sf_dir).materialize()
+    thr = float(exact_quantiles(
+        scored, "score", [CLASSIFIER_KEEP_Q])["value"][0].as_py())
+
+    def keep(t: pa.Table) -> pa.Table:
+        m = pc.greater_equal(t["score"], thr)
+        sel = t.filter(m)
+        return pa.table({"doc_id": sel["doc_id"],
+                         "n_tokens": sel["n_tokens"]})
+
+    return scored.map_batches(keep, batch_format="pyarrow")
+
+
+def _classifier_quantile_sql() -> str:
+    return f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
+tok AS (SELECT doc_id, unnest(tk) AS term FROM toks),
+w AS (SELECT doc_id,
+             (CAST(length(term) % 4 AS DOUBLE) - 1.5)
+           + (CAST(ascii(term) % 7 AS DOUBLE) - 3.0) AS wt FROM tok),
+sc AS (SELECT doc_id, count(*)::BIGINT AS n_tokens,
+              sum(wt) / count(*) AS score FROM w GROUP BY 1),
+thr AS (SELECT quantile_disc(score, {CLASSIFIER_KEEP_Q}) AS t FROM sc)
+SELECT doc_id, n_tokens FROM sc WHERE score >= (SELECT t FROM thr)
+ORDER BY doc_id
+"""
+
+
 def _classifier_sql() -> str:
     return f"""
 WITH toks AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
@@ -3276,6 +3317,7 @@ FROM reach GROUP BY u ORDER BY 1
     "collapse_field": _collapse_sql(),
     "numeric_range_search": _numeric_range_sql(),
     "classifier_filter": _classifier_sql(),
+    "classifier_quantile_filter": _classifier_quantile_sql(),
     "sort_by_field": _sort_by_field_sql(),
     "synonym_search": _synonym_sql(),
     "boosted_query": _boosted_sql(),
@@ -3410,6 +3452,7 @@ QUERIES = {
     "collapse_field": q_collapse_field,
     "numeric_range_search": q_numeric_range_search,
     "classifier_filter": q_classifier_filter,
+    "classifier_quantile_filter": q_classifier_quantile_filter,
     "sort_by_field": q_sort_by_field,
     "synonym_search": q_synonym_search,
     "boosted_query": q_boosted_query,
