@@ -1190,6 +1190,61 @@ _DELETE_INDEX_CACHE: dict[str, str] = {}
 DELETE_QUERY = "query window scan"   # conjunctive: docs with all three terms
 
 
+MINHASH_RECALL_FLOOR = 0.9
+
+
+def q_minhash_recall(sf_dir: str) -> pa.Table:
+    """Quantitative verdict gate for the approximate MinHash-LSH pipeline
+    (the `ivf_recall` pattern): recall of `minhash_dup_pairs` against the
+    EXACT pair set under the SAME similarity (3-token-shingle Jaccard >=
+    0.8), plus a precision flag (the verify phase is exact, so emitted
+    pairs must be a subset of the exact set). The oracle pins the exact
+    pair count from first principles (SQL shingle transform) and both
+    verdict bits. Exact side is the bounded all-pairs oracle — gate-scale
+    only; the corpus-scale exact sibling is the pair-tiling shape of
+    `embedding_dup_pairs`."""
+    import ray as _ray
+
+    from org_rdkit_lucene_ray.stages.dedup import (
+        jaccard_pairs_exact,
+        minhash_dup_pairs,
+    )
+
+    docs = _docs(sf_dir, columns=["doc_id", "text"])
+    got = minhash_dup_pairs(docs, threshold=0.8)
+    tbl = pa.concat_tables(_ray.get(docs.to_arrow_refs()))
+    exact = jaccard_pairs_exact(tbl, threshold=0.8,
+                                use_shingles=True, shingle=3)
+    G = set(zip(got["a"].to_pylist(), got["b"].to_pylist()))
+    E = set(zip(exact["a"].to_pylist(), exact["b"].to_pylist()))
+    recall = (len(G & E) / len(E)) if E else 1.0
+    return pa.table({
+        "exact_pairs": pa.array([len(E)], pa.int64()),
+        "recall_floor": pa.array([MINHASH_RECALL_FLOOR], pa.float64()),
+        "met": pa.array([int(recall >= MINHASH_RECALL_FLOOR)], pa.int64()),
+        "precision_exact": pa.array([int(G <= E)], pa.int64()),
+    })
+
+
+def _minhash_recall_sql() -> str:
+    from org_rdkit_lucene_ray.config import AnalyzerConfig
+    from org_rdkit_lucene_ray.functions.analyze import sql_gram_transform
+
+    grams = sql_gram_transform("tk", AnalyzerConfig(word_shingles=3))
+    return f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
+s AS (SELECT doc_id, list_distinct({grams}) AS gs FROM t),
+p AS (SELECT CASE WHEN len(list_distinct(list_concat(a.gs, b.gs))) = 0
+                  THEN 1.0
+                  ELSE len(list_intersect(a.gs, b.gs))::DOUBLE
+                       / len(list_distinct(list_concat(a.gs, b.gs))) END AS j
+      FROM s a JOIN s b ON a.doc_id < b.doc_id)
+SELECT count(*) FILTER (j >= 0.8)::BIGINT AS exact_pairs,
+       {MINHASH_RECALL_FLOOR} AS recall_floor,
+       1::BIGINT AS met, 1::BIGINT AS precision_exact FROM p
+"""
+
+
 def q_delete_by_query(sf_dir: str) -> rd.Dataset:
     """Index lifecycle gate for ``IndexWriter.deleteDocuments(Query)``:
     build a fresh index, :func:`~.merge.delete_by_query` every conjunctive
@@ -3018,6 +3073,7 @@ ORDER BY doc_id
     "sequence_packing": _sequence_packing_sql(),
     "doc_top_terms": _doc_top_terms_sql(),
     "spell_suggest": _spell_suggest_sql(),
+    "minhash_recall": _minhash_recall_sql(),
     "pii_scrub": _pii_scrub_sql(),
     "duplicate_spans": _DUPLICATE_SPANS_SQL.format(toks=_TOKS),
     "decontaminate": _DECONTAMINATE_SQL.format(toks=_TOKS),
@@ -3437,6 +3493,7 @@ QUERIES = {
     "sequence_packing": q_sequence_packing,
     "doc_top_terms": q_doc_top_terms,
     "spell_suggest": q_spell_suggest,
+    "minhash_recall": q_minhash_recall,
     "pii_scrub": q_pii_scrub,
     "duplicate_spans": q_duplicate_spans,
     "decontaminate": q_decontaminate,
