@@ -33,6 +33,49 @@ import ray.data as rd
 from org_rdkit_lucene_ray.functions.analyze import REGISTRY, tokenize_column
 
 
+def sorted_model_arrays(weights: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+    """(hash-sorted vocab hashes, matching weights) ready to broadcast.
+    Raises on a vocabulary hash collision (two terms, one FNV-1a bucket)
+    — at real vocab sizes (~10^6) the 64-bit odds are ~10^-7, and
+    fastText itself buckets by hash."""
+    from org_rdkit_lucene_ray.pipelines.build import stable_term_hash
+
+    vh = stable_term_hash(weights["term"].combine_chunks())
+    order = np.argsort(vh)
+    vh = vh[order]
+    if vh.size and (vh[1:] == vh[:-1]).any():
+        raise ValueError("vocabulary hash collision in weight table")
+    return vh, weights["weight"].to_numpy().astype(np.float64)[order]
+
+
+def score_tokens(toks, h_sorted: np.ndarray,
+                 w_sorted: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """(mean token weight, token count) per row of a tokenized list
+    column. Rows with zero tokens score 0 (callers decide their fate via
+    the count). One searchsorted + one reduceat — no per-row loop."""
+    import pyarrow.compute as pc
+
+    from org_rdkit_lucene_ray.pipelines.build import stable_term_hash
+
+    counts = pc.list_value_length(toks) \
+        .to_numpy(zero_copy_only=False).astype(np.int64)
+    flat = pc.list_flatten(toks)
+    fh = stable_term_hash(flat) if len(flat) else np.zeros(0, np.uint64)
+    if h_sorted.size and fh.size:
+        idx = np.clip(np.searchsorted(h_sorted, fh), 0, h_sorted.size - 1)
+        w = np.where(h_sorted[idx] == fh, w_sorted[idx], 0.0)
+    else:
+        w = np.zeros(fh.size, np.float64)
+    starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    nz = counts > 0
+    sums = np.zeros(counts.size, np.float64)
+    if w.size and nz.any():
+        sums[nz] = np.add.reduceat(w, starts[nz])
+    score = np.divide(sums, counts, out=np.zeros(counts.size, np.float64),
+                      where=nz)
+    return score, counts
+
+
 def linear_classifier_scores(
     docs: rd.Dataset,
     weights: pa.Table,
@@ -44,53 +87,24 @@ def linear_classifier_scores(
 ) -> rd.Dataset:
     """-> (doc_id, n_tokens, score, keep) for every doc with >= 1 token.
 
-    ``weights`` is a (term:string, weight:float64) model table. Hash
-    collisions (two vocab terms on one FNV-1a bucket) raise — at real
-    vocab sizes (~10^6) the 64-bit collision odds are ~10^-7, and
-    fastText itself buckets by hash.
+    ``weights`` is a (term:string, weight:float64) model table.
     """
-    from org_rdkit_lucene_ray.pipelines.build import stable_term_hash
-
     cfg = REGISTRY[analyzer]
-    vh = stable_term_hash(weights["term"].combine_chunks())
-    order = np.argsort(vh)
-    vh = vh[order]
-    if vh.size and (vh[1:] == vh[:-1]).any():
-        raise ValueError("vocabulary hash collision in weight table")
-    vw = weights["weight"].to_numpy().astype(np.float64)[order]
-    model = ray.put((vh, vw))
+    model = ray.put(sorted_model_arrays(weights))
     thr = float(threshold)
 
     def score_batch(t: pa.Table) -> pa.Table:
         h_sorted, w_sorted = ray.get(model)
         toks = tokenize_column(t[text_col].combine_chunks(), cfg)
-        counts = pa.compute.list_value_length(toks) \
-            .to_numpy(zero_copy_only=False).astype(np.int64)
-        flat = pa.compute.list_flatten(toks)
+        score, counts = score_tokens(toks, h_sorted, w_sorted)
         ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
         keep_rows = counts > 0
-        if not keep_rows.any():
-            return pa.table({
-                "doc_id": pa.array([], pa.int64()),
-                "n_tokens": pa.array([], pa.int64()),
-                "score": pa.array([], pa.float64()),
-                "keep": pa.array([], pa.int64()),
-            })
-        fh = stable_term_hash(flat) if len(flat) else np.zeros(0, np.uint64)
-        idx = np.searchsorted(h_sorted, fh)
-        np.clip(idx, 0, max(h_sorted.size - 1, 0), out=idx)
-        found = h_sorted.size > 0
-        w = np.where(found & (h_sorted[idx] == fh), w_sorted[idx], 0.0) \
-            if h_sorted.size else np.zeros(fh.size, np.float64)
-        starts = np.concatenate([[0], np.cumsum(counts)[:-1]])[keep_rows]
-        sums = np.add.reduceat(w, starts) if w.size else np.zeros(0)
-        n = counts[keep_rows]
-        score = sums / n
         return pa.table({
             "doc_id": pa.array(ids[keep_rows], pa.int64()),
-            "n_tokens": pa.array(n, pa.int64()),
-            "score": pa.array(score, pa.float64()),
-            "keep": pa.array((score >= thr).astype(np.int64), pa.int64()),
+            "n_tokens": pa.array(counts[keep_rows], pa.int64()),
+            "score": pa.array(score[keep_rows], pa.float64()),
+            "keep": pa.array((score[keep_rows] >= thr).astype(np.int64),
+                             pa.int64()),
         })
 
     return docs.map_batches(score_batch, batch_format="pyarrow")

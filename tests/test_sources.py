@@ -206,3 +206,50 @@ def test_build_from_records_end_to_end(ray_session, tmp_path):
 
     for q in ("baba dodi", "cece"):
         assert urls(e_rec, q) == urls(e_dir, q)
+
+
+def test_curate_job_end_to_end(ray_session, tmp_path):
+    """jobs/curate_job.py logic smoke (in-process): classifier score ->
+    exact keep-quantile threshold -> streamed re-score filter keeps
+    exactly the top (1-q) and partitions by lang."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+    import ray.data as rd
+
+    from org_rdkit_lucene_ray.functions.analyze import (
+        REGISTRY,
+        tokenize_column,
+    )
+    from org_rdkit_lucene_ray.stages.classifier import (
+        linear_classifier_scores,
+        score_tokens,
+        sorted_model_arrays,
+    )
+    from org_rdkit_lucene_ray.stages.quantile import exact_quantiles
+
+    rng = np.random.RandomState(3)
+    words = ["alpha", "beta", "gamma", "delta"]
+    texts = [" ".join(rng.choice(words, size=5)) for _ in range(200)]
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(200), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    }))
+    weights = pa.table({"term": pa.array(words, pa.string()),
+                        "weight": pa.array([1.0, -1.0, 0.5, -0.5],
+                                           pa.float64())})
+    scored = linear_classifier_scores(docs, weights).materialize()
+    thr = float(exact_quantiles(scored, "score", [0.8])["value"][0].as_py())
+    model = ray.put(sorted_model_arrays(weights))
+    cfg = REGISTRY["standard"]
+
+    def filt(t: pa.Table) -> pa.Table:
+        h, w = ray.get(model)
+        sc, counts = score_tokens(
+            tokenize_column(t["text"].combine_chunks(), cfg), h, w)
+        return t.filter(pa.array((counts > 0) & (sc >= thr)))
+
+    kept = docs.map_batches(filt, batch_format="pyarrow").count()
+    want = int((scored.to_pandas()["score"] >= thr).sum())
+    assert kept == want
+    assert kept <= 200 * 0.35   # top ~20% plus ties
