@@ -64,6 +64,16 @@ def packing_offsets(docs: rd.Dataset, *, seq_len: int = 512,
     # cumsum over them driver-side, broadcast
     totals = {r["rng"]: r["sum(n)"]
               for r in counts.groupby("rng").sum("n").take_all()}
+    out_schema = pa.schema([("doc_id", pa.int64()), ("n_tokens", pa.int64()),
+                            ("start_token", pa.int64()),
+                            ("seq_first", pa.int64()),
+                            ("seq_last", pa.int64())])
+    if not totals or all(v == 0 for v in totals.values()):
+        # nothing tokenized: short-circuit (Ray's sort-shuffle would emit
+        # schemaless empty blocks and warn). NOTE Ray drops the schema of
+        # ANY 0-row Dataset, so callers of an empty result see 0 rows but
+        # no columns — the count contract, not the schema, is guaranteed.
+        return rd.from_arrow(out_schema.empty_table())
     rngs = np.array(sorted(totals), np.int64)
     sums = np.array([totals[r] for r in rngs], np.int64)
     bases = np.concatenate([[0], np.cumsum(sums)[:-1]])

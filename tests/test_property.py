@@ -231,3 +231,67 @@ def test_levenshtein_within_matches_full_dp(a, b, k):
                            prev[j - 1] + (ca != cb)))
         prev = cur
     assert _levenshtein_within(a, b, k) == (prev[len(b)] <= k)
+
+
+# ------------------------------------------------- round-3b pure-fn properties
+@given(st.lists(st.text(alphabet="abcdef", min_size=0, max_size=6),
+                min_size=1, max_size=40),
+       st.lists(st.tuples(st.text(alphabet="abcdef", min_size=1, max_size=6),
+                          st.integers(-8, 8)),
+                min_size=1, max_size=10))
+@settings(max_examples=40, deadline=None)
+def test_score_tokens_matches_python(doc_tokens, model_rows):
+    """score_tokens == plain-python mean of member weights (halves),
+    OOV -> 0, empty doc -> (0, count 0)."""
+    from org_rdkit_lucene_ray.stages.classifier import (
+        score_tokens,
+        sorted_model_arrays,
+    )
+
+    model = {}
+    for t, w in model_rows:
+        model[t] = w / 2.0
+    weights = pa.table({
+        "term": pa.array(list(model), pa.string()),
+        "weight": pa.array([model[t] for t in model], pa.float64()),
+    })
+    h, w = sorted_model_arrays(weights)
+    toks = pa.array([doc_tokens], pa.list_(pa.string()))
+    score, counts = score_tokens(toks, h, w)
+    n = len(doc_tokens)
+    assert counts[0] == n
+    if n == 0:
+        assert score[0] == 0.0
+    else:
+        want = sum(model.get(t, 0.0) for t in doc_tokens) / n
+        assert score[0] == want     # halves sum exactly in float64
+
+
+@given(st.lists(st.integers(0, 12), min_size=1, max_size=200),
+       st.integers(2, 64), st.integers(1, 37))
+@settings(max_examples=30, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_packing_offsets_property(ray_session, counts, seq_len, range_size):
+    """Packing offsets == numpy exclusive cumsum for ANY doc-length
+    multiset, range size and sequence length."""
+    import ray.data as rd
+    from hypothesis import assume
+
+    from org_rdkit_lucene_ray.stages.packing import packing_offsets
+
+    # an all-empty corpus returns a 0-row Dataset (Ray drops the schema
+    # of any empty Dataset; packing_offsets documents the short-circuit)
+    assume(any(c > 0 for c in counts))
+    texts = [" ".join(["w"] * c) for c in counts]
+    t = pa.table({"doc_id": pa.array(range(len(counts)), pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+    out = packing_offsets(rd.from_arrow(t), seq_len=seq_len,
+                          range_size=range_size).to_pandas() \
+        .sort_values("doc_id")
+    n = np.asarray(counts, np.int64)
+    starts = np.concatenate([[0], np.cumsum(n)[:-1]])
+    keep = n > 0
+    assert out["doc_id"].tolist() == np.flatnonzero(keep).tolist()
+    assert out["start_token"].tolist() == starts[keep].tolist()
+    assert (out["seq_last"].to_numpy() ==
+            (starts[keep] + n[keep] - 1) // seq_len).all()
