@@ -2317,6 +2317,57 @@ def q_value_histogram(sf_dir: str) -> rd.Dataset:
             .groupby("bin").map_groups(fold, batch_format="pyarrow"))
 
 
+def q_snapshot_diff(sf_dir: str) -> rd.Dataset:
+    """Snapshot-over-snapshot crawl diff (the incremental-ingest decision
+    pass: which pages of the new crawl are new/changed/unchanged): old =
+    the documents table; new = a deterministic re-crawl (every 31st doc
+    gone, every 13th rewritten). Both sides reduce to (pk, content
+    fingerprint) per batch, meet in a Ray-native hash-partitioned
+    ``Dataset.join`` (left outer: additions are impossible by
+    construction here — an added page is the join's right-anti set, same
+    machinery), and the status is a per-row fingerprint compare. Only
+    (pk, 16-byte md5) rows ride the exchange at any corpus size."""
+    docs = _docs(sf_dir, columns=["doc_id", "text"])
+
+    def old_fp(t: pa.Table) -> pa.Table:
+        import hashlib
+
+        fps = [hashlib.md5(x.encode()).hexdigest()
+               for x in t["text"].to_pylist()]
+        return pa.table({"doc_id": pc.cast(t["doc_id"], pa.int64()),
+                         "fp_old": pa.array(fps, pa.string())})
+
+    def new_fp(t: pa.Table) -> pa.Table:
+        import hashlib
+
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = ids % 31 != 0
+        sel = t.filter(pa.array(keep))
+        ids = ids[keep]
+        txt = [x + " v2" if i % 13 == 0 else x
+               for i, x in zip(ids, sel["text"].to_pylist())]
+        fps = [hashlib.md5(x.encode()).hexdigest() for x in txt]
+        return pa.table({"new_id": pa.array(ids, pa.int64()),
+                         "fp_new": pa.array(fps, pa.string())})
+
+    old = docs.map_batches(old_fp, batch_format="pyarrow")
+    new = docs.map_batches(new_fp, batch_format="pyarrow")
+    joined = old.join(new, "left_outer", 8,
+                      on=("doc_id",), right_on=("new_id",))
+
+    def status_of(t: pa.Table) -> pa.Table:
+        fo = t["fp_old"].to_numpy(zero_copy_only=False)
+        fn = t["fp_new"].to_numpy(zero_copy_only=False)
+        gone = np.array([x is None for x in fn])
+        status = np.where(gone, "removed",
+                          np.where(fo == fn, "same", "changed"))
+        return pa.table({"doc_id": pc.cast(t["doc_id"], pa.int64()),
+                         "status": pa.array(status.astype(object),
+                                            pa.string())})
+
+    return joined.map_batches(status_of, batch_format="pyarrow")
+
+
 def q_tumbling_hourly(sf_dir: str) -> rd.Dataset:
     from org_rdkit_lucene_ray.stages.window import tumbling_window_agg
 
@@ -3028,6 +3079,18 @@ WITH tok AS (SELECT DISTINCT unnest({_TOKS}) AS term FROM documents)
 SELECT count(*)::BIGINT AS exact_distinct, {HLL_REL_ERR_BOUND} AS rel_err_bound,
        1::BIGINT AS met FROM tok
 """,
+    "snapshot_diff": """
+WITH newdocs AS (SELECT doc_id,
+                        CASE WHEN doc_id % 13 = 0 THEN text || ' v2'
+                             ELSE text END AS text
+                 FROM documents WHERE doc_id % 31 <> 0)
+SELECT o.doc_id,
+       CASE WHEN n.doc_id IS NULL THEN 'removed'
+            WHEN md5(o.text) = md5(n.text) THEN 'same'
+            ELSE 'changed' END AS status
+FROM documents o LEFT JOIN newdocs n ON n.doc_id = o.doc_id
+ORDER BY o.doc_id
+""",
     "value_histogram": f"""
 SELECT CAST(floor(value / {HIST_BIN_WIDTH}) AS BIGINT) AS bin,
        count(*)::BIGINT AS n
@@ -3479,6 +3542,7 @@ QUERIES = {
     "distinct_terms_hll": q_distinct_terms_hll,
     "lang_distinct_hll": q_lang_distinct_hll,
     "value_histogram": q_value_histogram,
+    "snapshot_diff": q_snapshot_diff,
     "heavy_hitters_cms": q_heavy_hitters_cms,
     "top_terms": q_top_terms,
     "lang_counts": q_lang_counts,
