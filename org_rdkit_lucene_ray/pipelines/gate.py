@@ -1245,6 +1245,68 @@ SELECT count(*) FILTER (j >= 0.8)::BIGINT AS exact_pairs,
 """
 
 
+SIMHASH_PLANT_MOD = 29
+
+
+def q_simhash_complete(sf_dir: str) -> pa.Table:
+    """Verdict gate for the SimHash LSH banding mechanism: 4x16-bit band
+    buckets are pigeonhole-COMPLETE for hamming <= 3, so on a corpus
+    whose buckets stay below the refinement threshold the emitted pair
+    set must EQUAL the exact brute-force hamming pair set. The corpus is
+    documents plus a deterministic near-dup plant (one appended token on
+    every ``SIMHASH_PLANT_MOD``-th doc — realistic perturbations, some
+    land beyond hamming 3, which is exactly why the truth set is the
+    brute-force pairs, not the plant list). The exact side is a bounded
+    all-pairs popcount at gate scale; the corpus-scale exact sibling is
+    the block-pair tiling of ``embedding_dup_pairs``. The oracle pins the
+    corpus size and the completeness bit."""
+    import ray as _ray
+
+    from org_rdkit_lucene_ray.stages.dedup import (
+        _simhash_task,
+        simhash_dup_pairs,
+    )
+
+    t = pa.concat_tables(_ray.get(
+        _docs(sf_dir, columns=["doc_id", "text"]).to_arrow_refs()))
+    ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    m = ids % SIMHASH_PLANT_MOD == 0
+    planted = t.filter(pa.array(m))
+    OFF = 1_000_000
+    p2 = pa.table({
+        "doc_id": pa.array(planted["doc_id"].to_numpy() + OFF, pa.int64()),
+        "text": pa.array([x + " zz9x" for x in planted["text"].to_pylist()],
+                         pa.string()),
+    })
+    corpus = pa.concat_tables([
+        pa.table({"doc_id": pa.array(ids, pa.int64()), "text": t["text"]}),
+        p2,
+    ])
+    ds = rd.from_arrow(corpus)
+    pairs = simhash_dup_pairs(ds, max_hamming=3)
+    got = set(zip(pairs["a"].to_pylist(), pairs["b"].to_pylist()))
+    # exact truth: brute-force hamming over the signatures
+    sig = pa.concat_tables(_ray.get(
+        ds.map_batches(_simhash_task, fn_kwargs=dict(text_col="text"),
+                       batch_format="pyarrow").to_arrow_refs()))
+    sid = sig["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    sh = sig["simhash"].to_numpy(zero_copy_only=False).astype(np.int64) \
+        .view(np.uint64)
+    order = np.argsort(sid)
+    sid, sh = sid[order], sh[order]
+    x = sh[:, None] ^ sh[None, :]
+    ham = np.zeros(x.shape, np.int64)
+    while x.any():
+        ham += (x & np.uint64(1)).astype(np.int64)
+        x >>= np.uint64(1)
+    ii, jj = np.nonzero(np.triu(ham <= 3, k=1))
+    exact = set(zip(sid[ii].tolist(), sid[jj].tolist()))
+    return pa.table({
+        "n_docs": pa.array([corpus.num_rows], pa.int64()),
+        "complete": pa.array([int(got == exact)], pa.int64()),
+    })
+
+
 def q_delete_by_query(sf_dir: str) -> rd.Dataset:
     """Index lifecycle gate for ``IndexWriter.deleteDocuments(Query)``:
     build a fresh index, :func:`~.merge.delete_by_query` every conjunctive
@@ -3137,6 +3199,12 @@ ORDER BY doc_id
     "doc_top_terms": _doc_top_terms_sql(),
     "spell_suggest": _spell_suggest_sql(),
     "minhash_recall": _minhash_recall_sql(),
+    "simhash_complete": f"""
+SELECT (count(*) + count(*) FILTER (doc_id % {SIMHASH_PLANT_MOD} = 0))::BIGINT
+         AS n_docs,
+       1::BIGINT AS complete
+FROM documents
+""",
     "pii_scrub": _pii_scrub_sql(),
     "duplicate_spans": _DUPLICATE_SPANS_SQL.format(toks=_TOKS),
     "decontaminate": _DECONTAMINATE_SQL.format(toks=_TOKS),
@@ -3558,6 +3626,7 @@ QUERIES = {
     "doc_top_terms": q_doc_top_terms,
     "spell_suggest": q_spell_suggest,
     "minhash_recall": q_minhash_recall,
+    "simhash_complete": q_simhash_complete,
     "pii_scrub": q_pii_scrub,
     "duplicate_spans": q_duplicate_spans,
     "decontaminate": q_decontaminate,
