@@ -2350,6 +2350,65 @@ def q_point_lookup(sf_dir: str) -> pa.Table:
 # ---------------------------------------------------------------------------
 # events: windows / sessions / grouped top-n / grouped stats
 # ---------------------------------------------------------------------------
+FUNNEL_STEPS = ["view", "click", "purchase"]
+FUNNEL_HOURS = 72
+
+
+def q_funnel(sf_dir: str) -> pa.Table:
+    """Funnel conversion (:func:`stages.window.funnel_steps`): users
+    reaching each ordered step of view -> click -> purchase at strictly
+    increasing (ts, event_id) positions, within the corpus's first
+    ``FUNNEL_HOURS`` (the window keeps the funnel discriminative — the
+    full span saturates every step). Output: one row per step with the
+    user count that completed it."""
+    from org_rdkit_lucene_ray.stages.window import funnel_steps
+
+    ev = _events(sf_dir)
+    t0 = ev.min("ts")                      # datetime.datetime
+    import datetime
+
+    cutoff = t0 + datetime.timedelta(hours=FUNNEL_HOURS)
+
+    def in_window(t: pa.Table) -> pa.Table:
+        return t.filter(pc.less(t["ts"], pa.scalar(cutoff)))
+
+    per_user = funnel_steps(
+        ev.map_batches(in_window, batch_format="pyarrow"), FUNNEL_STEPS)
+    done = np.array([r["steps_completed"] for r in per_user.take_all()],
+                    np.int64)
+    return pa.table({
+        "step": pa.array(range(1, len(FUNNEL_STEPS) + 1), pa.int64()),
+        "step_name": pa.array(FUNNEL_STEPS, pa.string()),
+        "n_users": pa.array([int((done >= k).sum())
+                             for k in range(1, len(FUNNEL_STEPS) + 1)],
+                            pa.int64()),
+    })
+
+
+def _funnel_sql() -> str:
+    sel, prev = [], None
+    for i, st in enumerate(FUNNEL_STEPS, start=1):
+        cte = f"p{i}"
+        if prev is None:
+            sel.append(f"{cte} AS (SELECT user_id, min(pos) AS p FROM ord "
+                       f"WHERE event_type = '{st}' GROUP BY 1)")
+        else:
+            sel.append(f"{cte} AS (SELECT o.user_id, min(o.pos) AS p "
+                       f"FROM ord o JOIN {prev} ON {prev}.user_id = o.user_id "
+                       f"AND o.pos > {prev}.p "
+                       f"WHERE o.event_type = '{st}' GROUP BY 1)")
+        prev = cte
+    unions = "\nUNION ALL ".join(
+        f"SELECT {i}::BIGINT AS step, '{st}' AS step_name, "
+        f"(SELECT count(*) FROM p{i})::BIGINT AS n_users"
+        for i, st in enumerate(FUNNEL_STEPS, start=1))
+    return (f"WITH e AS (SELECT * FROM events WHERE ts < "
+            f"(SELECT min(ts) FROM events) + INTERVAL {FUNNEL_HOURS} HOUR),\n"
+            "ord AS (SELECT user_id, event_type, row_number() OVER ("
+            "PARTITION BY user_id ORDER BY ts, event_id) AS pos FROM e),\n"
+            + ",\n".join(sel) + "\n" + unions + "\nORDER BY step")
+
+
 HIST_BIN_WIDTH = 25.0
 
 
@@ -3141,6 +3200,7 @@ WITH tok AS (SELECT DISTINCT unnest({_TOKS}) AS term FROM documents)
 SELECT count(*)::BIGINT AS exact_distinct, {HLL_REL_ERR_BOUND} AS rel_err_bound,
        1::BIGINT AS met FROM tok
 """,
+    "funnel": _funnel_sql(),
     "snapshot_diff": """
 WITH newdocs AS (SELECT doc_id,
                         CASE WHEN doc_id % 13 = 0 THEN text || ' v2'
@@ -3611,6 +3671,7 @@ QUERIES = {
     "lang_distinct_hll": q_lang_distinct_hll,
     "value_histogram": q_value_histogram,
     "snapshot_diff": q_snapshot_diff,
+    "funnel": q_funnel,
     "heavy_hitters_cms": q_heavy_hitters_cms,
     "top_terms": q_top_terms,
     "lang_counts": q_lang_counts,

@@ -239,3 +239,47 @@ def grouped_topn(events: rd.Dataset, n: int = 2, key_col: str = "event_type",
         lambda t: keep_topn(t, False), batch_format="pyarrow")
     return partial.groupby(key_col).map_groups(
         lambda g: keep_topn(g, True), batch_format="pyarrow")
+
+
+def funnel_steps(events: rd.Dataset, steps: list[str], *,
+                 key_col: str = "user_id", ts_col: str = "ts",
+                 type_col: str = "event_type",
+                 id_col: str = "event_id") -> rd.Dataset:
+    """Funnel analysis: how far each user progresses through an ORDERED
+    step sequence (view -> click -> purchase). A user completes step k
+    iff events of the step types exist at strictly increasing
+    (ts, id) positions — the same ordered-subsequence problem as phrase
+    search, decided greedily (earliest match per step, which is exact
+    for subsequence existence).
+
+    Scale shape: one ``groupby(key)`` exchange of the (key, ts, id,
+    type) projection; each group folds locally (sort by (ts, id), one
+    ``searchsorted`` per step). Emits ``(user_id, steps_completed)``;
+    callers aggregate the per-step conversion counts (a K-row table).
+    """
+    step_list = list(steps)
+
+    def fold(g: pa.Table) -> pa.Table:
+        order = pc.sort_indices(g, sort_keys=[(ts_col, "ascending"),
+                                              (id_col, "ascending")])
+        types = g[type_col].take(order)
+        pos_of = {
+            st: pc.indices_nonzero(pc.equal(types, st)).to_numpy()
+            for st in set(step_list)
+        }
+        p = 0
+        done = 0
+        for st in step_list:
+            arr = pos_of[st]
+            i = int(np.searchsorted(arr, p, side="left"))
+            if i >= arr.size:
+                break
+            p = int(arr[i]) + 1
+            done += 1
+        return pa.table({
+            "user_id": pc.cast(g[key_col][:1], pa.int64()),
+            "steps_completed": pa.array([done], pa.int64()),
+        })
+
+    proj = events.select_columns([key_col, ts_col, id_col, type_col])
+    return proj.groupby(key_col).map_groups(fold, batch_format="pyarrow")

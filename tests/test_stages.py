@@ -1263,3 +1263,35 @@ def test_top_terms_per_doc_hand_computed(ray_session):
     assert out[out.doc_id == 0]["term"].tolist() == ["rare", "common"]
     assert out[out.doc_id == 1]["term"].tolist() == ["common"]
     assert out["rnk"].tolist() == [0, 1, 0]
+
+
+def test_funnel_steps_hand_computed(ray_session):
+    """Ordered-subsequence semantics: out-of-order steps don't count;
+    greedy earliest-match is exact; ties break on event_id."""
+    import ray.data as rd
+
+    from org_rdkit_lucene_ray.stages.window import funnel_steps
+
+    rows = [
+        # user 0: view -> click -> purchase (full funnel)
+        (0, 1, "view"), (0, 2, "click"), (0, 3, "purchase"),
+        # user 1: purchase BEFORE view/click -> only step 1 (view) + click
+        (1, 1, "purchase"), (1, 2, "view"), (1, 3, "click"),
+        # user 2: click only -> 0 steps (no view first)
+        (2, 1, "click"),
+        # user 3: view then nothing else
+        (3, 1, "view"), (3, 2, "error"),
+        # user 4: same-ts tie decided by event_id: view(id 10) then
+        # click(id 11) at the SAME ts counts
+        (4, 5, "view"), (4, 5, "click"), (4, 6, "purchase"),
+    ]
+    # event_id must be globally increasing within user for the tie case
+    t = pa.table({
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([r[1] * 1000 for r in rows], pa.timestamp("us")),
+        "event_id": pa.array(range(len(rows)), pa.int64()),
+        "event_type": pa.array([r[2] for r in rows], pa.string()),
+    })
+    out = funnel_steps(rd.from_arrow(t), ["view", "click", "purchase"]) \
+        .to_pandas().set_index("user_id")["steps_completed"].to_dict()
+    assert out == {0: 3, 1: 2, 2: 0, 3: 1, 4: 3}
