@@ -899,6 +899,54 @@ def q_langid(sf_dir: str) -> rd.Dataset:
     )
 
 
+def q_langid_confusion(sf_dir: str) -> rd.Dataset:
+    """Model-eval operator: the lang-ID heuristic's confusion matrix
+    against the labeled ``lang`` column — per-batch (label, pred) partial
+    counts (only |langs|² rows ride the exchange), one tiny groupby fold.
+    The per-class counts the precision/recall of any classifier stage
+    would be monitored by at corpus scale."""
+    from org_rdkit_lucene_ray.stages.textstats import LangIdStage
+
+    ds = _docs(sf_dir, columns=["doc_id", "text", "lang"]) \
+        .map_batches(LangIdStage, batch_format="pyarrow", concurrency=2)
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = pa.table({"lang": t["lang"], "lang_pred": t["lang_pred"]}) \
+            .group_by(["lang", "lang_pred"]).aggregate([("lang", "count")])
+        return pa.table({"lang": g["lang"], "lang_pred": g["lang_pred"],
+                         "n": pc.cast(g["lang_count"], pa.int64())})
+
+    def fold(g: pa.Table) -> pa.Table:
+        return pa.table({"lang": g["lang"][:1], "lang_pred": g["lang_pred"][:1],
+                         "n": pa.array([pc.sum(g["n"]).as_py()], pa.int64())})
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby(["lang", "lang_pred"])
+            .map_groups(fold, batch_format="pyarrow"))
+
+
+def q_doclen_quantiles_by_lang(sf_dir: str) -> pa.Table:
+    """Per-language exact doc-length quantiles — the corpus-profiling
+    composition of the standard analyzer's token counts with the
+    zero-shuffle grouped histogram descent
+    (:func:`stages.quantile.exact_quantiles_by`)."""
+    from org_rdkit_lucene_ray.stages.quantile import exact_quantiles_by
+    from org_rdkit_lucene_ray.stages.textstats import token_stats_batch
+
+    dl = (_docs(sf_dir, columns=["doc_id", "text", "lang"])
+          .map_batches(token_stats_batch, batch_format="pyarrow")
+          .map_batches(lambda t: pa.table({
+              "lang": t["lang"],
+              "dl": pc.cast(t["n_tokens"], pa.float64())}),
+              batch_format="pyarrow"))
+    out = exact_quantiles_by(dl, "dl", "lang", [0.25, 0.5, 0.9])
+    return pa.table({
+        "lang": out["group"],
+        "q": out["q"],
+        "dl": pc.cast(out["value"], pa.int64()),
+    })
+
+
 _RECORD_DIR_CACHE: dict[str, str] = {}
 
 
@@ -3269,6 +3317,17 @@ FROM documents
     "duplicate_spans": _DUPLICATE_SPANS_SQL.format(toks=_TOKS),
     "decontaminate": _DECONTAMINATE_SQL.format(toks=_TOKS),
     "langid": _LANGID_SQL,
+    "langid_confusion": f"""
+WITH pred AS ({_LANGID_SQL.replace("ORDER BY doc_id", "")})
+SELECT d.lang, p.lang_pred, count(*)::BIGINT AS n
+FROM documents d JOIN pred p ON p.doc_id = d.doc_id
+GROUP BY 1, 2 ORDER BY 1, 2
+""",
+    "doclen_quantiles_by_lang": "\nUNION ALL\n".join(
+        f"SELECT lang, {q}::DOUBLE AS q, "
+        f"CAST(quantile_disc(len({_TOKS}), {q}) AS BIGINT) AS dl "
+        f"FROM documents GROUP BY lang"
+        for q in (0.25, 0.5, 0.9)) + "\nORDER BY 1, 2",
     "row_range_filter": """
 SELECT doc_id, lang FROM documents
 WHERE doc_id >= 100 AND doc_id < 200 AND lang = 'en'
@@ -3672,6 +3731,8 @@ QUERIES = {
     "value_histogram": q_value_histogram,
     "snapshot_diff": q_snapshot_diff,
     "funnel": q_funnel,
+    "langid_confusion": q_langid_confusion,
+    "doclen_quantiles_by_lang": q_doclen_quantiles_by_lang,
     "heavy_hitters_cms": q_heavy_hitters_cms,
     "top_terms": q_top_terms,
     "lang_counts": q_lang_counts,
