@@ -1688,6 +1688,52 @@ ORDER BY doc_id
 """
 
 
+TOKEN_BUDGET_Q = 0.7
+
+
+def q_token_budget_cut(sf_dir: str) -> pa.Table:
+    """Token-budget curation (the "train on the best N tokens" cut, a
+    FineWeb-style budgeted selection): the score threshold above which
+    ~``(1 - TOKEN_BUDGET_Q)`` of all TOKENS live, found exactly by the
+    WEIGHTED histogram descent (weights = per-doc token counts,
+    :func:`stages.quantile.exact_weighted_quantiles`), then a streamed
+    filter. Emits the kept doc/token totals and the threshold — all
+    recomputed from first principles by the SQL oracle."""
+    from org_rdkit_lucene_ray.stages.quantile import exact_weighted_quantiles
+
+    scored = q_classifier_filter(sf_dir).materialize()
+    thr = float(exact_weighted_quantiles(
+        scored, "score", "n_tokens", [TOKEN_BUDGET_Q])["value"][0].as_py())
+    kept = scored.filter(lambda r: r["score"] >= thr).materialize()
+    return pa.table({
+        "kept_docs": pa.array([kept.count()], pa.int64()),
+        "kept_tokens": pa.array([int(kept.sum("n_tokens") or 0)], pa.int64()),
+        "threshold": pa.array([thr], pa.float64()),
+    })
+
+
+def _token_budget_sql() -> str:
+    return f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
+tok AS (SELECT doc_id, unnest(tk) AS term FROM toks),
+wt AS (SELECT doc_id,
+              (CAST(length(term) % 4 AS DOUBLE) - 1.5)
+            + (CAST(ascii(term) % 7 AS DOUBLE) - 3.0) AS w FROM tok),
+sc AS (SELECT doc_id, count(*)::BIGINT AS n_tokens,
+              sum(w) / count(*) AS score FROM wt GROUP BY 1),
+tot AS (SELECT sum(n_tokens) AS w FROM sc),
+grp AS (SELECT score, sum(n_tokens) AS ws FROM sc GROUP BY 1),
+cumw AS (SELECT score, sum(ws) OVER (ORDER BY score) AS cum FROM grp),
+thr AS (SELECT min(score) AS t FROM cumw
+        WHERE cum >= ceil({TOKEN_BUDGET_Q} * (SELECT w FROM tot)))
+SELECT (SELECT count(*) FROM sc WHERE score >= (SELECT t FROM thr))::BIGINT
+         AS kept_docs,
+       (SELECT sum(n_tokens) FROM sc
+        WHERE score >= (SELECT t FROM thr))::BIGINT AS kept_tokens,
+       (SELECT t FROM thr) AS threshold
+"""
+
+
 def _classifier_sql() -> str:
     return f"""
 WITH toks AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
@@ -3624,6 +3670,7 @@ FROM reach GROUP BY u ORDER BY 1
     "numeric_range_search": _numeric_range_sql(),
     "classifier_filter": _classifier_sql(),
     "classifier_quantile_filter": _classifier_quantile_sql(),
+    "token_budget_cut": _token_budget_sql(),
     "sort_by_field": _sort_by_field_sql(),
     "synonym_search": _synonym_sql(),
     "boosted_query": _boosted_sql(),
@@ -3765,6 +3812,7 @@ QUERIES = {
     "numeric_range_search": q_numeric_range_search,
     "classifier_filter": q_classifier_filter,
     "classifier_quantile_filter": q_classifier_quantile_filter,
+    "token_budget_cut": q_token_budget_cut,
     "sort_by_field": q_sort_by_field,
     "synonym_search": q_synonym_search,
     "boosted_query": q_boosted_query,

@@ -370,3 +370,134 @@ def exact_quantiles_by(ds: rd.Dataset, col: str, by: str, qs: list[float], *,
         "value": pa.array([out[(g, q)] for g in groups_sorted
                            for q in qs_sorted], pa.float64()),
     })
+
+
+def exact_weighted_quantiles(ds: rd.Dataset, col: str, weight_col: str,
+                             qs: list[float], *, log2_buckets: int = 16,
+                             gather_limit: int = 4_000_000) -> pa.Table:
+    """Exact WEIGHTED quantiles — order statistics over the multiset in
+    which each row appears ``weight`` times (integer weights >= 0), by
+    the same histogram descent as :func:`exact_quantiles` with weight
+    sums in the histogram cells. The selection rule is
+    ``smallest v with cumweight(<= v) >= ceil(q * W)`` — quantile_disc's
+    convention applied to the expanded multiset, and exactly the
+    token-budget curation cut ("the score threshold above which ~ (1-q)
+    of all TOKENS live").
+
+    Same scale contract as the unweighted descent: every pass ships only
+    fixed histograms; the final gather is bounded by ``gather_limit``
+    weighted rows per unresolved target."""
+    if not qs:
+        return pa.table({"q": pa.array([], pa.float64()),
+                         "value": pa.array([], pa.float64())})
+    proj = ds.select_columns([col, weight_col]).materialize()
+    bits = log2_buckets
+    n_b = 1 << bits
+
+    def _pairs(t: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+        arr = t[col].combine_chunks()
+        if arr.type != pa.float64():
+            arr = pc.cast(arr, pa.float64())
+        ok = pc.and_kleene(pc.is_valid(arr), pc.invert(pc.is_nan(arr)))
+        arr = arr.filter(ok)
+        w = pc.cast(t[weight_col].combine_chunks().filter(ok), pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        return _f64_to_key(arr.to_numpy(zero_copy_only=False)), w
+
+    def _hist(t: pa.Table, *, shift: int, prefixes: list[int]) -> pa.Table:
+        keys, w = _pairs(t)
+        top = shift + bits
+        hi = keys >> np.uint64(top) if top < 64 else np.zeros(keys.size, np.uint64)
+        out = np.zeros((len(prefixes), n_b), np.int64)
+        for i, p in enumerate(prefixes):
+            sel = hi == np.uint64(p)
+            b = ((keys[sel] >> np.uint64(shift)) & np.uint64(n_b - 1)) \
+                .astype(np.int64)
+            np.add.at(out[i], b, w[sel])
+        return pa.table({"h": pa.array([out.tobytes()], pa.binary()),
+                         "n": pa.array([int(w.sum())], pa.int64())})
+
+    shift = 64 - bits
+    rows = proj.map_batches(
+        _hist, fn_kwargs=dict(shift=shift, prefixes=[0]),
+        batch_format="pyarrow").take_all()
+    W = sum(int(r["n"]) for r in rows)
+    if W == 0:
+        return pa.table({"q": pa.array(sorted(qs), pa.float64()),
+                         "value": pa.array([None] * len(qs), pa.float64())})
+    hist = np.zeros(n_b, np.int64)
+    for r in rows:
+        hist += np.frombuffer(r["h"], np.int64)
+
+    def _narrow(h: np.ndarray, lrank: int) -> tuple[int, int, int]:
+        cum = np.cumsum(h)
+        b = int(np.searchsorted(cum, lrank + 1))
+        before = int(cum[b - 1]) if b else 0
+        return b, lrank - before, int(h[b])
+
+    state = []
+    for q in sorted(qs):
+        rank = max(0, math.ceil(q * W) - 1)      # weighted rank
+        b, lr, cnt = _narrow(hist, rank)
+        state.append((q, b, shift, lr, cnt))
+
+    while True:
+        unresolved = [s for s in state if s[4] > gather_limit and s[2] > 0]
+        if not unresolved:
+            break
+        shift -= bits
+        prefixes = sorted({s[1] for s in unresolved})
+        rows = proj.map_batches(
+            _hist, fn_kwargs=dict(shift=shift, prefixes=prefixes),
+            batch_format="pyarrow").take_all()
+        hists = np.zeros((len(prefixes), n_b), np.int64)
+        for r in rows:
+            hists += np.frombuffer(r["h"], np.int64).reshape(len(prefixes), n_b)
+        nxt = []
+        for q, p, ps, lr, cnt in state:
+            if cnt <= gather_limit or ps == 0:
+                nxt.append((q, p, ps, lr, cnt))
+                continue
+            b, nlr, ncnt = _narrow(hists[prefixes.index(p)], lr)
+            nxt.append((q, (p << bits) | b, shift, nlr, ncnt))
+        state = nxt
+
+    out_vals: dict[float, float] = {}
+    for q, p, ps, _lr, cnt in state:
+        if cnt > gather_limit and ps == 0:
+            out_vals[q] = _key_to_f64(p)
+    gather = [s for s in state if s[0] not in out_vals]
+    if gather:
+        ranges = sorted({(s[1] << s[2],
+                          ((s[1] + 1) << s[2]) - 1) for s in gather})
+        lo = np.asarray([r[0] for r in ranges], np.uint64)
+        hi = np.asarray([r[1] for r in ranges], np.uint64)
+
+        def _gather(t: pa.Table) -> pa.Table:
+            keys, w = _pairs(t)
+            m = np.zeros(keys.size, bool)
+            for a, b in zip(lo, hi):
+                m |= (keys >= a) & (keys <= b)
+            return pa.table({"k": pa.array(keys[m].view(np.int64), pa.int64()),
+                             "w": pa.array(w[m], pa.int64())})
+
+        ks, ws = [], []
+        for b in proj.map_batches(_gather, batch_format="pyarrow") \
+                .iter_batches(batch_format="pyarrow"):
+            ks.append(b["k"].to_numpy().view(np.uint64))
+            ws.append(b["w"].to_numpy())
+        keys = np.concatenate(ks) if ks else np.zeros(0, np.uint64)
+        wts = np.concatenate(ws) if ws else np.zeros(0, np.int64)
+        order = np.argsort(keys, kind="stable")
+        keys, wts = keys[order], wts[order]
+        cum = np.cumsum(wts)
+        for q, p, ps, lr, _cnt in gather:
+            start = int(np.searchsorted(keys, np.uint64(p << ps), "left"))
+            base = int(cum[start - 1]) if start else 0
+            i = int(np.searchsorted(cum[start:], base + lr + 1)) + start
+            out_vals[q] = _key_to_f64(int(keys[i]))
+
+    qs_sorted = sorted(qs)
+    return pa.table({"q": pa.array(qs_sorted, pa.float64()),
+                     "value": pa.array([out_vals[q] for q in qs_sorted],
+                                       pa.float64())})

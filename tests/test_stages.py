@@ -1295,3 +1295,33 @@ def test_funnel_steps_hand_computed(ray_session):
     out = funnel_steps(rd.from_arrow(t), ["view", "click", "purchase"]) \
         .to_pandas().set_index("user_id")["steps_completed"].to_dict()
     assert out == {0: 3, 1: 2, 2: 0, 3: 1, 4: 3}
+
+
+def test_exact_weighted_quantiles_matches_expansion(ray_session):
+    """Weighted descent == quantile over the weight-expanded multiset
+    (brute force), including forced multi-pass descents and ties."""
+    import ray.data as rd
+
+    from org_rdkit_lucene_ray.stages.quantile import exact_weighted_quantiles
+
+    rng = np.random.RandomState(11)
+    vals = np.round(rng.randn(4000) * 50, 2)
+    wts = rng.randint(0, 7, size=4000).astype(np.int64)
+    ds = rd.from_arrow(pa.table({"v": pa.array(vals, pa.float64()),
+                                 "w": pa.array(wts, pa.int64())}))
+    qs = [0.01, 0.25, 0.5, 0.9, 0.999]
+    out = exact_weighted_quantiles(ds, "v", "w", qs,
+                                   log2_buckets=4, gather_limit=64)
+    expanded = np.sort(np.repeat(vals, wts))
+    W = expanded.size
+    import math
+    for q, v in zip(out["q"].to_pylist(), out["value"].to_pylist()):
+        want = expanded[max(0, math.ceil(q * W) - 1)]
+        assert v == want, (q, v, want)
+    # all weights 1 == unweighted quantile_disc semantics
+    from org_rdkit_lucene_ray.stages.quantile import exact_quantiles
+    ones = rd.from_arrow(pa.table({"v": pa.array(vals, pa.float64()),
+                                   "w": pa.array(np.ones(4000, np.int64))}))
+    a = exact_weighted_quantiles(ones, "v", "w", [0.5])["value"][0].as_py()
+    b = exact_quantiles(ones, "v", [0.5])["value"][0].as_py()
+    assert a == b
