@@ -879,6 +879,45 @@ FROM o WHERE n > 0 ORDER BY doc_id
 """
 
 
+EPOCH_WEIGHTS = {"en": 0.5, "de": 2.25, "fr": 1.0, "es": 1.5, "zh": 0.75}
+
+
+def q_epoch_mix(sf_dir: str) -> rd.Dataset:
+    """Pile-style epoch replication (:func:`stages.sample.epoch_mix`):
+    per-language epoch factors, fractional epochs decided by the
+    deterministic hash rule; rows fan out with a 0-based ``copy``
+    index. The upsampling complement of ``mixture_sample``."""
+    from org_rdkit_lucene_ray.stages.sample import epoch_mix
+
+    ds = epoch_mix(_docs(sf_dir, columns=["doc_id", "lang"]),
+                   weights=EPOCH_WEIGHTS, stratum_col="lang")
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": pc.cast(t["doc_id"], pa.int64()),
+                         "lang": t["lang"],
+                         "copy": t["copy"]})
+
+    return ds.map_batches(finish, batch_format="pyarrow")
+
+
+def _epoch_mix_sql() -> str:
+    import math
+
+    from org_rdkit_lucene_ray.stages.sample import _FOLD, _MOD, _MULT
+
+    rows = ", ".join(
+        f"('{k}', {int(math.floor(v))}, {int(np.floor((v - math.floor(v)) * _MOD))})"
+        for k, v in EPOCH_WEIGHTS.items())
+    return f"""
+WITH w(lang, whole, fthr) AS (VALUES {rows}),
+n AS (SELECT d.doc_id, d.lang,
+             w.whole + CASE WHEN ((d.doc_id % {_FOLD}) * {_MULT} + 12345)
+                                 % {_MOD} < w.fthr THEN 1 ELSE 0 END AS nc
+      FROM documents d JOIN w ON w.lang = d.lang)
+SELECT doc_id, lang, unnest(range(nc)) AS copy FROM n ORDER BY 1, 3
+"""
+
+
 def q_doc_fingerprints(sf_dir: str) -> rd.Dataset:
     from org_rdkit_lucene_ray.stages.textstats import md5_fingerprint_batch
 
@@ -3349,6 +3388,7 @@ ORDER BY doc_id
     "paragraph_dedup": _PARAGRAPH_DEDUP_SQL.format(toks=_TOKS),
     "stratified_sample": _stratified_sample_sql(),
     "mixture_sample": _mixture_sample_sql(),
+    "epoch_mix": _epoch_mix_sql(),
     "sequence_packing": _sequence_packing_sql(),
     "doc_top_terms": _doc_top_terms_sql(),
     "spell_suggest": _spell_suggest_sql(),
@@ -3791,6 +3831,7 @@ QUERIES = {
     "paragraph_dedup": q_paragraph_dedup,
     "stratified_sample": q_stratified_sample,
     "mixture_sample": q_mixture_sample,
+    "epoch_mix": q_epoch_mix,
     "sequence_packing": q_sequence_packing,
     "doc_top_terms": q_doc_top_terms,
     "spell_suggest": q_spell_suggest,

@@ -67,3 +67,38 @@ def sql_sample_predicate(rates: dict[str, float], *, stratum_col: str,
         for k, v in rates.items())
     return (f"(({id_col} % {_FOLD}) * {_MULT} + {seed}) % {_MOD} < "
             f"(CASE {stratum_col} {cases} ELSE 0 END)")
+
+
+def epoch_mix(ds: rd.Dataset, *, weights: dict[str, float],
+              stratum_col: str, id_col: str = "doc_id",
+              seed: int = 12345) -> rd.Dataset:
+    """Training-mix construction with epochs > 1 (The Pile's per-subset
+    epoch factors; the UPSAMPLING side of :func:`stratified_sample`):
+    each row is replicated ``floor(w)`` times plus one more with
+    probability ``frac(w)``, decided by the same deterministic
+    integer-hash rule — so a weight of 2.25 means every row appears
+    twice and every fourth (by hash) appears a third time. Emits the
+    input columns plus ``copy`` (0-based replica index). Reproducible
+    across runs, partitionings and cluster sizes; strata not listed get
+    weight 0 (dropped). Pure ``map_batches`` row fan-out — no shuffle."""
+    import math
+
+    whole = {k: int(math.floor(v)) for k, v in weights.items()}
+    fthr = {k: int(np.floor((v - math.floor(v)) * _MOD))
+            for k, v in weights.items()}
+
+    def expand(t: pa.Table) -> pa.Table:
+        pk = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        h = _mix32(pk, seed)
+        strata = t[stratum_col].to_numpy(zero_copy_only=False)
+        n = np.zeros(len(pk), np.int64)
+        for val, w in whole.items():
+            m = strata == val
+            n[m] = w + (h[m] < fthr[val]).astype(np.int64)
+        idx = np.repeat(np.arange(len(pk)), n)
+        out = t.take(pa.array(idx, pa.int64()))
+        copy = np.arange(idx.size) - np.repeat(
+            np.concatenate([[0], np.cumsum(n)[:-1]]), n)
+        return out.append_column("copy", pa.array(copy, pa.int64()))
+
+    return ds.map_batches(expand, batch_format="pyarrow")

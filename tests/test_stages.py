@@ -1325,3 +1325,30 @@ def test_exact_weighted_quantiles_matches_expansion(ray_session):
     a = exact_weighted_quantiles(ones, "v", "w", [0.5])["value"][0].as_py()
     b = exact_quantiles(ones, "v", [0.5])["value"][0].as_py()
     assert a == b
+
+
+def test_epoch_mix_replication_rule(ray_session):
+    """floor(w) copies always; one extra with probability frac(w) by the
+    hash rule; weight 0 strata dropped; copy indices are 0..n-1."""
+    import ray.data as rd
+
+    from org_rdkit_lucene_ray.stages.sample import _MOD, _MULT, _mix32, epoch_mix
+
+    t = pa.table({
+        "doc_id": pa.array(range(400), pa.int64()),
+        "lang": pa.array((["a"] * 200) + (["b"] * 150) + (["c"] * 50),
+                         pa.string()),
+    })
+    out = epoch_mix(rd.from_arrow(t), weights={"a": 2.25, "b": 0.5},
+                    stratum_col="lang").to_pandas()
+    assert (out[out.lang == "c"]).empty          # unlisted -> dropped
+    h = _mix32(np.arange(400, dtype=np.int64), 12345)
+    import numpy as _np
+    for i in range(200):                          # lang a: 2 or 3 copies
+        n = int((out.doc_id == i).sum())
+        want = 2 + int(h[i] < int(_np.floor(0.25 * _MOD)))
+        assert n == want, i
+        assert sorted(out[out.doc_id == i]["copy"]) == list(range(n))
+    kept_b = out[out.lang == "b"]
+    assert 0 < len(kept_b) < 150                  # ~half of b, hash-decided
+    assert (kept_b["copy"] == 0).all()
