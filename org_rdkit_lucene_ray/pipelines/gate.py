@@ -724,6 +724,54 @@ def _stratified_sample_sql() -> str:
             "ORDER BY doc_id")
 
 
+DOMAIN_CAP = 15
+
+
+def q_domain_cap(sf_dir: str) -> rd.Dataset:
+    """Per-domain quota enforcement (the C4-style "at most N pages per
+    host" cap): keep each host's ``DOMAIN_CAP`` lowest-doc-id pages.
+    Reuses the partial-top-n shape (:func:`stages.window.grouped_topn`
+    on negated ids — at most cap x hosts x batches rows reach the
+    shuffle), so the cap never materializes a host's full page list."""
+    from org_rdkit_lucene_ray.stages.window import grouped_topn
+
+    docs = _docs(sf_dir, columns=["doc_id", "source"])
+
+    def hosts_of(t: pa.Table) -> pa.Table:
+        urls = _derive_urls(t)
+        host = pc.utf8_lower(pc.struct_field(
+            pc.extract_regex(urls, r"^[^:]+://(?P<host>[^/]+)"), 0))
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"host": host,
+                         "doc_id": pa.array(ids, pa.int64()),
+                         "neg_id": pa.array(-ids, pa.int64())})
+
+    capped = grouped_topn(docs.map_batches(hosts_of, batch_format="pyarrow"),
+                          n=DOMAIN_CAP, key_col="host", value_col="neg_id",
+                          id_col="doc_id")
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table({"host": t["host"], "doc_id": t["doc_id"]})
+
+    return capped.map_batches(finish, batch_format="pyarrow")
+
+
+def _domain_cap_sql() -> str:
+    derive = ("'HTTPS://WWW.' || source || '.Example.COM/Path/' || "
+              "CAST(doc_id % 17 AS VARCHAR) || "
+              "CASE doc_id % 3 WHEN 0 THEN '/?utm_source=feed&utm_medium=x' "
+              "WHEN 1 THEN '/' ELSE '' END || "
+              "CASE WHEN doc_id % 5 = 0 THEN '#frag' ELSE '' END")
+    return f"""
+WITH u AS (SELECT doc_id,
+                  lower(regexp_extract(({derive}), '^[^:]+://([^/]+)', 1)) AS host
+           FROM documents),
+rk AS (SELECT host, doc_id, row_number() OVER (PARTITION BY host
+         ORDER BY doc_id ASC) AS rn FROM u)
+SELECT host, doc_id FROM rk WHERE rn <= {DOMAIN_CAP} ORDER BY 1, 2
+"""
+
+
 def q_mixture_sample(sf_dir: str) -> rd.Dataset:
     """Temperature-flattened training mix (the XLM / multilingual-BERT
     sampling rule, Conneau & Lample 2019: downsample head languages,
@@ -3389,6 +3437,7 @@ ORDER BY doc_id
     "stratified_sample": _stratified_sample_sql(),
     "mixture_sample": _mixture_sample_sql(),
     "epoch_mix": _epoch_mix_sql(),
+    "domain_cap": _domain_cap_sql(),
     "sequence_packing": _sequence_packing_sql(),
     "doc_top_terms": _doc_top_terms_sql(),
     "spell_suggest": _spell_suggest_sql(),
@@ -3832,6 +3881,7 @@ QUERIES = {
     "stratified_sample": q_stratified_sample,
     "mixture_sample": q_mixture_sample,
     "epoch_mix": q_epoch_mix,
+    "domain_cap": q_domain_cap,
     "sequence_packing": q_sequence_packing,
     "doc_top_terms": q_doc_top_terms,
     "spell_suggest": q_spell_suggest,
