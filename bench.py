@@ -183,7 +183,9 @@ def bench_gate_queries(sf_dir: str) -> dict[str, float]:
              # round-3 similarity/collector/curation additions
              "tfidf_topk", "sort_by_field", "semantic_dedup",
              "domain_stats", "classifier_filter", "mixture_sample",
-             "sequence_packing"]
+             "sequence_packing",
+             # round-3b batch 2 (joins, funnel, budget cut)
+             "snapshot_diff", "funnel", "token_budget_cut", "epoch_mix"]
     repeats = int((os.environ.get("RAY_GRAFT_GATE_REPEATS") or "2"))
     for name in picks:
         fn = gate.QUERIES[name]

@@ -1071,6 +1071,34 @@ class Searcher:
                     break
         return out
 
+    def topk_cached(self, query: str, k: int, mode: str = "bmw",
+                    after: tuple[float, int] | None = None) -> list[tuple[int, float]]:
+        """LRU-cached :meth:`topk` (Lucene ``LRUQueryCache`` analog).
+        Safe because a Searcher's generation view is IMMUTABLE — writes
+        create new generations and re-open searchers (T2/T3 design), so
+        a cached result can never go stale within one instance. Keyed on
+        (query, k, mode, after); ``result_cache_hits``/``_misses``
+        expose the hit rate the reference's warm-up protocol implies."""
+        if not hasattr(self, "_result_cache"):
+            from collections import OrderedDict
+
+            self._result_cache: "OrderedDict[tuple, list]" = OrderedDict()
+            self._result_cache_max = 256
+            self.result_cache_hits = 0
+            self.result_cache_misses = 0
+        key = (query, int(k), mode, after)
+        hit = self._result_cache.get(key)
+        if hit is not None:
+            self._result_cache.move_to_end(key)
+            self.result_cache_hits += 1
+            return list(hit)
+        self.result_cache_misses += 1
+        res = self.topk(query, k, mode=mode, after=after)
+        self._result_cache[key] = list(res)
+        if len(self._result_cache) > self._result_cache_max:
+            self._result_cache.popitem(last=False)
+        return res
+
     def topk(self, query: str, k: int, mode: str = "bmw",
              after: tuple[float, int] | None = None) -> list[tuple[int, float]]:
         """Top-k with optional search-after pagination: ``after`` is the

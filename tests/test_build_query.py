@@ -754,3 +754,21 @@ def test_suggest_terms_ordering(searcher, oracle_index):
         assert df == oracle_index.df(t)
     # base word (distance 1) must appear before any distance-2 term
     assert got[0][1] == 1
+
+
+def test_topk_cached_lru(searcher):
+    """LRUQueryCache analog: identical results, hits counted, distinct
+    (k, after) keys don't collide, copies are defensive."""
+    a = searcher.topk_cached("baba cece", 5)
+    assert a == searcher.topk("baba cece", 5)
+    assert searcher.result_cache_misses >= 1
+    h0 = searcher.result_cache_hits
+    b = searcher.topk_cached("baba cece", 5)
+    assert b == a and searcher.result_cache_hits == h0 + 1
+    b.append(("tamper", 0))                 # defensive copy
+    assert searcher.topk_cached("baba cece", 5) == a
+    assert searcher.topk_cached("baba cece", 3) == searcher.topk("baba cece", 3)
+    if len(a) >= 2:
+        after = (a[0][1], a[0][0])
+        assert searcher.topk_cached("baba cece", 5, after=after) == \
+            searcher.topk("baba cece", 5, after=after)
