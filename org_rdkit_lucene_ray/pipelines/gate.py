@@ -3099,6 +3099,36 @@ def q_ivf_recall(sf_dir: str) -> pa.Table:
     })
 
 
+def q_emb_lsh_recall(sf_dir: str) -> pa.Table:
+    """Planted-duplicate recall of the LSH-bucketed near-dup path
+    (:func:`stages.ann.embedding_dup_pairs_lsh`, random hyperplanes):
+    identical copies hash to identical sign bands, so recovery must be
+    100% — the same verdict contract as ``emb_ivf_recall`` for the
+    brief's LSH-bucketed scale variant."""
+    from org_rdkit_lucene_ray.stages.ann import embedding_dup_pairs_lsh
+
+    src = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                        columns=["vec_id", "embedding"])
+    head = src.slice(0, EMB_PLANT_N)
+    planted = head.set_column(
+        head.schema.get_field_index("vec_id"), "vec_id",
+        pc.add(pc.cast(head["vec_id"], pa.int64()), 1_000_000))
+    base = src.set_column(
+        src.schema.get_field_index("vec_id"), "vec_id",
+        pc.cast(src["vec_id"], pa.int64()))
+    ds = rd.from_arrow(base).union(rd.from_arrow(planted))
+    pairs = embedding_dup_pairs_lsh(ds, threshold=EMB_PLANT_THRESHOLD,
+                                    concurrency=2)
+    got = set(zip(pairs["a"].to_pylist(), pairs["b"].to_pylist()))
+    ids = pc.cast(head["vec_id"], pa.int64()).to_pylist()
+    found = sum((int(i), int(i) + 1_000_000) in got for i in ids)
+    return pa.table({
+        "n_planted": pa.array([EMB_PLANT_N], pa.int64()),
+        "n_found": pa.array([found], pa.int64()),
+        "met": pa.array([int(found == EMB_PLANT_N)], pa.int64()),
+    })
+
+
 def q_emb_ivf_recall(sf_dir: str) -> pa.Table:
     """Planted-duplicate recall of the cluster-bucketed near-dup path: copy
     the first ``EMB_PLANT_N`` vectors under new ids (+1e6) and require the
@@ -3864,6 +3894,10 @@ SELECT {len(ANN_QUERY_IDS)}::BIGINT AS n_queries, {ANN_K}::BIGINT AS k,
 SELECT {EMB_PLANT_N}::BIGINT AS n_planted, {EMB_PLANT_N}::BIGINT AS n_found,
        1::BIGINT AS met
 """,
+    "emb_lsh_recall": f"""
+SELECT {EMB_PLANT_N}::BIGINT AS n_planted, {EMB_PLANT_N}::BIGINT AS n_found,
+       1::BIGINT AS met
+""",
     # minhash_pairs / simhash_pairs / ivf_topk: approximate/stateful -> no SQL
 }
 
@@ -3959,6 +3993,7 @@ QUERIES = {
     "ivf_topk": q_ivf_topk,
     "ivf_recall": q_ivf_recall,
     "emb_ivf_recall": q_emb_ivf_recall,
+    "emb_lsh_recall": q_emb_lsh_recall,
     "embedding_dup_pairs": q_embedding_dup_pairs,
     "embedding_dup_pairs_ivf": q_embedding_dup_pairs_ivf,
     "media_features": q_media_features,

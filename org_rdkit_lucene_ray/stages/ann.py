@@ -338,3 +338,84 @@ def embedding_dup_pairs_ivf(ds: rd.Dataset, *, threshold: float = 0.95,
         .map_groups(pairs_in_cluster, batch_format="pyarrow")
     ).to_pandas()
     return _pairs_table(out)
+
+
+def embedding_dup_pairs_lsh(ds: rd.Dataset, *, threshold: float = 0.95,
+                            n_bits: int = 128, band_bits: int = 8,
+                            seed: int = 7, id_col: str = "vec_id",
+                            emb_col: str = "embedding",
+                            concurrency: int | None = None) -> pa.Table:
+    """LSH-bucketed embedding near-dup — the random-hyperplane
+    (Charikar 2002 SimHash-for-vectors) alternative to the IVF cell
+    bucketing: vectors hash to ``n_bits`` projection signs, any shared
+    ``band_bits``-bit band puts a pair in one candidate bucket
+    (banding is pigeonhole-complete for sign-hamming <
+    ``n_bits / band_bits``), and candidates verify by exact cosine
+    inside the bucket fold. P(sign differs) = angle/pi, so
+    near-identical vectors agree on almost every band — the near-dup
+    recall contract; moderate-similarity pairs are a documented
+    bounded-recall trade (use ``embedding_dup_pairs`` for exact).
+
+    Scale shape: the hyperplane matrix broadcasts once; each vector
+    ships ``n_bits/band_bits`` fixed-size (band, key, id) rows into ONE
+    groupby; per-bucket folds verify with a dense matmul. Emitted pairs
+    are distinct across buckets (final dedup groupby)."""
+    import ray as _ray
+
+    n_bands = n_bits // band_bits
+    sample = pa.concat_tables(
+        ds.limit(16).iter_batches(batch_format="pyarrow"))
+    dim = _emb_matrix(sample, emb_col).shape[1]
+    rng = np.random.RandomState(seed)
+    planes = rng.randn(dim, n_bits)
+    planes_ref = _ray.put(planes)
+
+    def band_rows(t: pa.Table) -> pa.Table:
+        P = _ray.get(planes_ref)
+        E = _normalize(_emb_matrix(t, emb_col))
+        signs = (E @ P) > 0                          # (n, n_bits) bool
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        # pack each band's bits into an int key
+        out_band, out_key, out_id = [], [], []
+        weights = (1 << np.arange(band_bits)).astype(np.int64)
+        for b in range(n_bands):
+            key = signs[:, b * band_bits:(b + 1) * band_bits] @ weights
+            out_band.append(np.full(ids.size, b, np.int64))
+            out_key.append(key)
+            out_id.append(ids)
+        return pa.table({
+            "band": pa.array(np.concatenate(out_band), pa.int64()),
+            "key": pa.array(np.concatenate(out_key), pa.int64()),
+            id_col: pa.array(np.concatenate(out_id), pa.int64()),
+            emb_col: pa.concat_arrays(
+                [t[emb_col].combine_chunks()] * n_bands),
+        })
+
+    def pairs_in_bucket(g: pa.Table) -> pa.Table:
+        ids = g[id_col].to_numpy()
+        if ids.size < 2:
+            return pa.table({"a": pa.array([], pa.int64()),
+                             "b": pa.array([], pa.int64())})
+        E = _normalize(_emb_matrix(g, emb_col))
+        sims = E @ E.T
+        ii, jj = np.nonzero(np.triu(sims >= threshold, k=1))
+        a, b = ids[ii], ids[jj]
+        swap = a > b
+        a[swap], b[swap] = b[swap], a[swap]
+        keep = a != b
+        return pa.table({"a": pa.array(a[keep], pa.int64()),
+                         "b": pa.array(b[keep], pa.int64())})
+
+    cand = (
+        ds.map_batches(band_rows, batch_format="pyarrow",
+                       concurrency=concurrency or auto_concurrency())
+        .groupby(["band", "key"])
+        .map_groups(pairs_in_bucket, batch_format="pyarrow")
+    )
+
+    def dedup(g: pa.Table) -> pa.Table:
+        return g.slice(0, 1)
+
+    out = cand.groupby(["a", "b"]).map_groups(
+        dedup, batch_format="pyarrow").to_pandas()
+    return _pairs_table(out)
