@@ -2213,6 +2213,17 @@ def q_search_and(sf_dir: str) -> pa.Table:
     return _bool_search(sf_dir, "and")
 
 
+def q_percolate(sf_dir: str) -> rd.Dataset:
+    """Percolator (Lucene Monitor / ES percolate): the document stream
+    matched against the broadcast stored-query set — the REVERSE of
+    ``search_and``, same membership contract, no index involved
+    (:func:`pipelines.query.percolate`). Oracle: the search_and SQL."""
+    from org_rdkit_lucene_ray.pipelines.query import percolate
+
+    return percolate(_docs(sf_dir, columns=["doc_id", "text"]),
+                     BOOL_QUERIES)
+
+
 def q_boolean_query(sf_dir: str) -> pa.Table:
     """Lucene BooleanQuery surface: +MUST / -MUST_NOT / SHOULD (+fielded)."""
     s = _searcher(sf_dir)
@@ -3537,6 +3548,7 @@ SELECT count(*)::BIGINT AS n_docs,
     "pagerank": _pagerank_sql(),
     "perplexity_topk": _PERPLEXITY_SQL.format(toks=_TOKS),
     "search_and": _bool_sql("and"),
+    "percolate": _bool_sql("and"),
     "fp_search": _fp_search_sql(),
     "screen_verify": _screen_verify_sql(),
     "boolean_query": """
@@ -3959,6 +3971,7 @@ QUERIES = {
     "pagerank": q_pagerank,
     "perplexity_topk": q_perplexity_topk,
     "search_and": q_search_and,
+    "percolate": q_percolate,
     "fielded_search": q_fielded_search,
     "fp_search": q_fp_search,
     "screen_verify": q_screen_verify,

@@ -1308,8 +1308,8 @@ class Searcher:
         return res[:k]
 
     def search_sorted(self, query: str, *, field: str = "dl", k: int = 10,
-                      descending: bool = True,
-                      mode: str = "or") -> list[tuple[int, int]]:
+                      descending: bool = True, mode: str = "or",
+                      after: tuple[int, int] | None = None) -> list[tuple[int, int]]:
         """Lucene ``Sort``/``SortField`` collector (TopFieldCollector):
         rank the query's hit set by a STORED numeric field instead of
         relevance. The forward fragments are the doc-values store; each
@@ -1320,7 +1320,10 @@ class Searcher:
 
         Order: (field desc|asc, doc_id asc). Returns ``[(doc_id, value)]``
         of length <= k. Numeric fields only (``dl``, ``warc_ts``-encoded
-        int64 — Lucene's NumericDocValues analog)."""
+        int64 — Lucene's NumericDocValues analog). ``after=(value,
+        doc_id)`` resumes strictly after that position (paged
+        ``TopFieldDocs`` searchAfter) — exact because the predicate is
+        per-row, applied before each fragment's partial top-k."""
         hits = (self.search_and(query) if mode == "and"
                 else self.search_or(query))
         if hits.size == 0 or k <= 0:
@@ -1341,6 +1344,15 @@ class Searcher:
                 continue
             d = d[m]
             v = t[field].to_numpy(zero_copy_only=False).astype(np.int64)[m]
+            if after is not None:
+                # strictly after (value, doc) in the global field order —
+                # the TopFieldCollector searchAfter predicate
+                av, ad = int(after[0]), int(after[1])
+                keep = ((v < av) if descending else (v > av)) | \
+                    ((v == av) & (d > ad))
+                d, v = d[keep], v[keep]
+                if d.size == 0:
+                    continue
             order = np.lexsort((d, -v if descending else v))[:k]
             parts_d.append(d[order])
             parts_v.append(v[order])
@@ -1811,6 +1823,78 @@ def run_queries(
         batch_size=8,
         concurrency=concurrency,
     )
+
+
+def percolate(
+    docs: rd.Dataset,
+    queries: list[tuple[int, str]],
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    analyzer: str = "standard",
+) -> rd.Dataset:
+    """Percolator / Lucene-Monitor analog — REVERSE search: match a
+    document STREAM against a broadcast set of stored conjunctive
+    queries (alerting / routing / saved-search, the direction to run
+    when queries are long-lived and documents flow through). Emits
+    ``(query_id, doc_id)`` membership rows — the same contract as
+    ``search_and`` computed without any index.
+
+    Scale shape: the stored-query term dictionary broadcasts once; per
+    batch, ONE ``index_in`` maps the batch's flat tokens into it and a
+    per-(row, query) hit-count fold decides containment — no per-query
+    scan, no shuffle (embarrassingly parallel map)."""
+    from org_rdkit_lucene_ray.functions.analyze import (
+        REGISTRY,
+        analyze_text,
+        tokenize_column,
+    )
+
+    import ray as _ray
+
+    cfg = REGISTRY[analyzer]
+    qterms: list[tuple[int, list[str]]] = [
+        (qid, sorted(set(analyze_text(q, cfg)))) for qid, q in queries]
+    vocab = sorted({t for _, ts in qterms for t in ts})
+    v_index = {t: i for i, t in enumerate(vocab)}
+    # per-query term-id sets + required counts
+    need = [(qid, np.array([v_index[t] for t in ts], np.int64))
+            for qid, ts in qterms]
+    model = _ray.put((pa.array(vocab, pa.string()), need))
+
+    def match(t: pa.Table) -> pa.Table:
+        vocab_arr, need_b = _ray.get(model)
+        toks = tokenize_column(t[text_col].combine_chunks(), cfg)
+        flat = pc.list_flatten(toks)
+        parents = pc.list_parent_indices(toks) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        pos = pc.index_in(flat, value_set=vocab_arr) \
+            .to_numpy(zero_copy_only=False)
+        ok = ~np.isnan(pos.astype(np.float64)) if pos.dtype.kind == "f" \
+            else np.ones(len(pos), bool)
+        V = len(vocab_arr)
+        # distinct (row, vocab term) presence matrix via unique keys
+        key = parents[ok] * V + pos[ok].astype(np.int64)
+        present = np.zeros((t.num_rows, V), bool)
+        if key.size:
+            uk = np.unique(key)
+            present[uk // V, uk % V] = True
+        qids_out, docs_out = [], []
+        for qid, tids in need_b:
+            m = present[:, tids].all(axis=1) if tids.size else \
+                np.zeros(t.num_rows, bool)
+            hit = np.flatnonzero(m)
+            qids_out.append(np.full(hit.size, qid, np.int64))
+            docs_out.append(ids[hit])
+        return pa.table({
+            "query_id": pa.array(np.concatenate(qids_out) if qids_out
+                                 else np.zeros(0, np.int64), pa.int64()),
+            "doc_id": pa.array(np.concatenate(docs_out) if docs_out
+                               else np.zeros(0, np.int64), pa.int64()),
+        })
+
+    return docs.map_batches(match, batch_format="pyarrow")
 
 
 # --------------------------------------------------------------- phrase search

@@ -593,6 +593,11 @@ def test_search_sorted_matches_bruteforce(searcher, oracle_index):
                                   descending=False) == want_asc
     # AND mode + absent term -> empty
     assert searcher.search_sorted("zzznotaterm", field="dl", k=5) == []
+    # searchAfter pagination: page 2 == global ranks [7, 14)
+    all14 = sorted(dls, key=lambda x: (-x[1], x[0]))[:14]
+    page2 = searcher.search_sorted(q, field="dl", k=7,
+                                   after=(want[-1][1], want[-1][0]))
+    assert page2 == all14[7:14]
 
 
 def test_topk_synonyms_group_semantics(searcher, oracle_index):
