@@ -2213,6 +2213,43 @@ def q_search_and(sf_dir: str) -> pa.Table:
     return _bool_search(sf_dir, "and")
 
 
+BLOCKJOIN_QUERIES: list[tuple[int, str, str]] = [
+    (0, "hash", "join"),
+    (1, "customer", "window"),
+    (2, "data", "value"),
+]
+BLOCKJOIN_CHILD = 10
+
+
+def q_blockjoin_search(sf_dir: str) -> rd.Dataset:
+    """Parent/child block join (ToParentBlockJoinQuery analog): both
+    terms must co-occur within one ``BLOCKJOIN_CHILD``-token child block
+    (:func:`pipelines.query.search_block_join`) — stricter than the
+    doc-level AND gate on the same pairs."""
+    from org_rdkit_lucene_ray.pipelines.query import search_block_join
+
+    return search_block_join(_docs(sf_dir, columns=["doc_id", "text"]),
+                             BLOCKJOIN_QUERIES,
+                             child_tokens=BLOCKJOIN_CHILD)
+
+
+def _blockjoin_sql() -> str:
+    q_vals = ", ".join(f"({qid}, '{a}', '{b}')"
+                       for qid, a, b in BLOCKJOIN_QUERIES)
+    return f"""
+WITH docs AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+tok AS (SELECT doc_id, (pos - 1) // {BLOCKJOIN_CHILD} AS chunk, term
+        FROM (SELECT doc_id, unnest(toks) AS term,
+                     unnest(range(1, len(toks) + 1)) AS pos FROM docs)),
+q(query_id, t1, t2) AS (VALUES {q_vals})
+SELECT DISTINCT q.query_id::BIGINT AS query_id, a.doc_id
+FROM q
+JOIN tok a ON a.term = q.t1
+JOIN tok b ON b.term = q.t2 AND b.doc_id = a.doc_id AND b.chunk = a.chunk
+ORDER BY 1, 2
+"""
+
+
 def q_percolate(sf_dir: str) -> rd.Dataset:
     """Percolator (Lucene Monitor / ES percolate): the document stream
     matched against the broadcast stored-query set — the REVERSE of
@@ -3549,6 +3586,7 @@ SELECT count(*)::BIGINT AS n_docs,
     "perplexity_topk": _PERPLEXITY_SQL.format(toks=_TOKS),
     "search_and": _bool_sql("and"),
     "percolate": _bool_sql("and"),
+    "blockjoin_search": _blockjoin_sql(),
     "fp_search": _fp_search_sql(),
     "screen_verify": _screen_verify_sql(),
     "boolean_query": """
@@ -3972,6 +4010,7 @@ QUERIES = {
     "perplexity_topk": q_perplexity_topk,
     "search_and": q_search_and,
     "percolate": q_percolate,
+    "blockjoin_search": q_blockjoin_search,
     "fielded_search": q_fielded_search,
     "fp_search": q_fp_search,
     "screen_verify": q_screen_verify,

@@ -1825,6 +1825,67 @@ def run_queries(
     )
 
 
+def search_block_join(
+    docs: rd.Dataset,
+    queries: list[tuple[int, str, str]],
+    *,
+    child_tokens: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    analyzer: str = "standard",
+) -> rd.Dataset:
+    """Parent/child block join (Lucene ``ToParentBlockJoinQuery``):
+    every doc's token stream splits into fixed-size CHILD blocks, a
+    query ``(t1, t2)`` matches a child containing BOTH terms, and the
+    match reports the PARENT — stricter than doc-level AND (the terms
+    must co-occur locally), looser than a phrase. Emits distinct
+    ``(query_id, doc_id)`` rows.
+
+    Vectorized per batch: one composite ``(row << 32 | chunk)`` key per
+    term occurrence, matched across the two terms with ``np.isin`` —
+    no per-row loop, no shuffle."""
+    from org_rdkit_lucene_ray.functions.analyze import (
+        REGISTRY,
+        analyze_text,
+        tokenize_column,
+    )
+
+    cfg = REGISTRY[analyzer]
+    qs = [(qid, analyze_text(t1, cfg)[0], analyze_text(t2, cfg)[0])
+          for qid, t1, t2 in queries]
+    C = int(child_tokens)
+
+    def match(t: pa.Table) -> pa.Table:
+        toks = tokenize_column(t[text_col].combine_chunks(), cfg)
+        flat = pc.list_flatten(toks)
+        parents = pc.list_parent_indices(toks) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        counts = pc.list_value_length(toks) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+        intra = np.arange(len(flat), dtype=np.int64) - starts[parents]
+        chunk_key = (parents << 32) | (intra // C)
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        qids_out, docs_out = [], []
+        for qid, t1, t2 in qs:
+            k1 = np.unique(chunk_key[
+                pc.equal(flat, t1).to_numpy(zero_copy_only=False)])
+            k2 = np.unique(chunk_key[
+                pc.equal(flat, t2).to_numpy(zero_copy_only=False)])
+            both = k1[np.isin(k1, k2, assume_unique=True)]
+            rows = np.unique(both >> 32)
+            qids_out.append(np.full(rows.size, qid, np.int64))
+            docs_out.append(ids[rows])
+        return pa.table({
+            "query_id": pa.array(np.concatenate(qids_out) if qids_out
+                                 else np.zeros(0, np.int64), pa.int64()),
+            "doc_id": pa.array(np.concatenate(docs_out) if docs_out
+                               else np.zeros(0, np.int64), pa.int64()),
+        })
+
+    return docs.map_batches(match, batch_format="pyarrow")
+
+
 def percolate(
     docs: rd.Dataset,
     queries: list[tuple[int, str]],
