@@ -3147,6 +3147,105 @@ def q_ivf_recall(sf_dir: str) -> pa.Table:
     })
 
 
+# (query_id, text query, dense query vec_id) — doc_id and vec_id are the
+# same key space in the testdata, so lexical and dense ranks fuse directly
+HYBRID_QUERIES: list[tuple[int, str, int]] = [
+    (0, "hash join", 0),
+    (1, "customer", 1),
+    (2, "data value table row", 2),
+]
+RRF_C = 60
+HYBRID_DEPTH = 20
+HYBRID_TOPK = 10
+
+
+def q_hybrid_rrf(sf_dir: str) -> pa.Table:
+    """Hybrid retrieval via Reciprocal Rank Fusion (Cormack et al. 2009,
+    the fusion modern engines ship for BM25 + dense): lexical ranks from
+    the BM25 searcher, dense ranks from the distributed brute-force
+    cosine stage, fused as ``sum over rankers of 1/(RRF_C + rank)`` over
+    the union of both depth-``HYBRID_DEPTH`` lists; final order
+    (float32 fused desc, doc asc). RRF uses RANKS only, so the fusion is
+    exactly reproducible in SQL from the two ranking CTEs."""
+    from org_rdkit_lucene_ray.stages.ann import brute_force_topk
+
+    s = _searcher(sf_dir)
+    ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                         columns=["vec_id", "embedding"])
+    bf = brute_force_topk(ds, _ann_queries(sf_dir), k=HYBRID_DEPTH,
+                          concurrency=2).to_pandas()
+    qids, ranks, docs = [], [], []
+    for qid, text, vqid in HYBRID_QUERIES:
+        lex = {int(d): r for r, (d, _) in
+               enumerate(s.topk(text, HYBRID_DEPTH))}
+        sub = bf[bf.query_id == vqid]
+        den = dict(zip(sub["vec_id"].astype(int), sub["rank"].astype(int)))
+        cand = sorted(set(lex) | set(den))
+        fused = [(d, (1.0 / (RRF_C + lex[d]) if d in lex else 0.0)
+                  + (1.0 / (RRF_C + den[d]) if d in den else 0.0))
+                 for d in cand]
+        fused.sort(key=lambda x: (-np.float64(np.float32(x[1])), x[0]))
+        for r, (d, _) in enumerate(fused[:HYBRID_TOPK]):
+            qids.append(qid)
+            ranks.append(r)
+            docs.append(d)
+    return pa.table({"query_id": pa.array(qids, pa.int64()),
+                     "rank": pa.array(ranks, pa.int64()),
+                     "doc_id": pa.array(docs, pa.int64())})
+
+
+def _hybrid_rrf_sql() -> str:
+    text_terms = ", ".join(
+        f"({qid}, '{t}')"
+        for qid, q, _ in HYBRID_QUERIES for t in sorted(q.split()))
+    vec_map = ", ".join(f"({qid}, {vq})" for qid, _, vq in HYBRID_QUERIES)
+    return f"""
+WITH docs AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+dl AS (SELECT doc_id, len(toks) AS dl FROM docs),
+stats AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+                 CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+tok AS (SELECT doc_id, unnest(toks) AS term FROM docs),
+tf AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf FROM tok GROUP BY 1, 2),
+df AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
+q(query_id, term) AS (VALUES {text_terms}),
+scores AS (
+  SELECT q.query_id, tf.doc_id,
+         SUM( ln(1.0 + (s.n - df.df + 0.5) / (df.df + 0.5))
+              * (tf.tf * (1.2 + 1.0))
+              / (tf.tf + 1.2 * ((1.0 - 0.75) + (0.75 * dl.dl) / s.avgdl)) ) AS score
+  FROM q JOIN tf ON tf.term = q.term JOIN df ON df.term = q.term
+         JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN stats s GROUP BY 1, 2),
+lex AS (SELECT query_id, doc_id,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY CAST(score AS REAL) DESC, doc_id ASC) - 1 AS r
+        FROM scores QUALIFY r < {HYBRID_DEPTH}),
+vm(query_id, vq) AS (VALUES {vec_map}),
+qv AS (SELECT vm.query_id, e.embedding AS qvec
+       FROM vm JOIN embeddings e ON e.vec_id = vm.vq),
+sims AS (SELECT qv.query_id, e.vec_id AS doc_id,
+                list_cosine_similarity(e.embedding, qv.qvec) AS sim
+         FROM embeddings e CROSS JOIN qv),
+den AS (SELECT query_id, doc_id,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY sim DESC, doc_id ASC) - 1 AS r
+        FROM sims QUALIFY r < {HYBRID_DEPTH}),
+cand AS (SELECT query_id, doc_id FROM lex
+         UNION SELECT query_id, doc_id FROM den),
+fused AS (SELECT c.query_id, c.doc_id,
+                 COALESCE(1.0 / ({RRF_C} + l.r), 0.0)
+               + COALESCE(1.0 / ({RRF_C} + d.r), 0.0) AS rrf
+          FROM cand c
+          LEFT JOIN lex l ON l.query_id = c.query_id AND l.doc_id = c.doc_id
+          LEFT JOIN den d ON d.query_id = c.query_id AND d.doc_id = c.doc_id),
+ranked AS (SELECT query_id, doc_id,
+                  row_number() OVER (PARTITION BY query_id
+                    ORDER BY CAST(rrf AS REAL) DESC, doc_id ASC) - 1 AS rank
+           FROM fused)
+SELECT query_id::BIGINT AS query_id, rank::BIGINT AS rank, doc_id
+FROM ranked WHERE rank < {HYBRID_TOPK} ORDER BY 1, 2
+"""
+
+
 def q_emb_lsh_recall(sf_dir: str) -> pa.Table:
     """Planted-duplicate recall of the LSH-bucketed near-dup path
     (:func:`stages.ann.embedding_dup_pairs_lsh`, random hyperplanes):
@@ -3587,6 +3686,7 @@ SELECT count(*)::BIGINT AS n_docs,
     "search_and": _bool_sql("and"),
     "percolate": _bool_sql("and"),
     "blockjoin_search": _blockjoin_sql(),
+    "hybrid_rrf": _hybrid_rrf_sql(),
     "fp_search": _fp_search_sql(),
     "screen_verify": _screen_verify_sql(),
     "boolean_query": """
@@ -4011,6 +4111,7 @@ QUERIES = {
     "search_and": q_search_and,
     "percolate": q_percolate,
     "blockjoin_search": q_blockjoin_search,
+    "hybrid_rrf": q_hybrid_rrf,
     "fielded_search": q_fielded_search,
     "fp_search": q_fp_search,
     "screen_verify": q_screen_verify,
