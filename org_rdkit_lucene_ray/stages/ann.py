@@ -350,16 +350,19 @@ def embedding_dup_pairs_lsh(ds: rd.Dataset, *, threshold: float = 0.95,
     bucketing: vectors hash to ``n_bits`` projection signs, any shared
     ``band_bits``-bit band puts a pair in one candidate bucket
     (banding is pigeonhole-complete for sign-hamming <
-    ``n_bits / band_bits``), and candidates verify by exact cosine
-    inside the bucket fold. P(sign differs) = angle/pi, so
-    near-identical vectors agree on almost every band — the near-dup
-    recall contract; moderate-similarity pairs are a documented
-    bounded-recall trade (use ``embedding_dup_pairs`` for exact).
+    ``n_bits / band_bits``), and candidates verify by exact cosine.
+    P(sign differs) = angle/pi, so near-identical vectors agree on
+    almost every band — the near-dup recall contract;
+    moderate-similarity pairs are a documented bounded-recall trade
+    (use ``embedding_dup_pairs`` for exact).
 
     Scale shape: the hyperplane matrix broadcasts once; each vector
-    ships ``n_bits/band_bits`` fixed-size (band, key, id) rows into ONE
-    groupby; per-bucket folds verify with a dense matmul. Emitted pairs
-    are distinct across buckets (final dedup groupby)."""
+    ships only ``n_bits/band_bits`` FIXED-SIZE (band, key, id) rows —
+    ~24 B each, never the embedding — into one groupby; distinct
+    candidate pairs come back bounded, and the verify pass looks up
+    just the CANDIDATE vectors (a filtered streamed read + broadcast
+    LUT, the MinHash-verify pattern). Candidate-id volume is bounded by
+    the bucket structure, not the corpus."""
     import ray as _ray
 
     n_bands = n_bits // band_bits
@@ -375,9 +378,8 @@ def embedding_dup_pairs_lsh(ds: rd.Dataset, *, threshold: float = 0.95,
         E = _normalize(_emb_matrix(t, emb_col))
         signs = (E @ P) > 0                          # (n, n_bits) bool
         ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
-        # pack each band's bits into an int key
-        out_band, out_key, out_id = [], [], []
         weights = (1 << np.arange(band_bits)).astype(np.int64)
+        out_band, out_key, out_id = [], [], []
         for b in range(n_bands):
             key = signs[:, b * band_bits:(b + 1) * band_bits] @ weights
             out_band.append(np.full(ids.size, b, np.int64))
@@ -387,24 +389,24 @@ def embedding_dup_pairs_lsh(ds: rd.Dataset, *, threshold: float = 0.95,
             "band": pa.array(np.concatenate(out_band), pa.int64()),
             "key": pa.array(np.concatenate(out_key), pa.int64()),
             id_col: pa.array(np.concatenate(out_id), pa.int64()),
-            emb_col: pa.concat_arrays(
-                [t[emb_col].combine_chunks()] * n_bands),
         })
 
     def pairs_in_bucket(g: pa.Table) -> pa.Table:
-        ids = g[id_col].to_numpy()
+        ids = np.unique(g[id_col].to_numpy())
         if ids.size < 2:
             return pa.table({"a": pa.array([], pa.int64()),
                              "b": pa.array([], pa.int64())})
-        E = _normalize(_emb_matrix(g, emb_col))
-        sims = E @ E.T
-        ii, jj = np.nonzero(np.triu(sims >= threshold, k=1))
-        a, b = ids[ii], ids[jj]
-        swap = a > b
-        a[swap], b[swap] = b[swap], a[swap]
-        keep = a != b
-        return pa.table({"a": pa.array(a[keep], pa.int64()),
-                         "b": pa.array(b[keep], pa.int64())})
+        if ids.size > 20_000:
+            # the SimHash degeneracy lesson (stages/dedup.py): never
+            # spill a quadratic bucket — fail with guidance instead
+            raise ValueError(
+                f"LSH band bucket holds {ids.size} vectors (> 20k): the "
+                "corpus is sign-degenerate under these hyperplanes; "
+                "raise band_bits, change seed, or run "
+                "embedding_dup_pairs_ivf")
+        ii, jj = np.triu_indices(ids.size, k=1)
+        return pa.table({"a": pa.array(ids[ii], pa.int64()),
+                         "b": pa.array(ids[jj], pa.int64())})
 
     cand = (
         ds.map_batches(band_rows, batch_format="pyarrow",
@@ -416,6 +418,33 @@ def embedding_dup_pairs_lsh(ds: rd.Dataset, *, threshold: float = 0.95,
     def dedup(g: pa.Table) -> pa.Table:
         return g.slice(0, 1)
 
-    out = cand.groupby(["a", "b"]).map_groups(
-        dedup, batch_format="pyarrow").to_pandas()
-    return _pairs_table(out)
+    pairs = pa.concat_tables(_ray.get(
+        cand.groupby(["a", "b"]).map_groups(
+            dedup, batch_format="pyarrow").to_arrow_refs()))
+    if pairs.num_rows == 0:
+        return _pairs_table(pairs.to_pandas())
+    # verify: fetch ONLY the candidate vectors (bounded by candidate
+    # count), broadcast the LUT, exact cosine per pair
+    need = np.unique(np.concatenate([pairs["a"].to_numpy(),
+                                     pairs["b"].to_numpy()]))
+    need_ref = _ray.put(need)
+
+    def pick(t: pa.Table) -> pa.Table:
+        nd = _ray.get(need_ref)
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        m = np.isin(ids, nd)
+        return t.filter(pa.array(m)).select([id_col, emb_col])
+
+    sub = pa.concat_tables(_ray.get(
+        ds.map_batches(pick, batch_format="pyarrow").to_arrow_refs()))
+    ids = sub[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    E = _normalize(_emb_matrix(sub, emb_col))
+    pos = {int(i): k for k, i in enumerate(ids)}
+    a = pairs["a"].to_numpy()
+    b = pairs["b"].to_numpy()
+    ia = np.array([pos[int(x)] for x in a])
+    ib = np.array([pos[int(x)] for x in b])
+    sims = np.einsum("ij,ij->i", E[ia], E[ib])
+    keep = sims >= threshold
+    import pandas as pd
+    return _pairs_table(pd.DataFrame({"a": a[keep], "b": b[keep]}))
