@@ -2603,14 +2603,16 @@ def q_funnel(sf_dir: str) -> pa.Table:
 
     per_user = funnel_steps(
         ev.map_batches(in_window, batch_format="pyarrow"), FUNNEL_STEPS)
-    done = np.array([r["steps_completed"] for r in per_user.take_all()],
-                    np.int64)
+    # distributed fold: only (steps_completed, count) rows — at most
+    # len(steps)+1 of them — reach the driver, never per-user rows
+    counts = {r["steps_completed"]: r["count()"]
+              for r in per_user.groupby("steps_completed").count().take_all()}
     return pa.table({
         "step": pa.array(range(1, len(FUNNEL_STEPS) + 1), pa.int64()),
         "step_name": pa.array(FUNNEL_STEPS, pa.string()),
-        "n_users": pa.array([int((done >= k).sum())
-                             for k in range(1, len(FUNNEL_STEPS) + 1)],
-                            pa.int64()),
+        "n_users": pa.array(
+            [sum(c for s, c in counts.items() if s >= k)
+             for k in range(1, len(FUNNEL_STEPS) + 1)], pa.int64()),
     })
 
 

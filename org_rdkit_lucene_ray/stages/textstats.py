@@ -306,7 +306,10 @@ def top_terms_per_doc(docs, df_table: pa.Table, n_docs: int, *, k: int = 3,
     The global (term, df) dictionary is the MODEL: broadcast once
     (``ray.put``), term-SORTED so that ``pc.index_in`` positions double as
     the lexicographic tie-break rank — no string comparisons in the hot
-    path. Per batch: tokenize, one ``index_in`` (C-speed hash join into
+    path. The broadcast assumes a memory-resident dictionary (true for
+    curated vocabularies; fastText-style hashing or a hash-partitioned
+    term join is the fallback when the raw web vocabulary exceeds a
+    worker's heap). Per batch: tokenize, one ``index_in`` (C-speed hash join into
     the dictionary), one lexsort+run-length fold for per-(doc, term) tf,
     score ``tf * idf`` (the BM25 idf, as ``Searcher.mlt_terms``), rank on
     float32 (score desc, term asc), keep the top ``k`` per doc. Output
