@@ -179,6 +179,14 @@ def test_pre_merge_pruning_admissible_across_avgdl_shift(
         want = s.topk_exhaustive(q["query"], int(q["k"]))
         assert s.topk_bmw(q["query"], int(q["k"])) == want, q["query"]
         assert s.topk_wand(q["query"], int(q["k"])) == want, q["query"]
+    # classic TF-IDF under the SAME stats shift: its weights depend on
+    # the live n_docs (idf) and per-doc dl, and its bounds are derived
+    # from the live vector too — pruning must stay exact pre-merge
+    sc = Searcher(idx, similarity="classic")
+    for q in gen_queries(n_random=12).to_pylist():
+        want = sc.topk_exhaustive(q["query"], int(q["k"]))
+        assert sc.topk_bmw(q["query"], int(q["k"])) == want, q["query"]
+        assert sc.topk_wand(q["query"], int(q["k"])) == want, q["query"]
 
 
 def _tree_hashes(root):
