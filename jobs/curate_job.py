@@ -87,8 +87,12 @@ def main() -> None:
                             "weight": pa.array(wv, pa.float64())})
 
     scored = linear_classifier_scores(docs, weights).materialize()
-    thr = float(exact_quantiles(
-        scored, "score", [args.keep_quantile])["value"][0].as_py())
+    thr_val = exact_quantiles(
+        scored, "score", [args.keep_quantile])["value"][0].as_py()
+    if thr_val is None:
+        raise SystemExit(f"no scorable documents under --input {args.input} "
+                         "(empty glob, or every page tokenized to nothing)")
+    thr = float(thr_val)
 
     model_ref = ray.put(sorted_model_arrays(weights))
     cfg = REGISTRY["standard"]

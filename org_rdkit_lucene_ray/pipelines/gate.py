@@ -311,11 +311,10 @@ def q_lang_distinct_hll(sf_dir: str) -> pa.Table:
         toks = tokenize_column(t["text"].combine_chunks(), REGISTRY["standard"])
         flat = pc.list_flatten(toks)
         par = pc.list_parent_indices(toks)
-        g = pa.table({
+        return pa.table({
             "lang": t["lang"].combine_chunks().take(par),
             "term": flat,
-        }).group_by(["lang", "term"]).aggregate([("term", "count")])
-        return g.select(["lang", "term"])
+        }).group_by(["lang", "term"]).aggregate([])   # distinct keys only
 
     exact_rows = (docs.map_batches(distinct_terms, batch_format="pyarrow")
                   .groupby(["lang", "term"]).aggregate(Count(alias_name="n"))

@@ -133,6 +133,26 @@ class _TermCursor:
         return self.mult * float(self.blk_maxw[i])
 
 
+def _fold_topk(parts_d: list, parts_w: list, k: int) -> list[tuple[int, float]]:
+    """Shared clause-fold: concatenated per-clause (docs, float64 weights)
+    -> per-doc sum in concat order (score_all's float-parity contract:
+    stable sort by doc keeps clause order, reduceat sums left-to-right)
+    -> float32 cast -> (score desc, doc asc) top-k. The ONE place the
+    summation-order invariant lives for the boosted/synonym scorers."""
+    if not parts_d or k <= 0:
+        return []
+    docs = np.concatenate(parts_d)
+    ws = np.concatenate(parts_w)
+    order = np.argsort(docs, kind="stable")
+    docs_s, ws_s = docs[order], ws[order]
+    starts = np.flatnonzero(
+        np.concatenate([[True], docs_s[1:] != docs_s[:-1]]))
+    sums = np.add.reduceat(ws_s, starts).astype(np.float32)
+    docs_u = docs_s[starts]
+    top = np.lexsort((docs_u, -sums.astype(np.float64)))[:k]
+    return [(int(docs_u[i]), float(sums[i])) for i in top]
+
+
 def _levenshtein_within(a: str, b: str, k: int) -> bool:
     """Wagner-Fischer DP with an early-exit row-minimum bound: True iff
     edit_distance(a, b) <= k. O(len(a) * len(b)) worst case but candidates
@@ -1400,18 +1420,7 @@ class Searcher:
                                     dls[starts].astype(np.float64))
             parts_d.append(docs[starts])
             parts_w.append(w)
-        if not parts_d or k <= 0:
-            return []
-        docs = np.concatenate(parts_d)
-        ws = np.concatenate(parts_w)
-        order = np.argsort(docs, kind="stable")
-        docs_s, ws_s = docs[order], ws[order]
-        starts = np.flatnonzero(
-            np.concatenate([[True], docs_s[1:] != docs_s[:-1]]))
-        sums = np.add.reduceat(ws_s, starts).astype(np.float32)
-        docs_u = docs_s[starts]
-        top = np.lexsort((docs_u, -sums.astype(np.float64)))[:k]
-        return [(int(docs_u[i]), float(sums[i])) for i in top]
+        return _fold_topk(parts_d, parts_w, k)
 
     _BOOST_RE = None
 
@@ -1440,18 +1449,7 @@ class Searcher:
                 continue
             parts_d.append(dec[0])
             parts_w.append(boost * dec[6])
-        if not parts_d or k <= 0:
-            return []
-        docs = np.concatenate(parts_d)
-        ws = np.concatenate(parts_w)
-        order = np.argsort(docs, kind="stable")
-        docs_s, ws_s = docs[order], ws[order]
-        starts = np.flatnonzero(
-            np.concatenate([[True], docs_s[1:] != docs_s[:-1]]))
-        sums = np.add.reduceat(ws_s, starts).astype(np.float32)
-        docs_u = docs_s[starts]
-        top = np.lexsort((docs_u, -sums.astype(np.float64)))[:k]
-        return [(int(docs_u[i]), float(sums[i])) for i in top]
+        return _fold_topk(parts_d, parts_w, k)
 
     def search_numeric_range(self, field: str, lo, hi, *,
                              include_lo: bool = True,
@@ -1851,8 +1849,12 @@ def search_block_join(
     )
 
     cfg = REGISTRY[analyzer]
-    qs = [(qid, analyze_text(t1, cfg)[0], analyze_text(t2, cfg)[0])
-          for qid, t1, t2 in queries]
+    qs = []
+    for qid, t1, t2 in queries:
+        a1 = analyze_text(t1, cfg)
+        a2 = analyze_text(t2, cfg)
+        if a1 and a2:                 # a term the analyzer drops can't match
+            qs.append((qid, a1[0], a2[0]))
     C = int(child_tokens)
 
     def match(t: pa.Table) -> pa.Table:
@@ -1935,17 +1937,20 @@ def percolate(
         ok = ~np.isnan(pos.astype(np.float64)) if pos.dtype.kind == "f" \
             else np.ones(len(pos), bool)
         V = len(vocab_arr)
-        # distinct (row, vocab term) presence matrix via unique keys
+        # distinct (row, vocab term) keys — SPARSE: per query, count how
+        # many of its terms each row holds and demand all of them (no
+        # rows x vocab dense matrix; memory stays O(distinct hits))
         key = parents[ok] * V + pos[ok].astype(np.int64)
-        present = np.zeros((t.num_rows, V), bool)
-        if key.size:
-            uk = np.unique(key)
-            present[uk // V, uk % V] = True
+        uk = np.unique(key) if key.size else np.zeros(0, np.int64)
+        uk_row = uk // V
+        uk_term = uk % V
         qids_out, docs_out = [], []
         for qid, tids in need_b:
-            m = present[:, tids].all(axis=1) if tids.size else \
-                np.zeros(t.num_rows, bool)
-            hit = np.flatnonzero(m)
+            if tids.size == 0:
+                continue
+            sel = np.isin(uk_term, tids)
+            cnt = np.bincount(uk_row[sel], minlength=t.num_rows)
+            hit = np.flatnonzero(cnt == tids.size)
             qids_out.append(np.full(hit.size, qid, np.int64))
             docs_out.append(ids[hit])
         return pa.table({

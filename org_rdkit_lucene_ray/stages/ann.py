@@ -396,14 +396,17 @@ def embedding_dup_pairs_lsh(ds: rd.Dataset, *, threshold: float = 0.95,
         if ids.size < 2:
             return pa.table({"a": pa.array([], pa.int64()),
                              "b": pa.array([], pa.int64())})
-        if ids.size > 20_000:
-            # the SimHash degeneracy lesson (stages/dedup.py): never
-            # spill a quadratic bucket — fail with guidance instead
+        from org_rdkit_lucene_ray.stages.dedup import _MAX_LSH_BUCKET
+
+        if ids.size > _MAX_LSH_BUCKET:
+            # the SimHash degeneracy lesson (one shared ceiling,
+            # stages/dedup.py): never spill a quadratic bucket — fail
+            # with guidance instead
             raise ValueError(
-                f"LSH band bucket holds {ids.size} vectors (> 20k): the "
-                "corpus is sign-degenerate under these hyperplanes; "
-                "raise band_bits, change seed, or run "
-                "embedding_dup_pairs_ivf")
+                f"LSH band bucket holds {ids.size} vectors "
+                f"(> {_MAX_LSH_BUCKET}): the corpus is sign-degenerate "
+                "under these hyperplanes; raise band_bits, change seed, "
+                "or run embedding_dup_pairs_ivf")
         ii, jj = np.triu_indices(ids.size, k=1)
         return pa.table({"a": pa.array(ids[ii], pa.int64()),
                          "b": pa.array(ids[jj], pa.int64())})

@@ -398,9 +398,15 @@ def exact_weighted_quantiles(ds: rd.Dataset, col: str, weight_col: str,
         arr = t[col].combine_chunks()
         if arr.type != pa.float64():
             arr = pc.cast(arr, pa.float64())
-        ok = pc.and_kleene(pc.is_valid(arr), pc.invert(pc.is_nan(arr)))
+        wcol = t[weight_col].combine_chunks()
+        # a null in EITHER column drops the row (SQL-aggregate semantics);
+        # a null weight surviving the filter would round-trip through
+        # float64-with-NaN and poison the int64 histogram
+        ok = pc.and_kleene(
+            pc.and_kleene(pc.is_valid(arr), pc.invert(pc.is_nan(arr))),
+            pc.is_valid(wcol))
         arr = arr.filter(ok)
-        w = pc.cast(t[weight_col].combine_chunks().filter(ok), pa.int64()) \
+        w = pc.cast(wcol.filter(ok), pa.int64()) \
             .to_numpy(zero_copy_only=False)
         return _f64_to_key(arr.to_numpy(zero_copy_only=False)), w
 

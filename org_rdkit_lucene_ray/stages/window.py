@@ -277,7 +277,7 @@ def funnel_steps(events: rd.Dataset, steps: list[str], *,
             p = int(arr[i]) + 1
             done += 1
         return pa.table({
-            "user_id": pc.cast(g[key_col][:1], pa.int64()),
+            key_col: g[key_col][:1],          # key type preserved verbatim
             "steps_completed": pa.array([done], pa.int64()),
         })
 
