@@ -330,6 +330,51 @@ def q_lang_distinct_hll(sf_dir: str) -> pa.Table:
     })
 
 
+LANG_TOP_TERMS_K = 3
+
+
+def q_lang_top_terms(sf_dir: str) -> rd.Dataset:
+    """Per-language top-``LANG_TOP_TERMS_K`` terms by document frequency
+    (corpus vocabulary profiling): per-batch distinct (lang, term)
+    partial counts -> one groupby fold to exact per-language df ->
+    partial-top-n selection (:func:`stages.window.grouped_topn`), so at
+    most k x langs x batches rows ride the final exchange. Tie order
+    (df desc, term asc)."""
+    from ray.data.aggregate import Sum
+
+    from org_rdkit_lucene_ray.stages.window import grouped_topn
+
+    docs = _docs(sf_dir, columns=["doc_id", "lang", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        toks = tokenize_column(t["text"].combine_chunks(), REGISTRY["standard"])
+        par = pc.list_parent_indices(toks)
+        # distinct (doc, term) first, THEN count docs per (lang, term):
+        # a doc lives in exactly one batch, so batch partials sum to the
+        # exact per-language document frequency
+        d = pa.table({
+            "doc_id": t["doc_id"].combine_chunks().take(par),
+            "lang": t["lang"].combine_chunks().take(par),
+            "term": pc.list_flatten(toks),
+        }).group_by(["doc_id", "lang", "term"]).aggregate([])
+        g = d.group_by(["lang", "term"]).aggregate([("doc_id", "count")])
+        return pa.table({"lang": g["lang"], "term": g["term"],
+                         "n": pc.cast(g["doc_id_count"], pa.int64())})
+
+    df_rows = (docs.map_batches(partial, batch_format="pyarrow")
+               .groupby(["lang", "term"]).aggregate(Sum("n", alias_name="df")))
+    top = grouped_topn(df_rows, n=LANG_TOP_TERMS_K, key_col="lang",
+                       value_col="df", id_col="term")
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table({"lang": t["lang"],
+                         "rnk": pc.cast(t["rank"], pa.int64()),
+                         "term": t["term"],
+                         "df": pc.cast(t["df"], pa.int64())})
+
+    return top.map_batches(finish, batch_format="pyarrow")
+
+
 def q_heavy_hitters_cms(sf_dir: str) -> pa.Table:
     """Count-min-sketch heavy hitters, verdict-style (HLL-gate policy):
     the engine computes BOTH the exact top-``CMS_TOPK`` term frequencies
@@ -3591,6 +3636,15 @@ WITH tok AS (SELECT DISTINCT lang, unnest({_TOKS}) AS term FROM documents)
 SELECT lang, count(*)::BIGINT AS exact_distinct, 1::BIGINT AS met
 FROM tok GROUP BY lang ORDER BY lang
 """,
+    "lang_top_terms": f"""
+WITH tok AS (SELECT DISTINCT doc_id, lang, unnest({_TOKS}) AS term
+             FROM documents),
+df AS (SELECT lang, term, count(*)::BIGINT AS df FROM tok GROUP BY 1, 2),
+rk AS (SELECT lang, term, df, row_number() OVER (PARTITION BY lang
+         ORDER BY df DESC, term ASC) - 1 AS rnk FROM df)
+SELECT lang, rnk::BIGINT AS rnk, term, df
+FROM rk WHERE rnk < {LANG_TOP_TERMS_K} ORDER BY 1, 2
+""",
     "token_counts": """
 SELECT doc_id,
        len(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))::BIGINT
@@ -4058,6 +4112,7 @@ QUERIES = {
     "token_counts": q_token_counts,
     "distinct_terms_hll": q_distinct_terms_hll,
     "lang_distinct_hll": q_lang_distinct_hll,
+    "lang_top_terms": q_lang_top_terms,
     "value_histogram": q_value_histogram,
     "snapshot_diff": q_snapshot_diff,
     "funnel": q_funnel,
