@@ -103,6 +103,16 @@ class IndexConfig:
     docs_per_segment: int = 1 << 20   # 1M docs per segment at scale
     term_buckets: int = 32            # groupby salt: (segment, hash(term)%B) groups
     block_size: int = 128             # postings per block-max block (Lucene BMW-style)
+    # dedup pre-pass sizing (execution knobs, not on-disk format — kept out
+    # of manifest_dict). Bucket count is DATA-sized, like the join-partition
+    # rule: buckets = clamp(ceil(total_rows / dedup_rows_per_bucket), 16, 65536),
+    # so no wave-2 task ever concatenates corpus/16 rows (r3 verdict #2).
+    dedup_rows_per_bucket: int = 2_000_000
+    # wave-2 fan-in bounds: a (bucket, fragment-range) sub-task reads at most
+    # ~dedup_max_task_rows rows and opens at most dedup_max_files_per_task
+    # slim files; ranges are folded by a per-bucket winner combine.
+    dedup_max_task_rows: int = 4_000_000
+    dedup_max_files_per_task: int = 256
     bm25: BM25Params = field(default_factory=BM25Params)
     index_analyzer: AnalyzerConfig = field(default_factory=AnalyzerConfig)
     query_analyzer: AnalyzerConfig = field(default_factory=AnalyzerConfig)

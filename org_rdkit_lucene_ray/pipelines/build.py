@@ -146,10 +146,36 @@ def plan_fragments(input_paths: str | list[str], doc_id_base: int = 0) -> list[d
 
 
 # -------------------------------------------------------------------- dedup
-_DEDUP_BUCKETS = 16
+def _dedup_bucket_count(total_rows: int, cfg: IndexConfig) -> int:
+    """Data-sized bucket count (r3 verdict #2): one bucket per
+    ~dedup_rows_per_bucket input rows, clamped to [16, 65536]. Deterministic
+    given the fragment plan, so resumes re-derive the same layout."""
+    import math
+
+    b = math.ceil(max(1, total_rows) / max(1, cfg.dedup_rows_per_bucket))
+    return int(min(max(16, b), 65536))
 
 
-def _slim_bucketed_write(batch: pa.Table, *, slim_dir: str) -> pa.Table:
+def _dedup_fragment_ranges(fragments: list[dict], buckets: int,
+                           cfg: IndexConfig) -> list[tuple[int, int]]:
+    """Split the fragment list into consecutive ranges so a wave-2
+    (bucket, range) sub-task reads ≲ dedup_max_task_rows rows
+    (≈ range_rows / buckets) and opens ≤ dedup_max_files_per_task files."""
+    max_range_rows = cfg.dedup_max_task_rows * buckets
+    ranges: list[tuple[int, int]] = []
+    start, rows = 0, 0
+    for i, fr in enumerate(fragments):
+        if i > start and (rows + fr["rows"] > max_range_rows
+                          or i - start >= cfg.dedup_max_files_per_task):
+            ranges.append((start, i))
+            start, rows = i, 0
+        rows += fr["rows"]
+    ranges.append((start, len(fragments)))
+    return ranges
+
+
+def _slim_bucketed_write(batch: pa.Table, *, slim_dir: str,
+                         buckets: int) -> pa.Table:
     """Wave 1: per-fragment slim scan written sorted by (bucket, uh) with
     one row group per url-hash bucket — the dedup side of the
     storage-partitioned exchange (no Ray groupby anywhere in dedup)."""
@@ -162,7 +188,7 @@ def _slim_bucketed_write(batch: pa.Table, *, slim_dir: str) -> pa.Table:
         n = t.num_rows
         uh = stable_term_hash(t["url"]).astype(np.int64)
         slim = pa.table({
-            "bucket": pa.array((uh % _DEDUP_BUCKETS).astype(np.int32)),
+            "bucket": pa.array((uh % buckets).astype(np.int32)),
             "uh": pa.array(uh),
             "url": t["url"],
             "warc_ts_us": pc.cast(t["warc_ts"], pa.int64()),
@@ -184,44 +210,69 @@ def _slim_bucketed_write(batch: pa.Table, *, slim_dir: str) -> pa.Table:
         [("fragment_id", pa.int32()), ("rows", pa.int64())]))
 
 
-def compute_dup_losers(fragments: list[dict], work_dir: str) -> str:
+def compute_dup_losers(fragments: list[dict], work_dir: str,
+                       cfg: IndexConfig | None = None) -> str:
     """DEDUP phase -> directory of per-bucket loser doc_id Parquet files.
 
-    Storage-partitioned, no shuffle (same trick as Phase B):
+    Storage-partitioned, no shuffle (same trick as Phase B), with BOTH
+    fan-in axes bounded (r3 verdict #2):
 
+    - bucket count is DATA-sized (`_dedup_bucket_count`): ~2M input rows per
+      url-hash bucket, so a bucket's slice never approaches corpus/16;
     - wave 1 (per fragment): slim (uh, url, warc_ts, doc_id) scan written
       sorted by url-hash bucket, one row group per bucket;
-    - wave 2 (per bucket): read the bucket's row groups from every fragment
-      (row-group pruning), sort by (url, ts, id) — one lexsort finds every
-      url group's last-write-wins winner; everything else is a loser.
-      Real urls are compared, so a hash collision can never pick a wrong
-      winner. Dup groups crossing buckets are impossible (same url -> same
-      hash -> same bucket).
+    - wave 2 (per bucket × fragment-range): consecutive fragments are packed
+      into ranges (`_dedup_fragment_ranges`) so one sub-task reads
+      ≲ dedup_max_task_rows rows and opens ≤ dedup_max_files_per_task files.
+      Each sub-task lexsorts its slice, emits local last-write-wins LOSERS
+      immediately and — when more than one range exists — its per-url local
+      WINNER rows (one row per distinct url in the slice);
+    - combine (per bucket, only when ranges > 1): fold the bucket's winner
+      rows across ranges (≤ distinct-urls-per-range × ranges rows, tiny) and
+      emit the sub-winners that lose globally. Last-write-wins is an
+      associative per-url max, so the two-level fold is exact.
+
+    Real urls are compared at every level, so a hash collision can never
+    pick a wrong winner. Dup groups crossing buckets are impossible (same
+    url -> same hash -> same bucket). `dedup_meta.json` records buckets,
+    ranges and per-task rows-read so tests can assert the ceiling.
     """
+    cfg = cfg or IndexConfig()
+    total_rows = sum(int(f["rows"]) for f in fragments)
+    buckets = _dedup_bucket_count(total_rows, cfg)
+    ranges = _dedup_fragment_ranges(fragments, buckets, cfg)
     losers_dir = os.path.join(work_dir, "losers")
     done = os.path.join(losers_dir, "_SUCCESS")
     if os.path.exists(done):
         return losers_dir
     slim_dir = os.path.join(work_dir, "dedup_slim")
+    winners_dir = os.path.join(work_dir, "dedup_winners")
     os.makedirs(slim_dir, exist_ok=True)
     os.makedirs(losers_dir, exist_ok=True)
+    os.makedirs(winners_dir, exist_ok=True)
+    multi_range = len(ranges) > 1
 
     ds = rd.from_items(fragments, override_num_blocks=len(fragments))
-    slim_rows = ds.map_batches(
-        _slim_bucketed_write, fn_kwargs=dict(slim_dir=slim_dir),
+    ds.map_batches(
+        _slim_bucketed_write, fn_kwargs=dict(slim_dir=slim_dir, buckets=buckets),
         batch_format="pyarrow", batch_size=None).take_all()
-    slim_files = sorted(
-        os.path.join(slim_dir, f) for f in os.listdir(slim_dir)
-        if f.endswith(".parquet"))
 
-    def losers_of_bucket(batch: pa.Table) -> pa.Table:
+    def slim_path(frag: dict) -> str:
+        return os.path.join(slim_dir, f"frag-{int(frag['fragment_id']):06d}.parquet")
+
+    _task_schema = pa.schema([("bucket", pa.int32()), ("range_id", pa.int32()),
+                              ("rows_read", pa.int64()), ("losers", pa.int64())])
+
+    def losers_of_bucket_range(batch: pa.Table) -> pa.Table:
         _pin_arrow_threads()
         out = []
         for row in batch.to_pylist():
-            b = int(row["bucket"])
-            tabs = [pq.read_table(p, columns=["uh", "url", "warc_ts_us", "doc_id"],
+            b, rid = int(row["bucket"]), int(row["range_id"])
+            lo, hi = ranges[rid]
+            tabs = [pq.read_table(slim_path(fr),
+                                  columns=["uh", "url", "warc_ts_us", "doc_id"],
                                   filters=[("bucket", "==", b)])
-                    for p in slim_files]
+                    for fr in fragments[lo:hi]]
             t = pa.concat_tables(tabs)
             if t.num_rows == 0:
                 continue
@@ -229,17 +280,55 @@ def compute_dup_losers(fragments: list[dict], work_dir: str) -> str:
             if losers.size:
                 atomic_write_table(
                     pa.table({"doc_id": pa.array(losers, pa.int64())}),
-                    os.path.join(losers_dir, f"bucket-{b:05d}.parquet"))
-            out.append({"bucket": b, "losers": int(losers.size)})
-        if not out:
-            return pa.Table.from_pylist([], schema=pa.schema(
-                [("bucket", pa.int32()), ("losers", pa.int64())]))
-        return pa.Table.from_pylist(out, schema=pa.schema(
-            [("bucket", pa.int32()), ("losers", pa.int64())]))
+                    os.path.join(losers_dir, f"bucket-{b:05d}-range-{rid:04d}.parquet"))
+            if multi_range:
+                ids = t["doc_id"].to_numpy()
+                win_mask = np.ones(len(ids), dtype=bool)
+                if losers.size:
+                    pos = np.searchsorted(losers, ids)
+                    pos[pos >= losers.size] = losers.size - 1
+                    win_mask = losers[pos] != ids
+                atomic_write_table(
+                    t.filter(pa.array(win_mask)),
+                    os.path.join(winners_dir, f"bucket-{b:05d}-range-{rid:04d}.parquet"))
+            out.append({"bucket": b, "range_id": rid,
+                        "rows_read": int(t.num_rows), "losers": int(losers.size)})
+        return pa.Table.from_pylist(out, schema=_task_schema)
 
-    items = [{"bucket": b} for b in range(_DEDUP_BUCKETS)]
-    rd.from_items(items, override_num_blocks=len(items)).map_batches(
-        losers_of_bucket, batch_format="pyarrow", batch_size=1).take_all()
+    items = [{"bucket": b, "range_id": r}
+             for b in range(buckets) for r in range(len(ranges))]
+    task_rows = rd.from_items(items, override_num_blocks=len(items)).map_batches(
+        losers_of_bucket_range, batch_format="pyarrow", batch_size=1).take_all()
+
+    if multi_range:
+        def combine_bucket(batch: pa.Table) -> pa.Table:
+            _pin_arrow_threads()
+            out = []
+            for row in batch.to_pylist():
+                b = int(row["bucket"])
+                tabs = [pq.read_table(os.path.join(winners_dir, f))
+                        for f in sorted(os.listdir(winners_dir))
+                        if f.startswith(f"bucket-{b:05d}-")]
+                if not tabs:
+                    continue
+                t = pa.concat_tables(tabs)
+                losers = _last_write_wins_losers(t)
+                if losers.size:
+                    atomic_write_table(
+                        pa.table({"doc_id": pa.array(losers, pa.int64())}),
+                        os.path.join(losers_dir, f"bucket-{b:05d}-final.parquet"))
+                out.append({"bucket": b, "range_id": -1,
+                            "rows_read": int(t.num_rows), "losers": int(losers.size)})
+            return pa.Table.from_pylist(out, schema=_task_schema)
+
+        bitems = [{"bucket": b} for b in range(buckets)]
+        rd.from_items(bitems, override_num_blocks=len(bitems)).map_batches(
+            combine_bucket, batch_format="pyarrow", batch_size=1).take_all()
+
+    atomic_write_json(
+        {"buckets": buckets, "ranges": len(ranges), "total_rows": total_rows,
+         "max_task_rows": max((int(r["rows_read"]) for r in task_rows), default=0)},
+        os.path.join(losers_dir, "dedup_meta.json"))
     with open(done, "w") as f:
         f.write("ok")
     return losers_dir
@@ -810,7 +899,7 @@ def build_index(
     if use_html is None:
         use_html = "html" in pq.read_schema(fragments[0]["path"]).names
 
-    losers_dir = compute_dup_losers(fragments, work_dir) if dedup else None
+    losers_dir = compute_dup_losers(fragments, work_dir, cfg=cfg) if dedup else None
     t_dedup = time.perf_counter()
 
     frag_ds = rd.from_items(fragments, override_num_blocks=len(fragments))

@@ -964,7 +964,11 @@ o AS (SELECT doc_id, n,
              COALESCE(SUM(n) OVER (ORDER BY doc_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS st
       FROM t)
-SELECT doc_id, n AS n_tokens, st AS start_token,
+SELECT doc_id, n AS n_tokens,
+       -- CAST to BIGINT: DuckDB's window SUM over ints is HUGEINT (int128),
+       -- which fetch_df() lands as float64 — the engine emits int64, and the
+       -- driver's value-hash is dtype-sensitive (r3 red row was exactly this).
+       CAST(st AS BIGINT) AS start_token,
        CAST(st // {PACK_SEQ_LEN} AS BIGINT) AS seq_first,
        CAST((st + n - 1) // {PACK_SEQ_LEN} AS BIGINT) AS seq_last
 FROM o WHERE n > 0 ORDER BY doc_id
@@ -1349,6 +1353,10 @@ FROM u GROUP BY host ORDER BY host
 
 
 def q_minhash_pairs(sf_dir: str) -> pa.Table:
+    """Approximate-by-design (no SQL oracle for the raw pair set — banding
+    is probabilistic): quality is driver-gated by the SQL-pinned sibling
+    `minhash_recall`, which checks recall >= 0.9 of these pairs against the
+    exact shingle-Jaccard pair set plus an exact-precision flag."""
     from org_rdkit_lucene_ray.stages.dedup import minhash_dup_pairs
 
     return minhash_dup_pairs(
@@ -4106,109 +4114,117 @@ SELECT {EMB_PLANT_N}::BIGINT AS n_planted, {EMB_PLANT_N}::BIGINT AS n_found,
     # minhash_pairs / simhash_pairs / ivf_topk: approximate/stateful -> no SQL
 }
 
+# Driver-run ordering contract (r3 verdict #1): the per-round correctness
+# driver checks a PREFIX of this dict (r3 recorded exactly the first 50 of
+# 104 entries), so entries are ordered by evidence priority, not theme:
+#   1-30   the r3 red row (sequence_packing, oracle type-domain fixed) plus
+#          every oracled gate that has never had a driver row in any round;
+#   31-50  flagship gates re-verified on each round's head;
+#   51+    gates with green driver rows from r1-r3, in their prior order.
+# Rotate never-verified entries to the front whenever the surface grows.
 QUERIES = {
-    "term_df": q_term_df,
-    "doc_lengths": q_doc_lengths,
-    "token_counts": q_token_counts,
-    "distinct_terms_hll": q_distinct_terms_hll,
-    "lang_distinct_hll": q_lang_distinct_hll,
-    "lang_top_terms": q_lang_top_terms,
-    "value_histogram": q_value_histogram,
-    "snapshot_diff": q_snapshot_diff,
-    "funnel": q_funnel,
-    "langid_confusion": q_langid_confusion,
-    "doclen_quantiles_by_lang": q_doclen_quantiles_by_lang,
-    "heavy_hitters_cms": q_heavy_hitters_cms,
-    "top_terms": q_top_terms,
-    "lang_counts": q_lang_counts,
-    "quality_scores": q_quality_scores,
-    "quality_filter": q_quality_filter,
-    "doc_fingerprints": q_doc_fingerprints,
-    "gopher_rules": q_gopher_rules,
-    "url_dedup": q_url_dedup,
-    "paragraph_dedup": q_paragraph_dedup,
-    "stratified_sample": q_stratified_sample,
-    "mixture_sample": q_mixture_sample,
-    "epoch_mix": q_epoch_mix,
-    "domain_cap": q_domain_cap,
     "sequence_packing": q_sequence_packing,
-    "doc_top_terms": q_doc_top_terms,
-    "spell_suggest": q_spell_suggest,
-    "minhash_recall": q_minhash_recall,
-    "simhash_complete": q_simhash_complete,
-    "pii_scrub": q_pii_scrub,
-    "duplicate_spans": q_duplicate_spans,
-    "decontaminate": q_decontaminate,
-    "langid": q_langid,
-    "row_range_filter": q_row_range_filter,
-    "exact_dedup": q_exact_dedup,
-    "token_jaccard_pairs": q_token_jaccard_pairs,
-    "dedup_clusters": q_dedup_clusters,
-    "semantic_dedup": q_semantic_dedup,
-    "domain_stats": q_domain_stats,
-    "tfidf_topk": q_tfidf_topk,
-    "explain_score": q_explain_score,
-    "collapse_field": q_collapse_field,
-    "numeric_range_search": q_numeric_range_search,
-    "classifier_filter": q_classifier_filter,
-    "classifier_quantile_filter": q_classifier_quantile_filter,
-    "token_budget_cut": q_token_budget_cut,
-    "sort_by_field": q_sort_by_field,
-    "synonym_search": q_synonym_search,
-    "boosted_query": q_boosted_query,
-    "minhash_pairs": q_minhash_pairs,
-    "simhash_pairs": q_simhash_pairs,
-    "index_stats": q_index_stats,
     "delete_by_query": q_delete_by_query,
-    "bm25_topk": q_bm25_topk,
     "highlight": q_highlight,
     "pagerank": q_pagerank,
     "perplexity_topk": q_perplexity_topk,
-    "search_and": q_search_and,
     "percolate": q_percolate,
     "blockjoin_search": q_blockjoin_search,
     "hybrid_rrf": q_hybrid_rrf,
-    "fielded_search": q_fielded_search,
-    "fp_search": q_fp_search,
-    "screen_verify": q_screen_verify,
-    "boolean_query": q_boolean_query,
-    "search_or": q_search_or,
     "facet_counts": q_facet_counts,
     "more_like_this": q_more_like_this,
-    "fielded_list_search": q_fielded_list_search,
-    "capped_search": q_capped_search,
     "fuzzy_search": q_fuzzy_search,
     "prefix_search": q_prefix_search,
     "wildcard_search": q_wildcard_search,
     "range_search": q_range_search,
     "parser_query": q_parser_query,
     "phrase_search": q_phrase_search,
-    "search_after_page2": q_search_after_page2,
-    "search_exact": q_search_exact,
-    "point_lookup": q_point_lookup,
-    "tumbling_hourly": q_tumbling_hourly,
     "hopping_window": q_hopping_window,
-    "sessionize": q_sessionize,
-    "grouped_topn": q_grouped_topn,
-    "events_type_stats": q_events_type_stats,
-    "orders_by_segment": q_orders_by_segment,
     "price_quantiles": q_price_quantiles,
     "price_quantiles_by_flag": q_price_quantiles_by_flag,
     "order_revenue": q_order_revenue,
     "asof_view_attribution": q_asof_view_attribution,
     "price_band_stats": q_price_band_stats,
-    "ann_topk": q_ann_topk,
-    "ann_threshold": q_ann_threshold,
-    "ivf_topk": q_ivf_topk,
     "ivf_recall": q_ivf_recall,
     "emb_ivf_recall": q_emb_ivf_recall,
     "emb_lsh_recall": q_emb_lsh_recall,
-    "embedding_dup_pairs": q_embedding_dup_pairs,
-    "embedding_dup_pairs_ivf": q_embedding_dup_pairs_ivf,
-    "media_features": q_media_features,
     "shingle_df": q_shingle_df,
     "char_ngram_df": q_char_ngram_df,
     "stem_df": q_stem_df,
     "free_multifield": q_free_multifield,
     "record_roundtrip": q_record_roundtrip,
+    "bm25_topk": q_bm25_topk,
+    "term_df": q_term_df,
+    "doc_lengths": q_doc_lengths,
+    "exact_dedup": q_exact_dedup,
+    "point_lookup": q_point_lookup,
+    "search_exact": q_search_exact,
+    "index_stats": q_index_stats,
+    "orders_by_segment": q_orders_by_segment,
+    "minhash_recall": q_minhash_recall,
+    "simhash_complete": q_simhash_complete,
+    "search_after_page2": q_search_after_page2,
+    "tfidf_topk": q_tfidf_topk,
+    "quality_scores": q_quality_scores,
+    "dedup_clusters": q_dedup_clusters,
+    "semantic_dedup": q_semantic_dedup,
+    "paragraph_dedup": q_paragraph_dedup,
+    "token_budget_cut": q_token_budget_cut,
+    "funnel": q_funnel,
+    "snapshot_diff": q_snapshot_diff,
+    "screen_verify": q_screen_verify,
+    "token_counts": q_token_counts,
+    "distinct_terms_hll": q_distinct_terms_hll,
+    "lang_distinct_hll": q_lang_distinct_hll,
+    "lang_top_terms": q_lang_top_terms,
+    "value_histogram": q_value_histogram,
+    "langid_confusion": q_langid_confusion,
+    "doclen_quantiles_by_lang": q_doclen_quantiles_by_lang,
+    "heavy_hitters_cms": q_heavy_hitters_cms,
+    "top_terms": q_top_terms,
+    "lang_counts": q_lang_counts,
+    "quality_filter": q_quality_filter,
+    "doc_fingerprints": q_doc_fingerprints,
+    "gopher_rules": q_gopher_rules,
+    "url_dedup": q_url_dedup,
+    "stratified_sample": q_stratified_sample,
+    "mixture_sample": q_mixture_sample,
+    "epoch_mix": q_epoch_mix,
+    "domain_cap": q_domain_cap,
+    "doc_top_terms": q_doc_top_terms,
+    "spell_suggest": q_spell_suggest,
+    "pii_scrub": q_pii_scrub,
+    "duplicate_spans": q_duplicate_spans,
+    "decontaminate": q_decontaminate,
+    "langid": q_langid,
+    "row_range_filter": q_row_range_filter,
+    "token_jaccard_pairs": q_token_jaccard_pairs,
+    "domain_stats": q_domain_stats,
+    "explain_score": q_explain_score,
+    "collapse_field": q_collapse_field,
+    "numeric_range_search": q_numeric_range_search,
+    "classifier_filter": q_classifier_filter,
+    "classifier_quantile_filter": q_classifier_quantile_filter,
+    "sort_by_field": q_sort_by_field,
+    "synonym_search": q_synonym_search,
+    "boosted_query": q_boosted_query,
+    "minhash_pairs": q_minhash_pairs,
+    "simhash_pairs": q_simhash_pairs,
+    "search_and": q_search_and,
+    "fielded_search": q_fielded_search,
+    "fp_search": q_fp_search,
+    "boolean_query": q_boolean_query,
+    "search_or": q_search_or,
+    "fielded_list_search": q_fielded_list_search,
+    "capped_search": q_capped_search,
+    "tumbling_hourly": q_tumbling_hourly,
+    "sessionize": q_sessionize,
+    "grouped_topn": q_grouped_topn,
+    "events_type_stats": q_events_type_stats,
+    "ann_topk": q_ann_topk,
+    "ann_threshold": q_ann_threshold,
+    "ivf_topk": q_ivf_topk,
+    "embedding_dup_pairs": q_embedding_dup_pairs,
+    "embedding_dup_pairs_ivf": q_embedding_dup_pairs_ivf,
+    "media_features": q_media_features,
 }

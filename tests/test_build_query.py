@@ -319,6 +319,45 @@ def test_last_write_wins_losers_with_hash_collisions():
     assert _last_write_wins_losers(t2).tolist() == [5]
 
 
+def test_dedup_bounded_fanin_matches_single_range(ray_session, pages_dir, tmp_path):
+    """Wave-2 fan-in bounds (r3 verdict #2): forcing one fragment per
+    (bucket, range) sub-task plus the per-bucket winner combine must emit
+    exactly the same loser set as the unbounded single-range path, and
+    dedup_meta.json must prove the per-task row ceiling held."""
+    import json
+
+    from org_rdkit_lucene_ray.config import IndexConfig
+    from org_rdkit_lucene_ray.pipelines.build import (
+        _read_losers_in_range,
+        compute_dup_losers,
+        plan_fragments,
+    )
+
+    frags = plan_fragments(pages_dir)
+    total = sum(f["rows"] for f in frags)
+
+    one = str(tmp_path / "one")
+    many = str(tmp_path / "many")
+    os.makedirs(one), os.makedirs(many)
+    d1 = compute_dup_losers(frags, one, cfg=IndexConfig())
+    cfg_split = IndexConfig(dedup_max_files_per_task=1, dedup_max_task_rows=64)
+    d2 = compute_dup_losers(frags, many, cfg=cfg_split)
+
+    m1 = json.load(open(os.path.join(d1, "dedup_meta.json")))
+    m2 = json.load(open(os.path.join(d2, "dedup_meta.json")))
+    assert m1["ranges"] == 1
+    assert m2["ranges"] == len(frags), "split config must force one range per fragment"
+    # ceiling: no sub-task read more than one fragment's share of one bucket
+    # (skew allowance: <= the largest fragment, far below total/buckets_of_16)
+    assert m2["max_task_rows"] <= max(f["rows"] for f in frags)
+    assert m2["max_task_rows"] < m1["max_task_rows"]
+
+    l1 = _read_losers_in_range(d1, 0, total)
+    l2 = _read_losers_in_range(d2, 0, total)
+    assert l1.size > 0, "fixture must contain url dups"
+    assert l1.tolist() == l2.tolist()
+
+
 def test_index_format_version_guard(built_index):
     """An index written under a different on-disk format / term-bucket hash
     must be refused loudly (the searcher probes only the computed bucket, so

@@ -54,6 +54,14 @@ def _compare(name: str, got: pd.DataFrame, want: pd.DataFrame):
     assert len(got) == len(want), f"{name}: rows {len(got)} != {len(want)}"
     g, w = _canon(got), _canon(want)
     for c in g.columns:
+        # the driver's value-hash is dtype-sensitive: an int64 engine column
+        # vs a float64 oracle column (e.g. DuckDB HUGEINT window-SUM through
+        # fetch_df) hash-mismatches even when values are equal — the r3
+        # `sequence_packing` red row. Guard every gate against that class.
+        if len(g) and g[c].dtype != w[c].dtype:
+            raise AssertionError(
+                f"{name}.{c}: dtype {g[c].dtype} != oracle {w[c].dtype} "
+                "(driver value-hash is dtype-sensitive — cast the SQL side)")
         gv, wv = g[c].to_numpy(), w[c].to_numpy()
         if gv.dtype.kind == "f" or wv.dtype.kind == "f":
             np.testing.assert_array_equal(
