@@ -705,8 +705,9 @@ def q_pii_scrub(sf_dir: str) -> rd.Dataset:
             pa.array(email, pa.string()), pa.array(ip, pa.string()),
             pa.array(ph, pa.string()), "")
         s = scrub_batch(txt)
-        md5 = pa.array([hashlib.md5(x.encode()).hexdigest()
-                        for x in s["clean"].to_pylist()], pa.string())
+        from org_rdkit_lucene_ray.util import md5_hex_column
+
+        md5 = md5_hex_column(s["clean"])
         return pa.table({"doc_id": pc.cast(t["doc_id"], pa.int64()),
                          "n_email": s["n_email"], "n_ipv4": s["n_ipv4"],
                          "n_phone": s["n_phone"], "clean_md5": md5})
@@ -1221,13 +1222,20 @@ def q_exact_dedup(sf_dir: str) -> rd.Dataset:
     return exact_dedup_groups(_docs(sf_dir, columns=["doc_id", "text"]))
 
 
+# docs × vocab ceiling for the exact all-pairs oracle below: 5000 docs ×
+# 40k vocab ≈ 2e8 int64 cells (1.6 GB) is the most a driver-side exact
+# check should ever hold; sf0.01 uses ~500 × 4k ≈ 2e6
+_JACCARD_MAX_CELLS = 200_000_000
+
+
 def q_token_jaccard_pairs(sf_dir: str) -> pa.Table:
     """Distinct-token-set Jaccard >= threshold over all pairs. Integer
     intersection/union counts -> one exact double division (SQL-parity).
 
     Shape: distributed tokenize (map_batches) -> bounded collected token-set
     matrix -> numpy int matmul. All-pairs is inherently O(n^2); at scale this
-    runs per-LSH-bucket (see minhash pipeline), never globally."""
+    runs per-LSH-bucket (see minhash pipeline), never globally — the
+    `_JACCARD_MAX_CELLS` ceiling makes that contract loud (r3 verdict #6)."""
     def tok_sets(t: pa.Table) -> pa.Table:
         toks = tokenize_column(t["text"].combine_chunks(), REGISTRY["standard"])
         return pa.table({
@@ -1245,6 +1253,14 @@ def q_token_jaccard_pairs(sf_dir: str) -> pa.Table:
     ids = np.array([r["doc_id"] for r in rows], dtype=np.int64)
     sets = [set(r["terms"]) for r in rows]
     vocab = sorted(set().union(*sets)) if sets else []
+    if len(sets) * max(1, len(vocab)) > _JACCARD_MAX_CELLS:
+        raise ValueError(
+            f"token_jaccard_pairs: {len(sets):,} docs x {len(vocab):,} vocab "
+            f"= {len(sets) * len(vocab):,} matrix cells exceeds the "
+            f"{_JACCARD_MAX_CELLS:,} exact-oracle ceiling. This surface is "
+            "the small-slice exact oracle for the approximate dedups; at "
+            "corpus scale run it per-LSH-bucket (minhash_dup_pairs verify "
+            "path) instead of globally.")
     vidx = {v: i for i, v in enumerate(vocab)}
     inc = np.zeros((len(sets), len(vocab)), dtype=np.int64)
     for i, s in enumerate(sets):
@@ -2734,12 +2750,10 @@ def q_snapshot_diff(sf_dir: str) -> rd.Dataset:
     docs = _docs(sf_dir, columns=["doc_id", "text"])
 
     def old_fp(t: pa.Table) -> pa.Table:
-        import hashlib
+        from org_rdkit_lucene_ray.util import md5_hex_column
 
-        fps = [hashlib.md5(x.encode()).hexdigest()
-               for x in t["text"].to_pylist()]
         return pa.table({"doc_id": pc.cast(t["doc_id"], pa.int64()),
-                         "fp_old": pa.array(fps, pa.string())})
+                         "fp_old": md5_hex_column(t["text"])})
 
     def new_fp(t: pa.Table) -> pa.Table:
         import hashlib
@@ -2860,8 +2874,12 @@ def q_events_type_stats(sf_dir: str) -> rd.Dataset:
 
 
 def q_orders_by_segment(sf_dir: str) -> rd.Dataset:
-    """Broadcast join (small side via ray.put, J7 pattern): orders ->
-    customer.mktsegment lookup inside map_batches, then groupby segment.
+    """Size-switched lookup join (J7 pattern, `stages.join.lookup_join`):
+    orders -> customer.mktsegment. Below `BROADCAST_ROW_LIMIT` the
+    customer side ships ONCE as Arrow refs and is probed with a
+    vectorized `pc.index_in` inside map_batches (no shuffle, no driver
+    dict); above it the same call falls back to the hash-partitioned
+    `Dataset.join` that `order_revenue` uses. Then groupby segment.
 
     Prices are summed as INTEGER CENTS (o_totalprice is a 2-dp decimal):
     the float64 sum of ~3k values at 7e8 magnitude is order-dependent
@@ -2870,30 +2888,25 @@ def q_orders_by_segment(sf_dir: str) -> rd.Dataset:
     int64 cents sum is exact and order-independent; the oracle computes
     the identical cents sum in SQL, so total_price = cents/100.0 is
     bitwise-equal on both sides."""
-    import ray
     from ray.data.aggregate import Count, Sum
 
-    cust = pq.read_table(os.path.join(sf_dir, "customer.parquet"),
-                         columns=["c_custkey", "c_mktsegment"])
-    lut_ref = ray.put(dict(zip(cust["c_custkey"].to_pylist(),
-                               cust["c_mktsegment"].to_pylist())))
+    from org_rdkit_lucene_ray.stages.join import lookup_join
 
-    class AttachSegment:
-        def __init__(self):
-            self.lut = ray.get(lut_ref)
+    orders = rd.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                             columns=["o_custkey", "o_totalprice"])
+    cust = rd.read_parquet(os.path.join(sf_dir, "customer.parquet"),
+                           columns=["c_custkey", "c_mktsegment"])
 
-        def __call__(self, t: pa.Table) -> pa.Table:
-            segs = [self.lut.get(k) for k in t["o_custkey"].to_pylist()]
-            cents = np.round(t["o_totalprice"].to_numpy() * 100.0).astype(np.int64)
-            return pa.table({
-                "mktsegment": pa.array(segs, pa.string()),
-                "price_cents": pa.array(cents, pa.int64()),
-            })
+    def to_cents(t: pa.Table) -> pa.Table:
+        cents = np.round(t["o_totalprice"].to_numpy() * 100.0).astype(np.int64)
+        return pa.table({
+            "mktsegment": t["c_mktsegment"],
+            "price_cents": pa.array(cents, pa.int64()),
+        })
 
     agg = (
-        rd.read_parquet(os.path.join(sf_dir, "orders.parquet"),
-                        columns=["o_custkey", "o_totalprice"])
-        .map_batches(AttachSegment, batch_format="pyarrow", concurrency=2)
+        lookup_join(orders, cust, on="o_custkey", right_on="c_custkey")
+        .map_batches(to_cents, batch_format="pyarrow")
         .groupby("mktsegment")
         .aggregate(Count(alias_name="n_orders"),
                    Sum("price_cents", alias_name="total_cents"))

@@ -301,7 +301,14 @@ def embedding_dup_pairs_ivf(ds: rd.Dataset, *, threshold: float = 0.95,
     vectors land in the same coarse cell with overwhelming probability, so
     this trades a bounded recall loss at cell borders for O(sum n_c^2)
     instead of O(n^2) — the screen/verify shape of the reference's
-    substructure search (two-phase, ChemicalIndex.java:657-727)."""
+    substructure search (two-phase, ChemicalIndex.java:657-727).
+
+    SIZING ``nlist``: within-cluster work is quadratic in the largest
+    cell, so callers must scale ``nlist`` with corpus size (rule of
+    thumb: ``nlist ≈ n_vectors / target_cell`` with ``target_cell``
+    in the low tens of thousands — e.g. 1e9 vectors / 2e4 ≈ 50k lists).
+    A cell larger than the shared ``_MAX_LSH_BUCKET`` ceiling fails
+    loudly below instead of silently going O(n²) (r3 verdict #9)."""
     sample = pa.concat_tables(
         ds.limit(4096).iter_batches(batch_format="pyarrow"))
     ivf = IVFIndex(nlist=nlist, seed=seed).train(_emb_matrix(sample, emb_col))
@@ -320,8 +327,19 @@ def embedding_dup_pairs_ivf(ds: rd.Dataset, *, threshold: float = 0.95,
                 "cluster": pa.array(cl),
             })
 
+    # resolve the shared ceiling on the DRIVER so tests can patch it; the
+    # value rides into workers inside the map_groups closure
+    from org_rdkit_lucene_ray.stages import dedup as _dedup
+
+    max_cell = _dedup._MAX_LSH_BUCKET
+
     def pairs_in_cluster(g: pa.Table) -> pa.Table:
         ids = g[id_col].to_numpy()
+        if ids.size > max_cell:
+            raise ValueError(
+                f"IVF cell holds {ids.size:,} vectors (> {max_cell:,}): "
+                "within-cluster pairing is quadratic — raise nlist "
+                "(≈ n_vectors / 2e4; see docstring) or pre-shard the corpus")
         E = _normalize(_emb_matrix(g, emb_col))
         sims = E @ E.T
         ii, jj = np.nonzero(np.triu(sims >= threshold, k=1))

@@ -67,9 +67,9 @@ def exact_dedup_groups(docs: rd.Dataset, *, text_col: str = "text",
     from ray.data.aggregate import Count, Min
 
     def fingerprint(t: pa.Table) -> pa.Table:
-        fps = [hashlib.md5(x.encode("utf-8")).hexdigest() if x is not None else ""
-               for x in t[text_col].to_pylist()]
-        return pa.table({"fp": pa.array(fps, pa.string()),
+        from org_rdkit_lucene_ray.util import md5_hex_column
+
+        return pa.table({"fp": md5_hex_column(t[text_col], null_value=""),
                          id_col: pc.cast(t[id_col], pa.int64())})
 
     agg = (
@@ -970,10 +970,9 @@ def paragraph_dedup_stats(docs: rd.Dataset, *, text_col: str = "text",
             raise ValueError(
                 f"doc exceeds {1 << _PARA_IDX_BITS:,} paragraphs; raise "
                 "_PARA_IDX_BITS (packed-position layout)")
-        digs = b"".join(hashlib.md5(x.encode("utf-8")).digest()
-                        for x in flat.to_pylist())
-        dd = np.frombuffer(digs, np.int64).reshape(-1, 2) if flat \
-            else np.zeros((0, 2), np.int64)
+        from org_rdkit_lucene_ray.util import md5_digest64_column
+
+        dd = md5_digest64_column(flat)
         return pa.table({
             "b": pa.array((dd[:, 0].view(np.uint64) >> bshift)
                           .astype(np.int32)),

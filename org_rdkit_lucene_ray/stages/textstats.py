@@ -182,11 +182,11 @@ def repetition_stats_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
 
 def md5_fingerprint_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     """Append ``fp_md5`` — content fingerprint (matches DuckDB ``md5()``).
-    hashlib releases the GIL per call; the per-row loop is a C-speed digest,
-    not hot Python."""
-    fps = [hashlib.md5(t.encode("utf-8")).hexdigest() if t is not None else None
-           for t in batch[text_col].to_pylist()]
-    return batch.append_column("fp_md5", pa.array(fps, pa.string()))
+    Digests the Arrow UTF-8 buffer by offset slices (`util.md5_hex_column`),
+    skipping the per-row str decode/encode round-trip."""
+    from org_rdkit_lucene_ray.util import md5_hex_column
+
+    return batch.append_column("fp_md5", md5_hex_column(batch[text_col]))
 
 
 def rolling_fingerprint_batch(batch: pa.Table, text_col: str = "text",

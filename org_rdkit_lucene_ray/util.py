@@ -44,3 +44,67 @@ def install_empty_schema_warning_filter() -> None:
         "ray.data._internal.execution.streaming_executor_state"
     ).addFilter(_EmptySchemaDivergenceFilter())
     _INSTALLED = True
+
+
+def md5_hex_column(arr, *, null_value=None):
+    """md5 hex digests of a UTF-8 Arrow string column, DuckDB ``md5()``
+    parity. Hashes the column's flat UTF-8 buffer by offset slices —
+    no per-row str decode/encode round-trip (measured 1.5 vs 2.8 µs/row
+    at the 400k tier; the remaining cost is hashlib's per-call floor,
+    profiled r4 — a vectorized md5 kernel exists in neither pyarrow nor
+    numpy). ``null_value`` is emitted for null rows (e.g. ``""`` to match
+    a ``COALESCE`` oracle, or None to propagate nulls).
+    """
+    import hashlib
+
+    import numpy as np
+    import pyarrow as pa
+
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    if arr.type == pa.large_string():
+        off_dtype = np.int64
+    elif arr.type == pa.string():
+        off_dtype = np.int32
+    else:
+        arr = arr.cast(pa.string())
+        off_dtype = np.int32
+    n = len(arr)
+    if n == 0:
+        return pa.array([], pa.string())
+    bufs = arr.buffers()
+    offs = np.frombuffer(bufs[1], off_dtype)[arr.offset: arr.offset + n + 1]
+    mv = memoryview(bufs[2]) if bufs[2] is not None else memoryview(b"")
+    md5 = hashlib.md5
+    out = [md5(mv[offs[i]: offs[i + 1]]).hexdigest() for i in range(n)]
+    if arr.null_count:
+        nulls = np.asarray(pa.compute.is_null(arr))
+        for i in np.flatnonzero(nulls):
+            out[i] = null_value
+    return pa.array(out, pa.string())
+
+
+def md5_digest64_column(arr) -> "np.ndarray":
+    """md5 digests of a UTF-8 Arrow string column as an (n, 2) int64 array
+    (the 16-byte digest viewed as two little-endian int64 words — the
+    paragraph/span dedup key layout). Same buffer-slice path as
+    :func:`md5_hex_column`; null rows hash as empty strings."""
+    import hashlib
+
+    import numpy as np
+    import pyarrow as pa
+
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    if arr.type not in (pa.string(), pa.large_string()):
+        arr = arr.cast(pa.string())
+    off_dtype = np.int64 if arr.type == pa.large_string() else np.int32
+    n = len(arr)
+    if n == 0:
+        return np.zeros((0, 2), np.int64)
+    bufs = arr.buffers()
+    offs = np.frombuffer(bufs[1], off_dtype)[arr.offset: arr.offset + n + 1]
+    mv = memoryview(bufs[2]) if bufs[2] is not None else memoryview(b"")
+    md5 = hashlib.md5
+    digs = b"".join(md5(mv[offs[i]: offs[i + 1]]).digest() for i in range(n))
+    return np.frombuffer(digs, np.int64).reshape(-1, 2)

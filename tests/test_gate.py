@@ -112,3 +112,13 @@ def test_entry_runs(ray_session):
     out = _to_df(e.entry())
     assert len(out) > 0
     assert {"query_id", "rank", "doc_id"} <= set(out.columns)
+
+
+def test_token_jaccard_refuses_oversized_matrix(ray_session, monkeypatch):
+    """The exact all-pairs oracle must fail LOUDLY past its docs×vocab
+    ceiling instead of allocating a quadratic matrix (r3 verdict #6)."""
+    from org_rdkit_lucene_ray.pipelines import gate
+
+    monkeypatch.setattr(gate, "_JACCARD_MAX_CELLS", 10)
+    with pytest.raises(ValueError, match="exact-oracle ceiling"):
+        gate.q_token_jaccard_pairs(SF_DIR)
