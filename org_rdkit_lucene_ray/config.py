@@ -123,6 +123,15 @@ class IndexConfig:
     # metadata columns indexed as composite "col:value" terms (J5 multi-field
     # query surface, MultiFieldQueryParser analog ChemicalIndex.java:466-491)
     field_columns: tuple[str, ...] = ()
+    # OPTIONAL positional postings sidecar (Lucene's positions-at-index-time;
+    # the reference's fields are NOT_ANALYZED so it has no positional surface
+    # — this is the fulltext-tier extension, r3 verdict #7): each chunk row
+    # gains a `pos_bytes` stream of delta+varint token positions, one
+    # self-contained run per posting (run length = that posting's tf). Phrase
+    # / proximity verify then costs O(candidate postings) instead of a full
+    # stored-text decode per candidate. Off by default: ~the cost of one
+    # extra tf-like stream per posting at build time and on disk.
+    store_positions: bool = False
 
     def manifest_dict(self) -> dict:
         return {
@@ -137,4 +146,5 @@ class IndexConfig:
             "query_analyzer": asdict(self.query_analyzer),
             "query_analyzer_fp": self.query_analyzer.fingerprint(),
             "field_columns": list(self.field_columns),
+            "store_positions": self.store_positions,
         }

@@ -242,6 +242,7 @@ def postings_from_batch(
     doc_ids: pa.Array | np.ndarray,
     texts: pa.Array | pa.ChunkedArray,
     cfg: AnalyzerConfig,
+    positions: bool = False,
 ) -> tuple[pa.Table, pa.Table]:
     """One Arrow batch -> (postings, doclens).
 
@@ -250,7 +251,13 @@ def postings_from_batch(
     encoding never needs a doc-length join (SURVEY §7.1(5) design note).
     doclens: ``doc_id:int64, dl:int32`` (one row per doc, incl. empty docs).
 
-    Fully vectorized: re2 split + arrow group_by; no Python per row.
+    ``positions=True`` (store_positions builds) adds ``pos_bytes:binary`` —
+    the posting's ascending token positions, delta+varint encoded
+    (functions/codec.py) — and produces the exact same (term, doc, tf, dl)
+    set via a lexsort-segmented pass instead of the arrow group_by.
+
+    Fully vectorized: re2 split + arrow group_by / numpy lexsort; no Python
+    per row.
     """
     if isinstance(doc_ids, np.ndarray):
         doc_ids = pa.array(doc_ids, type=pa.int64())
@@ -259,17 +266,59 @@ def postings_from_batch(
     parents = pc.list_parent_indices(toks)
     dl = pc.cast(pc.list_value_length(toks), pa.int32())
     doclens = pa.table({"doc_id": pc.cast(doc_ids, pa.int64()), "dl": dl})
-    pairs = pa.table({
-        "doc_id": pc.take(doc_ids, parents),
-        "term": flat,
-        "dl": pc.take(dl, parents),
-    })
-    grouped = pairs.group_by(["doc_id", "term", "dl"]).aggregate([("term", "count")])
+    if not positions:
+        pairs = pa.table({
+            "doc_id": pc.take(doc_ids, parents),
+            "term": flat,
+            "dl": pc.take(dl, parents),
+        })
+        grouped = pairs.group_by(["doc_id", "term", "dl"]).aggregate([("term", "count")])
+        postings = pa.table({
+            "term": grouped["term"],
+            "doc_id": pc.cast(grouped["doc_id"], pa.int64()),
+            "tf": pc.cast(grouped["term_count"], pa.int32()),
+            "dl": grouped["dl"],
+        })
+        return postings, doclens
+
+    from org_rdkit_lucene_ray.functions.codec import encode_position_streams
+
+    p = parents.to_numpy(zero_copy_only=False).astype(np.int64)
+    n = p.size
+    if n == 0:
+        empty = pa.table({
+            "term": pa.array([], pa.string()),
+            "doc_id": pa.array([], pa.int64()),
+            "tf": pa.array([], pa.int32()),
+            "dl": pa.array([], pa.int32()),
+            "pos_bytes": pa.array([], pa.binary()),
+        })
+        return empty, doclens
+    # intra-doc token position: arange minus each doc-run's start (parents
+    # is non-decreasing by construction)
+    run_starts = np.concatenate([[0], np.flatnonzero(np.diff(p) != 0) + 1])
+    run_lens = np.diff(np.concatenate([run_starts, [n]]))
+    pos = np.arange(n, dtype=np.int64) - np.repeat(run_starts, run_lens)
+    td = pc.dictionary_encode(flat)
+    tidx = td.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.lexsort((pos, tidx, p))
+    ps, ts, qs = p[order], tidx[order], pos[order]
+    new_grp = np.empty(n, dtype=bool)
+    new_grp[0] = True
+    new_grp[1:] = (ps[1:] != ps[:-1]) | (ts[1:] != ts[:-1])
+    gstarts = np.flatnonzero(new_grp)
+    tf = np.diff(np.concatenate([gstarts, [n]])).astype(np.int32)
+    buf, offs = encode_position_streams(qs, gstarts)
+    pos_col = pa.Array.from_buffers(
+        pa.binary(), gstarts.size,
+        [None, pa.py_buffer(offs.astype(np.int32).tobytes()), pa.py_buffer(buf)])
+    dl_np = dl.to_numpy(zero_copy_only=False)
     postings = pa.table({
-        "term": grouped["term"],
-        "doc_id": pc.cast(grouped["doc_id"], pa.int64()),
-        "tf": pc.cast(grouped["term_count"], pa.int32()),
-        "dl": grouped["dl"],
+        "term": td.dictionary.take(pa.array(ts[gstarts])).cast(pa.string()),
+        "doc_id": pc.take(doc_ids, pa.array(ps[gstarts])),
+        "tf": pa.array(tf, pa.int32()),
+        "dl": pa.array(dl_np[ps[gstarts]], pa.int32()),
+        "pos_bytes": pos_col,
     })
     return postings, doclens
 

@@ -238,3 +238,56 @@ def decode_posting_list(row: dict) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     tfs = varint_decode(row["tf_bytes"], n).astype(np.int32)
     dls = varint_decode(row["dl_bytes"], n).astype(np.int32)
     return doc_ids, tfs, dls
+
+
+# ------------------------------------------------------------------ positions
+def encode_position_streams(positions: np.ndarray,
+                            posting_starts: np.ndarray) -> tuple[bytes, np.ndarray]:
+    """Encode MANY postings' token-position lists in one vectorized pass.
+
+    ``positions`` is the concatenation of every posting's ascending token
+    positions; ``posting_starts`` marks each posting's first value. Each
+    posting's run is delta-encoded with a reset at its start and LEB128 is
+    self-contained per value, so any posting's stream is a byte slice of
+    the whole encoding — the same slicing property the doc/tf/dl streams
+    rely on (:func:`encode_posting_block`).
+
+    Returns ``(buf, offsets)`` with ``offsets[i]:offsets[i+1]`` delimiting
+    posting *i*'s bytes (len = n_postings + 1).
+    """
+    n = positions.size
+    m = posting_starts.size
+    if n == 0:
+        return b"", np.zeros(m + 1, dtype=np.int64)
+    deltas = np.empty(n, dtype=np.uint64)
+    deltas[1:] = np.diff(positions).astype(np.uint64)
+    deltas[posting_starts] = positions[posting_starts].astype(np.uint64)
+    within = np.ones(n, dtype=bool)
+    within[posting_starts] = False
+    if n > 1 and not (np.diff(positions)[within[1:]] > 0).all():
+        raise ValueError("positions must be strictly increasing within a posting")
+    buf = varint_encode(deltas)
+    lens = varint_lengths(deltas)
+    cum = np.concatenate([[0], np.cumsum(lens)])
+    bounds = np.concatenate([posting_starts, [n]])
+    return buf, cum[bounds]
+
+
+def decode_position_streams(buf: bytes | np.ndarray,
+                            counts: np.ndarray) -> np.ndarray:
+    """Inverse of :func:`encode_position_streams` over a CONCATENATED byte
+    stream: ``counts[i]`` values belong to posting *i* (= its tf). Returns
+    the flat ascending-position array; posting *i*'s slice is
+    ``[cumsum(counts)[i-1], cumsum(counts)[i])``. One :func:`varint_decode`
+    call + one segmented cumsum — no per-posting Python loop."""
+    counts = np.asarray(counts, dtype=np.int64)
+    total = int(counts.sum())
+    deltas = varint_decode(buf, total)
+    if total == 0:
+        return np.zeros(0, dtype=np.int64)
+    G = np.cumsum(deltas.astype(np.int64))
+    bounds = np.cumsum(counts)
+    run_base = np.concatenate([[0], G[bounds[:-1] - 1]]) if counts.size > 1 \
+        else np.zeros(1, np.int64)
+    # empty postings can't occur (tf >= 1), so bounds[:-1]-1 is always valid
+    return G - np.repeat(run_base, counts)

@@ -61,6 +61,7 @@ from org_rdkit_lucene_ray.functions.html import extract_text
 from org_rdkit_lucene_ray.state import checkpoint as ckpt
 from org_rdkit_lucene_ray.state.segment import (
     SEGMENT_SCHEMA,
+    SEGMENT_SCHEMA_POS,
     atomic_write_json,
     atomic_write_table,
     gen_name,
@@ -534,10 +535,17 @@ class FragmentTokenizer:
                     doc_ids = doc_ids[idx]
                     text = text.take(pa.array(idx))
                     t = t.take(pa.array(idx))
-            postings, doclens = postings_from_batch(doc_ids, text, self.analyzer)
+            postings, doclens = postings_from_batch(
+                doc_ids, text, self.analyzer,
+                positions=self.cfg.store_positions)
             post_parts.append(postings)
             fielded = self._field_postings(t, doc_ids, doclens["dl"].combine_chunks())
             if fielded is not None:
+                if self.cfg.store_positions:
+                    # fielded "col:value" terms carry NO positions (they are
+                    # whole-value terms, not text tokens) — null sidecar rows
+                    fielded = fielded.append_column(
+                        "pos_bytes", pa.nulls(fielded.num_rows, pa.binary()))
                 post_parts.append(fielded)
             fwd_cols = {"doc_id": pa.array(doc_ids, pa.int64()), "dl": doclens["dl"]}
             if self.url_column:
@@ -683,6 +691,34 @@ def _binary_from_offsets(buf: bytes, offsets: np.ndarray) -> pa.Array:
     )
 
 
+def _term_position_streams(pos_col, term_starts: np.ndarray,
+                           n_rows: int) -> pa.Array:
+    """Fold the per-POSTING position blobs (already in (term, doc) order)
+    into one stream per TERM, zero-copy: each posting's blob is a
+    self-contained delta+varint run, so a term's stream is the byte
+    concatenation of its postings' blobs — per-term offsets into the SAME
+    values buffer, no bytes moved. Null per-posting blobs (fielded
+    ``col:value`` terms carry no positions) yield a NULL term stream; text
+    and fielded terms never mix under one term (fielded terms contain
+    ``:``, analyzer tokens cannot)."""
+    arr = pos_col.combine_chunks()
+    arr = pc.fill_null(arr, b"")        # null offsets -> well-defined empties
+    offs = np.frombuffer(arr.buffers()[1], np.int32)[
+        arr.offset: arr.offset + n_rows + 1].astype(np.int64)
+    bounds = np.concatenate([term_starts, [n_rows]])
+    term_offs = offs[bounds]
+    lengths = np.diff(term_offs)
+    validity = np.packbits((lengths > 0).astype(np.uint8), bitorder="little")
+    n_null = int((lengths == 0).sum())
+    data_buf = arr.buffers()[2] or pa.py_buffer(b"")
+    return pa.Array.from_buffers(
+        pa.large_binary(), term_starts.size,
+        [pa.py_buffer(validity.tobytes()),
+         pa.py_buffer(term_offs.astype(np.int64).tobytes()),
+         data_buf],
+        null_count=n_null).cast(pa.binary())
+
+
 def encode_chunk_table(sorted_postings: pa.Table, gdir: str, sid: int,
                        bucket: int, cfg: IndexConfig, avgdl: float) -> dict:
     """Encode one (segment, bucket) postings slice (already sorted by
@@ -701,7 +737,7 @@ def encode_chunk_table(sorted_postings: pa.Table, gdir: str, sid: int,
                                bm25=cfg.bm25, block_size=cfg.block_size)
     terms = term_dict.dictionary.take(pa.array(idx[starts])).cast(pa.string())
     boff = pa.array(enc["block_offsets"].astype(np.int32), pa.int32())
-    chunk = pa.table({
+    cols = {
         "term": terms,
         "df_chunk": pa.array(enc["df_chunk"], pa.int32()),
         "doc_bytes": _binary_from_offsets(enc["doc_buf"], enc["doc_off"]),
@@ -713,7 +749,13 @@ def encode_chunk_table(sorted_postings: pa.Table, gdir: str, sid: int,
             boff, pa.array(enc["bm_last_doc"], pa.int64())),
         "bm_max_tfn": pa.ListArray.from_arrays(
             boff, pa.array(enc["bm_max_tfn"], pa.float32())),
-    }).cast(SEGMENT_SCHEMA)
+    }
+    schema = SEGMENT_SCHEMA
+    if "pos_bytes" in g.column_names:
+        cols["pos_bytes"] = _term_position_streams(
+            g["pos_bytes"], starts, g.num_rows)
+        schema = SEGMENT_SCHEMA_POS
+    chunk = pa.table(cols).cast(schema)
     # chunk files are sorted by term -> row-group stats allow term pruning
     path = segment_chunk_path(gdir, sid, bucket)
     nbytes = atomic_write_table(chunk, path, row_group_size=8192)
@@ -763,6 +805,10 @@ def encode_segments(work_dir: str, gdir: str, cfg: IndexConfig, avgdl: float) ->
     if not tasks:
         return _chunk_rows_from_disk(gdir)
 
+    read_cols = ["term", "doc_id", "tf", "dl"]
+    if cfg.store_positions:
+        read_cols.append("pos_bytes")
+
     def encode_task(batch: pa.Table) -> pa.Table:
         _pin_arrow_threads()
         out = []
@@ -771,7 +817,7 @@ def encode_segments(work_dir: str, gdir: str, cfg: IndexConfig, avgdl: float) ->
             lo, hi = sid * D, (sid + 1) * D
             tabs = [
                 pq.read_table(
-                    f, columns=["term", "doc_id", "tf", "dl"],
+                    f, columns=read_cols,
                     filters=[("bucket", "==", b), ("doc_id", ">=", lo),
                              ("doc_id", "<", hi)],
                 )

@@ -107,8 +107,11 @@ def gate_index(sf_dir: str) -> str:
     idx = _INDEX_CACHE.get(sf_dir)
     if idx is None:
         idx = tempfile.mkdtemp(prefix="orl_gate_idx_")
+        # store_positions: the driver's phrase_search gate verifies phrases
+        # off the positional sidecar (index-only); the stored-text verify
+        # layout is equality-tested against it in test_positions.py
         cfg = IndexConfig(docs_per_segment=4096, term_buckets=8, block_size=64,
-                          field_columns=("lang",))
+                          field_columns=("lang",), store_positions=True)
         from org_rdkit_lucene_ray.pipelines.build import build_index
 
         build_index(
@@ -2551,8 +2554,10 @@ PHRASE_QUERIES: list[tuple[int, str, int]] = [   # (query_id, phrase, slop)
 
 def q_phrase_search(sf_dir: str) -> rd.Dataset:
     """Positional phrase / in-order-proximity search (PhraseQuery +
-    SpanNearQuery analogs): index-only multiplicity-aware screen, then ONE
-    streamed verify pass over the stored text for all six phrases."""
+    SpanNearQuery analogs): index-only multiplicity-aware screen, then —
+    on this positional gate index — verify straight off the ``pos_bytes``
+    sidecar (``Searcher.phrase_hits``), no stored text touched. The
+    stored-text verify layout returns identical rows (test_positions.py)."""
     from org_rdkit_lucene_ray.pipelines.query import search_phrases
 
     return search_phrases(_searcher(sf_dir),

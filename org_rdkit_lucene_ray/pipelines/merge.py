@@ -47,6 +47,7 @@ from org_rdkit_lucene_ray.config import AnalyzerConfig, BM25Params, IndexConfig
 from org_rdkit_lucene_ray.functions.codec import encode_posting_block, varint_decode
 from org_rdkit_lucene_ray.state.segment import (
     SEGMENT_SCHEMA,
+    SEGMENT_SCHEMA_POS,
     atomic_write_json,
     check_format,
     atomic_write_table,
@@ -74,6 +75,7 @@ def _cfg_from_manifest(m: dict) -> IndexConfig:
         index_analyzer=mk(c["index_analyzer"]),
         query_analyzer=mk(c["query_analyzer"]),
         field_columns=tuple(c.get("field_columns", ())),
+        store_positions=bool(c.get("store_positions", False)),
     )
 
 
@@ -306,10 +308,31 @@ def _reencode_chunk(src_path: str, out_path: str, deletes: np.ndarray,
     recomputed avgdl (vectorized across ALL terms via encode_posting_block)
     and write atomically. Returns the chunk stats row, or None if every
     posting was deleted."""
+    from org_rdkit_lucene_ray.functions.codec import (
+        decode_position_streams,
+        encode_position_streams,
+    )
     from org_rdkit_lucene_ray.pipelines.build import _binary_from_offsets
 
     t = pq.read_table(src_path)
     terms, counts, docs, tfs, dls = _decode_chunk_flat(t)
+    # positional sidecar (store_positions layouts): null term streams are
+    # fielded terms (no positions); valid streams hold one delta+varint run
+    # per posting (run i length = tf_i), concatenated in posting order, so
+    # the whole chunk's positions decode in ONE call over the valid
+    # postings' tf counts (null streams contribute zero bytes in between).
+    has_pos = "pos_bytes" in t.column_names
+    pos_flat = posting_valid = valid_term = None
+    if has_pos:
+        parr = t["pos_bytes"].combine_chunks()
+        valid_term = ~np.asarray(pc.is_null(parr))
+        posting_valid = np.repeat(valid_term, counts)
+        filled = pc.fill_null(parr, b"")
+        offs = np.frombuffer(filled.buffers()[1], np.int32)[
+            filled.offset: filled.offset + len(filled) + 1]
+        data = np.frombuffer(filled.buffers()[2] or b"", np.uint8)
+        pos_flat = decode_position_streams(
+            data[offs[0]:offs[-1]], tfs[posting_valid])
     if deletes.size:
         keep = ~np.isin(docs, deletes)
         if not keep.all():
@@ -317,17 +340,23 @@ def _reencode_chunk(src_path: str, out_path: str, deletes: np.ndarray,
             new_counts = np.add.reduceat(keep.astype(np.int64), starts)
             # reduceat on an empty run start would misbehave, but counts>0
             # always (chunk rows never hold empty posting lists)
+            if has_pos:
+                flat_keep = np.repeat(keep[posting_valid], tfs[posting_valid])
+                pos_flat = pos_flat[flat_keep]
+                posting_valid = posting_valid[keep]
             docs, tfs, dls = docs[keep], tfs[keep], dls[keep]
             alive = new_counts > 0
             terms = terms.filter(pa.array(alive))
             counts = new_counts[alive]
+            if has_pos:
+                valid_term = valid_term[alive]
     if docs.size == 0:
         return None
     term_starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
     enc = encode_posting_block(docs, tfs, dls, term_starts, avgdl=avgdl,
                                bm25=cfg.bm25, block_size=cfg.block_size)
     boff = pa.array(enc["block_offsets"].astype(np.int32), pa.int32())
-    chunk = pa.table({
+    cols = {
         "term": terms.cast(pa.string()),
         "df_chunk": pa.array(enc["df_chunk"], pa.int32()),
         "doc_bytes": _binary_from_offsets(enc["doc_buf"], enc["doc_off"]),
@@ -339,7 +368,27 @@ def _reencode_chunk(src_path: str, out_path: str, deletes: np.ndarray,
             boff, pa.array(enc["bm_last_doc"], pa.int64())),
         "bm_max_tfn": pa.ListArray.from_arrays(
             boff, pa.array(enc["bm_max_tfn"], pa.float32())),
-    }).cast(SEGMENT_SCHEMA)
+    }
+    schema = SEGMENT_SCHEMA
+    if has_pos:
+        v_tfs = tfs[posting_valid]
+        v_starts = np.concatenate([[0], np.cumsum(v_tfs)[:-1]]).astype(np.int64)
+        buf, p_offs = encode_position_streams(pos_flat, v_starts)
+        # posting index -> count of valid postings before it -> byte offset
+        vcum = np.concatenate([[0], np.cumsum(posting_valid)])
+        term_bounds = np.concatenate([term_starts, [docs.size]])
+        term_offs = p_offs[vcum[term_bounds]].astype(np.int64)
+        lengths = np.diff(term_offs)
+        validity = np.packbits((lengths > 0).astype(np.uint8),
+                               bitorder="little")
+        cols["pos_bytes"] = pa.Array.from_buffers(
+            pa.large_binary(), int(counts.size),
+            [pa.py_buffer(validity.tobytes()),
+             pa.py_buffer(term_offs.tobytes()),
+             pa.py_buffer(buf)],
+            null_count=int((lengths == 0).sum())).cast(pa.binary())
+        schema = SEGMENT_SCHEMA_POS
+    chunk = pa.table(cols).cast(schema)
     nbytes = atomic_write_table(chunk, out_path, row_group_size=8192)
     return {"terms": chunk.num_rows, "postings": int(docs.size),
             "bytes_compressed": int(nbytes)}

@@ -223,7 +223,8 @@ class Searcher:
 
     def __init__(self, index_dir: str, generation: str | None = None,
                  shard: tuple[int, int] | None = None,
-                 warm_top_terms: int = 0, similarity: str = "bm25"):
+                 warm_top_terms: int = 0, similarity: str = "bm25",
+                 residency: str = "lazy"):
         if similarity not in ("bm25", "classic"):
             raise ValueError(f"unknown similarity {similarity!r} "
                              "(expected 'bm25' or 'classic')")
@@ -243,6 +244,10 @@ class Searcher:
         bm = self.manifest["config"]["bm25"]
         self.bm25 = BM25Params(k1=bm["k1"], b=bm["b"])
         self.block_size = int(self.manifest["config"]["block_size"])
+        # positional sidecar flag (r4): chunk rows carry pos_bytes streams,
+        # so phrase verify runs off the index, not the stored text
+        self.store_positions = bool(
+            self.manifest["config"].get("store_positions", False))
         qa = self.manifest["config"]["query_analyzer"]
         qa = {k: tuple(v) if isinstance(v, list) else v for k, v in qa.items()}
         self.query_cfg = AnalyzerConfig(**qa)
@@ -281,6 +286,21 @@ class Searcher:
             splits = np.array_split(np.asarray(all_sids, dtype=np.int64),
                                     shard[1])
             mine = set(int(s) for s in splits[shard[0]])
+        # LAZY residency (r3 verdict #8 / north-star "mmap'd segment
+        # shards"): __init__ only LISTS chunk files (no data read); a
+        # bucket's chunk tables + term indexes load on the first probe of
+        # that bucket and stay cached for the actor's lifetime. A searcher
+        # serving a selective query mix touches only the buckets its terms
+        # hash to, so actor RSS and init time scale with the WORKING SET,
+        # not the shard — at web scale an actor over a 100 GB shard that
+        # answers head-term queries resides a few hot buckets. Parquet
+        # reads use memory_map=True so the OS page cache backs the raw
+        # column bytes (zstd pages still decompress into heap; the decoded
+        # posting arrays themselves live in the bounded _decode_cache).
+        # ``residency="eager"`` preloads everything (old behavior) for
+        # latency-critical serving where the first-probe cost must not
+        # land on a query.
+        self._bucket_files: dict[int, list[tuple[int, str]]] = {}
         n_chunks = 0
         for gd in self._gdirs:
             for sid in list_segment_ids(gd):
@@ -288,15 +308,17 @@ class Searcher:
                     continue
                 for f in list_chunk_files(gd, sid):
                     bucket = int(os.path.basename(f)[len("bucket-"):-len(".parquet")])
-                    tbl = pq.read_table(f)
-                    if tbl.num_rows == 0:
-                        continue
-                    self._by_bucket.setdefault(bucket, []).append(
-                        (sid, tbl, _SortedTermIndex(tbl["term"])))
+                    self._bucket_files.setdefault(bucket, []).append((sid, f))
                     n_chunks += 1
-        for lst in self._by_bucket.values():
+        for lst in self._bucket_files.values():
             lst.sort(key=lambda x: x[0])       # ascending segment order
         self._n_chunks = n_chunks
+        if residency not in ("lazy", "eager"):
+            raise ValueError(f"residency must be 'lazy' or 'eager', "
+                             f"got {residency!r}")
+        if residency == "eager":
+            for b in self._bucket_files:
+                self._bucket_chunks(b)
         self._bucket_cache: dict[str, int] = {}
         # sharded scoring needs GLOBAL df — from the df table, not the
         # shard's partial chunk counts. Kept Arrow-native: a term-sorted
@@ -335,6 +357,20 @@ class Searcher:
                     sort_keys=[("df", "descending")]))
                 for t in top["term"].to_pylist():
                     self._decode_term(t)
+
+    def _bucket_chunks(self, bucket: int) -> list[tuple[int, pa.Table, "_SortedTermIndex"]]:
+        """Chunk tables + term indexes of one bucket, loaded on first probe
+        and cached (lazy residency). memory_map=True keeps the raw Parquet
+        bytes on the page cache instead of a heap copy."""
+        got = self._by_bucket.get(bucket)
+        if got is None:
+            got = []
+            for sid, f in self._bucket_files.get(bucket, ()):
+                tbl = pq.read_table(f, memory_map=True)
+                if tbl.num_rows:
+                    got.append((sid, tbl, _SortedTermIndex(tbl["term"])))
+            self._by_bucket[bucket] = got
+        return got
 
     # ------------------------------------------------------------- stats/meta
     def _read_df_tables(self) -> pa.Table | None:
@@ -375,7 +411,7 @@ class Searcher:
         if d is None:
             d = sum(
                 tbl["df_chunk"][i].as_py()
-                for _, tbl, tix in self._by_bucket.get(self._term_bucket(term), [])
+                for _, tbl, tix in self._bucket_chunks(self._term_bucket(term))
                 if (i := tix.find(term)) is not None
             )
             self._df_cache[term] = d
@@ -447,7 +483,7 @@ class Searcher:
         """Concatenate this term's chunks across segments (ascending sid);
         only the term's own bucket is probed (one binary search per chunk)."""
         docs_l, tfs_l, dls_l = [], [], []
-        for _, tbl, tix in self._by_bucket.get(self._term_bucket(term), []):
+        for _, tbl, tix in self._bucket_chunks(self._term_bucket(term)):
             i = tix.find(term)
             if i is None:
                 continue
@@ -1218,6 +1254,86 @@ class Searcher:
                 break
         assert out is not None
         return out if max_hits is None else out[:max_hits]
+
+    def _decode_term_positions(self, term: str):
+        """Decode one term's positional postings from the ``pos_bytes``
+        sidecar: ``(docs, tfs, flat_positions)`` with posting *i*'s
+        positions at ``[cumsum(tfs)[i-1], cumsum(tfs)[i])``. Tombstoned
+        docs are NOT masked here — callers go through
+        :meth:`phrase_candidates`, whose ``_decode_term`` screen already
+        excludes them."""
+        from org_rdkit_lucene_ray.functions.codec import decode_position_streams
+
+        if not self.store_positions:
+            raise ValueError(
+                "index was built without store_positions=True — phrase "
+                "verify must run over the stored text (search_phrases)")
+        docs_l, tfs_l, pos_l = [], [], []
+        for _, tbl, tix in self._bucket_chunks(self._term_bucket(term)):
+            i = tix.find(term)
+            if i is None:
+                continue
+            n = tbl["df_chunk"][i].as_py()
+            deltas = varint_decode(
+                np.frombuffer(tbl["doc_bytes"][i].as_buffer(), np.uint8), n)
+            tfs = varint_decode(
+                np.frombuffer(tbl["tf_bytes"][i].as_buffer(), np.uint8), n) \
+                .view(np.int64)
+            blob = tbl["pos_bytes"][i]
+            if not blob.is_valid:
+                raise ValueError(
+                    f"term {term!r} carries no positions (fielded "
+                    "'col:value' terms are whole-value, not positional)")
+            pos = decode_position_streams(
+                np.frombuffer(blob.as_buffer(), np.uint8), tfs)
+            docs_l.append(np.cumsum(deltas, dtype=np.int64))
+            tfs_l.append(tfs)
+            pos_l.append(pos)
+        if not docs_l:
+            return None
+        return (np.concatenate(docs_l), np.concatenate(tfs_l),
+                np.concatenate(pos_l))
+
+    def phrase_hits(self, tokens: list[str], slop: int = 0,
+                    max_hits: int | None = None) -> np.ndarray:
+        """Phrase / in-order proximity hits ENTIRELY from the index (needs
+        ``store_positions=True``): SCREEN via :meth:`phrase_candidates`,
+        then VERIFY on the candidates' decoded positions with the same
+        greedy occurrence chain as the stored-text mask
+        (:func:`_phrase_match_mask` — both decide ``p_n - p_1 - (n-1) <=
+        slop`` over strictly-increasing in-order occurrences), so the two
+        layouts return identical hit sets. Cost is O(candidate postings)
+        — no stored-text decode per candidate (r3 verdict #7)."""
+        cand = self.phrase_candidates(tokens)
+        if cand.size == 0:
+            return cand
+        keys: list[np.ndarray] = []
+        for t in tokens:
+            dec = self._decode_term_positions(t)
+            if dec is None:                      # screened => present, but be safe
+                return np.zeros(0, np.int64)
+            docs, tfs, pos = dec
+            sel = np.isin(docs, cand, assume_unique=True)
+            rank = np.searchsorted(cand, docs[sel])
+            flat_sel = np.repeat(sel, tfs)
+            k = (np.repeat(rank, tfs[sel]) << 32) | pos[flat_sel]
+            if k.size == 0:
+                return np.zeros(0, np.int64)
+            keys.append(k)                       # ascending: docs asc, pos asc
+        start = keys[0]
+        cur = start
+        alive = np.ones(cur.size, bool)
+        for k in keys[1:]:
+            nxt_idx = np.searchsorted(k, cur, side="right")
+            ok = nxt_idx < k.size
+            nxt = k[np.minimum(nxt_idx, k.size - 1)]
+            ok &= (nxt >> 32) == (cur >> 32)     # same candidate doc
+            alive &= ok
+            cur = np.where(ok, nxt, cur)
+        span_extra = (cur & 0xFFFFFFFF) - (start & 0xFFFFFFFF) - (len(tokens) - 1)
+        good = alive & (span_extra <= slop)
+        hits = cand[np.unique(start[good] >> 32)]
+        return hits if max_hits is None else hits[:max_hits]
 
     def _fwd_files(self) -> list[str]:
         out = []
@@ -2086,10 +2202,28 @@ def search_phrases(
        further by pushing ``id in candidates`` into the read when the
        candidate count is small.
 
+    On a ``store_positions=True`` index the verify phase reads the
+    positional sidecar instead (``Searcher.phrase_hits``) — cost
+    O(candidate postings), no text touched at all; ``docs`` is ignored.
+    Both layouts return identical hit sets (greedy-chain semantics are
+    shared; tested in test_positions.py).
+
     ``phrases`` rows are ``(query_id, phrase, slop)``; result rows are
     ``(query_id, doc_id)`` membership, like the rest of the set-returning
     search family."""
     import ray
+
+    if searcher.store_positions:
+        qids_out, docs_out = [], []
+        for qid, phrase, slop in phrases:
+            ptoks = analyze_text(phrase, searcher.query_cfg)
+            hit = searcher.phrase_hits(ptoks, int(slop))
+            qids_out.append(np.full(hit.size, int(qid), np.int64))
+            docs_out.append(hit)
+        return rd.from_arrow(pa.table({
+            "query_id": pa.array(np.concatenate(qids_out), pa.int64()),
+            "doc_id": pa.array(np.concatenate(docs_out), pa.int64()),
+        }))
 
     parsed: list[tuple[int, list[str], int]] = []
     cands: dict[int, np.ndarray] = {}

@@ -47,6 +47,12 @@ SEGMENT_SCHEMA = pa.schema([
     ("bm_max_tfn", pa.list_(pa.float32())),
 ])
 
+# positional layout (IndexConfig.store_positions): one extra nullable
+# stream column — per-term concatenation of per-posting delta+varint token
+# positions (run i's length = posting i's tf; functions/codec.py). Readers
+# branch on column presence, so both layouts share FORMAT_VERSION.
+SEGMENT_SCHEMA_POS = SEGMENT_SCHEMA.append(pa.field("pos_bytes", pa.binary()))
+
 
 def atomic_write_table(table: pa.Table, path: str, **pq_kw) -> int:
     """Write a Parquet file atomically (temp in same dir + rename).

@@ -816,3 +816,24 @@ def test_topk_cached_lru(searcher):
         after = (a[0][1], a[0][0])
         assert searcher.topk_cached("baba cece", 5, after=after) == \
             searcher.topk("baba cece", 5, after=after)
+
+
+def test_lazy_residency_matches_eager(built_index, searcher, oracle_index):
+    """Lazy per-bucket residency (r3 verdict #8): __init__ must read ZERO
+    chunk tables; buckets load on first probe; every query surface returns
+    exactly the eager searcher's answers."""
+    idx, _ = built_index
+    lazy = Searcher(idx)                       # default residency="lazy"
+    assert lazy._by_bucket == {}, "lazy init must not load any bucket"
+    assert lazy._n_chunks > 0                  # listing still happened
+    eager = Searcher(idx, residency="eager")
+    assert len(eager._by_bucket) == len(eager._bucket_files)
+    for q in ["baba cece", "dada", "fafa gaga baba"]:
+        assert lazy.topk_bmw(q, 10) == eager.topk_bmw(q, 10)
+        assert np.array_equal(lazy.search_and(q), eager.search_and(q))
+        assert np.array_equal(lazy.search_or(q), eager.search_or(q))
+    # only the probed terms' buckets are resident
+    assert 0 < len(lazy._by_bucket) <= len(lazy._bucket_files)
+    assert lazy.df("baba") == eager.df("baba")
+    with pytest.raises(ValueError, match="residency"):
+        Searcher(idx, residency="mmap")
