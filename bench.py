@@ -185,7 +185,9 @@ def bench_gate_queries(sf_dir: str) -> dict[str, float]:
              "domain_stats", "classifier_filter", "mixture_sample",
              "sequence_packing",
              # round-3b batch 2 (joins, funnel, budget cut)
-             "snapshot_diff", "funnel", "token_budget_cut", "epoch_mix"]
+             "snapshot_diff", "funnel", "token_budget_cut", "epoch_mix",
+             # round-4 (positional-sidecar phrase verify on the gate index)
+             "phrase_search"]
     repeats = int((os.environ.get("RAY_GRAFT_GATE_REPEATS") or "2"))
     for name in picks:
         fn = gate.QUERIES[name]
