@@ -132,6 +132,18 @@ class IndexConfig:
     # stored-text decode per candidate. Off by default: ~the cost of one
     # extra tf-like stream per posting at build time and on disk.
     store_positions: bool = False
+    # on-disk chunk format: "parquet" (zstd, smaller — the cold-storage
+    # default) or "ipc" (uncompressed Arrow IPC — the query-serving layout:
+    # searchers memory-map chunk files ZERO-COPY, so actor RSS is the
+    # touched pages and init never decompresses; the north star's "mmap'd
+    # segment shards"). Varint posting streams are already entropy-packed,
+    # so the ipc size penalty is bounded (measured in BASELINE r4).
+    chunk_format: str = "parquet"
+
+    def __post_init__(self):
+        if self.chunk_format not in ("parquet", "ipc"):
+            raise ValueError(f"chunk_format must be 'parquet' or 'ipc', "
+                             f"got {self.chunk_format!r}")
 
     def manifest_dict(self) -> dict:
         return {
@@ -147,4 +159,5 @@ class IndexConfig:
             "query_analyzer_fp": self.query_analyzer.fingerprint(),
             "field_columns": list(self.field_columns),
             "store_positions": self.store_positions,
+            "chunk_format": self.chunk_format,
         }

@@ -678,8 +678,10 @@ def _existing_chunks(gdir: str) -> set[tuple[int, int]]:
             continue
         sid = int(seg.split("=")[1])
         for f in os.listdir(os.path.join(seg_root, seg)):
-            if f.startswith("bucket-") and f.endswith(".parquet"):
-                out.add((sid, int(f[len("bucket-"):-len(".parquet")])))
+            if f.startswith("bucket-") and f.endswith((".parquet", ".arrow")):
+                from org_rdkit_lucene_ray.state.segment import chunk_bucket_of
+
+                out.add((sid, chunk_bucket_of(f)))
     return out
 
 
@@ -757,8 +759,11 @@ def encode_chunk_table(sorted_postings: pa.Table, gdir: str, sid: int,
         schema = SEGMENT_SCHEMA_POS
     chunk = pa.table(cols).cast(schema)
     # chunk files are sorted by term -> row-group stats allow term pruning
-    path = segment_chunk_path(gdir, sid, bucket)
-    nbytes = atomic_write_table(chunk, path, row_group_size=8192)
+    # (parquet); ipc chunks are mmap'd whole, pruning happens at the bucket
+    from org_rdkit_lucene_ray.state.segment import atomic_write_chunk
+
+    path = segment_chunk_path(gdir, sid, bucket, cfg.chunk_format)
+    nbytes = atomic_write_chunk(chunk, path, row_group_size=8192)
     return {"segment_id": sid, "bucket": bucket, "terms": chunk.num_rows,
             "postings": int(docs.size), "bytes_compressed": int(nbytes)}
 
@@ -846,14 +851,22 @@ def encode_segments(work_dir: str, gdir: str, cfg: IndexConfig, avgdl: float) ->
 
 
 def _chunk_rows_from_disk(gdir: str) -> list[dict]:
+    from org_rdkit_lucene_ray.state.segment import (
+        list_chunk_files,
+        list_segment_ids,
+        read_chunk_table,
+    )
+
     rows = []
-    for sid, b in sorted(_existing_chunks(gdir)):
-        path = segment_chunk_path(gdir, sid, b)
-        md = pq.read_metadata(path)
-        t = pq.read_table(path, columns=["df_chunk"])
-        rows.append({"segment_id": sid, "bucket": b, "terms": md.num_rows,
-                     "postings": int(pc.sum(t["df_chunk"]).as_py() or 0),
-                     "bytes_compressed": os.path.getsize(path)})
+    for sid in list_segment_ids(gdir):
+        for path in list_chunk_files(gdir, sid):
+            from org_rdkit_lucene_ray.state.segment import chunk_bucket_of
+
+            t = read_chunk_table(path, columns=["df_chunk"])
+            rows.append({"segment_id": sid, "bucket": chunk_bucket_of(path),
+                         "terms": t.num_rows,
+                         "postings": int(pc.sum(t["df_chunk"]).as_py() or 0),
+                         "bytes_compressed": os.path.getsize(path)})
     return rows
 
 
@@ -870,9 +883,11 @@ def build_df_table(gdir: str) -> int:
             continue
         d = os.path.join(seg_root, seg)
         for f in sorted(os.listdir(d)):
-            if f.startswith("bucket-") and f.endswith(".parquet"):
-                b = int(f[len("bucket-"):-len(".parquet")])
-                by_bucket.setdefault(b, []).append(os.path.join(d, f))
+            if f.startswith("bucket-") and f.endswith((".parquet", ".arrow")):
+                from org_rdkit_lucene_ray.state.segment import chunk_bucket_of
+
+                by_bucket.setdefault(chunk_bucket_of(f), []) \
+                    .append(os.path.join(d, f))
 
     out_dir = os.path.join(gdir, "df")
     os.makedirs(out_dir, exist_ok=True)
@@ -881,8 +896,10 @@ def build_df_table(gdir: str) -> int:
         _pin_arrow_threads()
         counts = []
         for row in batch.to_pylist():
+            from org_rdkit_lucene_ray.state.segment import read_chunk_table
+
             b = int(row["bucket"])
-            tabs = [pq.read_table(p, columns=["term", "df_chunk"])
+            tabs = [read_chunk_table(p, columns=["term", "df_chunk"])
                     for p in row["files"]]
             t = pa.concat_tables(tabs)
             g = t.group_by("term").aggregate([("df_chunk", "sum")])

@@ -76,6 +76,7 @@ def _cfg_from_manifest(m: dict) -> IndexConfig:
         query_analyzer=mk(c["query_analyzer"]),
         field_columns=tuple(c.get("field_columns", ())),
         store_positions=bool(c.get("store_positions", False)),
+        chunk_format=c.get("chunk_format", "parquet"),
     )
 
 
@@ -314,7 +315,12 @@ def _reencode_chunk(src_path: str, out_path: str, deletes: np.ndarray,
     )
     from org_rdkit_lucene_ray.pipelines.build import _binary_from_offsets
 
-    t = pq.read_table(src_path)
+    from org_rdkit_lucene_ray.state.segment import (
+        atomic_write_chunk,
+        read_chunk_table,
+    )
+
+    t = read_chunk_table(src_path)
     terms, counts, docs, tfs, dls = _decode_chunk_flat(t)
     # positional sidecar (store_positions layouts): null term streams are
     # fielded terms (no positions); valid streams hold one delta+varint run
@@ -389,7 +395,7 @@ def _reencode_chunk(src_path: str, out_path: str, deletes: np.ndarray,
             null_count=int((lengths == 0).sum())).cast(pa.binary())
         schema = SEGMENT_SCHEMA_POS
     chunk = pa.table(cols).cast(schema)
-    nbytes = atomic_write_table(chunk, out_path, row_group_size=8192)
+    nbytes = atomic_write_chunk(chunk, out_path, row_group_size=8192)
     return {"terms": chunk.num_rows, "postings": int(docs.size),
             "bytes_compressed": int(nbytes)}
 
@@ -469,8 +475,10 @@ def merge_generations(index_dir: str, *, concurrency: int | None = None) -> dict
         src_dir = os.path.join(index_dir, g)
         for sid in list_segment_ids(src_dir):
             for f in list_chunk_files(src_dir, sid):
-                bucket = int(os.path.basename(f)[len("bucket-"):-len(".parquet")])
-                chunk_items.append({"src": f, "sid": sid, "bucket": bucket})
+                from org_rdkit_lucene_ray.state.segment import chunk_bucket_of
+
+                chunk_items.append({"src": f, "sid": sid,
+                                    "bucket": chunk_bucket_of(f)})
 
     def reencode(batch: pa.Table) -> pa.Table:
         from org_rdkit_lucene_ray.pipelines.build import _pin_arrow_threads
@@ -479,13 +487,14 @@ def merge_generations(index_dir: str, *, concurrency: int | None = None) -> dict
         dels = ray.get(del_ref)
         out = []
         for row in batch.to_pylist():
+            from org_rdkit_lucene_ray.state.segment import read_chunk_table
+
             sid, bucket = int(row["sid"]), int(row["bucket"])
-            dst = segment_chunk_path(gdir, sid, bucket)
+            dst = segment_chunk_path(gdir, sid, bucket, cfg.chunk_format)
             if os.path.exists(dst):                      # resumed merge
-                md = pq.read_metadata(dst)
-                dtab = pq.read_table(dst, columns=["df_chunk"])
+                dtab = read_chunk_table(dst, columns=["df_chunk"])
                 out.append({"segment_id": sid, "bucket": bucket,
-                            "terms": md.num_rows,
+                            "terms": dtab.num_rows,
                             "postings": int(pc.sum(dtab["df_chunk"]).as_py() or 0),
                             "bytes_compressed": os.path.getsize(dst)})
                 continue

@@ -307,8 +307,10 @@ class Searcher:
                 if mine is not None and sid not in mine:
                     continue
                 for f in list_chunk_files(gd, sid):
-                    bucket = int(os.path.basename(f)[len("bucket-"):-len(".parquet")])
-                    self._bucket_files.setdefault(bucket, []).append((sid, f))
+                    from org_rdkit_lucene_ray.state.segment import chunk_bucket_of
+
+                    self._bucket_files.setdefault(chunk_bucket_of(f), []) \
+                        .append((sid, f))
                     n_chunks += 1
         for lst in self._bucket_files.values():
             lst.sort(key=lambda x: x[0])       # ascending segment order
@@ -364,9 +366,13 @@ class Searcher:
         bytes on the page cache instead of a heap copy."""
         got = self._by_bucket.get(bucket)
         if got is None:
+            from org_rdkit_lucene_ray.state.segment import read_chunk_table
+
             got = []
             for sid, f in self._bucket_files.get(bucket, ()):
-                tbl = pq.read_table(f, memory_map=True)
+                # ipc chunks map zero-copy (page-cache-resident buffers);
+                # parquet decompresses pages into heap on read
+                tbl = read_chunk_table(f, memory_map=True)
                 if tbl.num_rows:
                     got.append((sid, tbl, _SortedTermIndex(tbl["term"])))
             self._by_bucket[bucket] = got

@@ -147,8 +147,17 @@ def check_query_compat(manifest: dict, query_analyzer_fp: str) -> None:
         )
 
 
-def segment_chunk_path(gdir: str, segment_id: int, bucket: int) -> str:
-    return os.path.join(gdir, "segments", f"seg={segment_id:06d}", f"bucket-{bucket:05d}.parquet")
+def segment_chunk_path(gdir: str, segment_id: int, bucket: int,
+                       chunk_format: str = "parquet") -> str:
+    ext = {"parquet": "parquet", "ipc": "arrow"}[chunk_format]
+    return os.path.join(gdir, "segments", f"seg={segment_id:06d}",
+                        f"bucket-{bucket:05d}.{ext}")
+
+
+def chunk_bucket_of(path: str) -> int:
+    """Bucket number of a chunk file path, either on-disk format."""
+    stem = os.path.basename(path).rsplit(".", 1)[0]
+    return int(stem[len("bucket-"):])
 
 
 def list_segment_ids(gdir: str) -> list[int]:
@@ -163,4 +172,37 @@ def list_segment_ids(gdir: str) -> list[int]:
 
 def list_chunk_files(gdir: str, segment_id: int) -> list[str]:
     d = os.path.join(gdir, "segments", f"seg={segment_id:06d}")
-    return [os.path.join(d, f) for f in sorted(os.listdir(d)) if f.endswith(".parquet")]
+    return [os.path.join(d, f) for f in sorted(os.listdir(d))
+            if f.endswith((".parquet", ".arrow"))]
+
+
+def read_chunk_table(path: str, columns: list[str] | None = None,
+                     memory_map: bool = False) -> pa.Table:
+    """Read one chunk file, either format. ``.arrow`` (IPC, uncompressed)
+    with ``memory_map=True`` is ZERO-COPY off the page cache — column
+    buffers point straight into the mapped file, so a searcher's resident
+    set is the touched pages, not a decompressed heap copy (the north-star
+    "mmap'd segment shards" layout; Parquet pages must decompress into
+    heap regardless of memory_map)."""
+    if path.endswith(".arrow"):
+        src = pa.memory_map(path) if memory_map else pa.OSFile(path)
+        with src:
+            t = pa.ipc.open_file(src).read_all()
+        return t.select(columns) if columns is not None else t
+    return pq.read_table(path, columns=columns, memory_map=memory_map)
+
+
+def atomic_write_chunk(table: pa.Table, path: str, **pq_kw) -> int:
+    """Format-dispatching atomic chunk write (temp + rename, like
+    :func:`atomic_write_table`). IPC files are written uncompressed in one
+    record batch — the read side maps them zero-copy."""
+    if not path.endswith(".arrow"):
+        return atomic_write_table(table, path, **pq_kw)
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    tmp = os.path.join(os.path.dirname(path), f".tmp-{uuid.uuid4().hex}")
+    with pa.OSFile(tmp, "wb") as f:
+        with pa.ipc.new_file(f, table.schema) as w:
+            w.write_table(table)
+    size = os.path.getsize(tmp)
+    os.replace(tmp, path)
+    return size
