@@ -2565,6 +2565,71 @@ def q_phrase_search(sf_dir: str) -> rd.Dataset:
                           PHRASE_QUERIES, concurrency=2)
 
 
+PHRASE_TOPK_QUERIES: list[tuple[int, str, int]] = [   # (query_id, phrase, k)
+    (0, "big data", 10),
+    (1, "part value fast", 10),
+    (2, "table table", 10),       # repeated-term phrase freq
+]
+
+
+def q_phrase_topk(sf_dir: str) -> pa.Table:
+    """Scored exact-phrase top-k (Lucene PhraseQuery under BM25Similarity,
+    r4): tf = exact phrase frequency from the positional sidecar, idf =
+    sum of the phrase terms' idfs (duplicates counted). Rank-compared on
+    float32-cast scores (repo float-parity policy)."""
+    s = _searcher(sf_dir)
+    qids, ranks, docs = [], [], []
+    for qid, phrase, k in PHRASE_TOPK_QUERIES:
+        for r, (d, _) in enumerate(s.topk_phrase(phrase, k)):
+            qids.append(qid)
+            ranks.append(r)
+            docs.append(d)
+    return pa.table({"query_id": pa.array(qids, pa.int64()),
+                     "rank": pa.array(ranks, pa.int64()),
+                     "doc_id": pa.array(docs, pa.int64())})
+
+
+def _phrase_topk_sql() -> str:
+    """Oracle: phrase freq = count of start positions whose next n-1
+    positions are exactly adjacent (same lockstep-unnest tok CTE as the
+    membership oracle); score mirrors the engine's single-expression BM25
+    with idf summed over phrase terms, duplicates counted."""
+    parts = []
+    for qid, phrase, k in PHRASE_TOPK_QUERIES:
+        toks = [t for t in phrase.lower().split() if t]
+        n = len(toks)
+        joins, conds = ["tok t0"], [f"t0.term = '{toks[0]}'"]
+        for i in range(1, n):
+            joins.append(f"JOIN tok t{i} ON t{i}.doc_id = t0.doc_id "
+                         f"AND t{i}.pos = t0.pos + {i}")
+            conds.append(f"t{i}.term = '{toks[i]}'")
+        idf_terms = " + ".join(
+            f"(SELECT ln(1.0 + (s.n - df.df + 0.5) / (df.df + 0.5)) "
+            f"FROM df CROSS JOIN stats s WHERE df.term = '{t}')"
+            for t in toks)
+        parts.append(f"""
+SELECT query_id, rank, doc_id FROM (
+  SELECT {qid}::BIGINT AS query_id, f.doc_id,
+         row_number() OVER (ORDER BY CAST(
+           ({idf_terms}) * (f.freq * (1.2 + 1.0))
+           / (f.freq + 1.2 * ((1.0 - 0.75) + (0.75 * dl.dl) / s.avgdl))
+         AS REAL) DESC, f.doc_id ASC) - 1 AS rank
+  FROM (SELECT t0.doc_id AS doc_id, CAST(count(*) AS DOUBLE) AS freq
+        FROM {' '.join(joins)} WHERE {' AND '.join(conds)}
+        GROUP BY t0.doc_id) f
+  JOIN dl ON dl.doc_id = f.doc_id CROSS JOIN stats s)
+WHERE rank < {k}""")
+    return (f"WITH docs AS (SELECT doc_id, {_TOKS} AS toks FROM documents),\n"
+            "dl AS (SELECT doc_id, len(toks) AS dl FROM docs),\n"
+            "stats AS (SELECT CAST(count(*) AS DOUBLE) AS n,\n"
+            "          CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),\n"
+            "tok AS (SELECT doc_id, unnest(toks) AS term,\n"
+            "        unnest(range(0, len(toks))) AS pos FROM docs),\n"
+            "tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),\n"
+            "df AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1)\n"
+            + "\nUNION ALL ".join(parts) + "\nORDER BY 1, 2")
+
+
 def _phrase_sql() -> str:
     """Position-join oracle: lockstep unnest gives (doc_id, term, pos); a
     phrase of terms t1..tn with slop s matches when increasing positions
@@ -3891,6 +3956,7 @@ ORDER BY 1, 2
 """,
     "search_after_page2": _bm25_sql(page=2),
     "phrase_search": _phrase_sql(),
+    "phrase_topk": _phrase_topk_sql(),
     "search_exact": f"""
 WITH docs AS (SELECT doc_id, list_sort({_TOKS}) AS key FROM documents)
 SELECT d.doc_id FROM docs d, docs q
@@ -4157,6 +4223,7 @@ QUERIES = {
     "range_search": q_range_search,
     "parser_query": q_parser_query,
     "phrase_search": q_phrase_search,
+    "phrase_topk": q_phrase_topk,
     "hopping_window": q_hopping_window,
     "price_quantiles": q_price_quantiles,
     "price_quantiles_by_flag": q_price_quantiles_by_flag,

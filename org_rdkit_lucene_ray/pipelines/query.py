@@ -1341,6 +1341,74 @@ class Searcher:
         hits = cand[np.unique(start[good] >> 32)]
         return hits if max_hits is None else hits[:max_hits]
 
+    def _phrase_freqs(self, tokens: list[str]) -> tuple[np.ndarray, np.ndarray]:
+        """(docs, exact-phrase frequency) over the candidate set — freq =
+        number of start positions that begin a strict-adjacency occurrence
+        (Lucene ``PhraseQuery`` freq at slop=0; the greedy chain finds the
+        minimal completion per start, which for slop=0 decides each start
+        exactly). Same chain as :meth:`phrase_hits`."""
+        cand = self.phrase_candidates(tokens)
+        if cand.size == 0:
+            return cand, np.zeros(0, np.int64)
+        keys: list[np.ndarray] = []
+        for t in tokens:
+            dec = self._decode_term_positions(t)
+            if dec is None:
+                return np.zeros(0, np.int64), np.zeros(0, np.int64)
+            docs, tfs, pos = dec
+            sel = np.isin(docs, cand, assume_unique=True)
+            rank = np.searchsorted(cand, docs[sel])
+            k = (np.repeat(rank, tfs[sel]) << 32) | pos[np.repeat(sel, tfs)]
+            if k.size == 0:
+                return np.zeros(0, np.int64), np.zeros(0, np.int64)
+            keys.append(k)
+        start = keys[0]
+        cur = start
+        alive = np.ones(cur.size, bool)
+        for k in keys[1:]:
+            nxt_idx = np.searchsorted(k, cur, side="right")
+            ok = nxt_idx < k.size
+            nxt = k[np.minimum(nxt_idx, k.size - 1)]
+            ok &= (nxt >> 32) == (cur >> 32)
+            alive &= ok
+            cur = np.where(ok, nxt, cur)
+        good = alive & ((cur & 0xFFFFFFFF) - (start & 0xFFFFFFFF)
+                        == (len(tokens) - 1))
+        freq = np.bincount((start[good] >> 32).astype(np.int64),
+                           minlength=cand.size)
+        hit = freq > 0
+        return cand[hit], freq[hit].astype(np.int64)
+
+    def topk_phrase(self, phrase: str, k: int = 10) -> list[tuple[int, float]]:
+        """Scored exact-phrase top-k (Lucene ``PhraseQuery`` under
+        BM25Similarity): tf = the doc's exact phrase frequency (adjacent
+        occurrences, from the positional sidecar), idf = the SUM of the
+        phrase terms' idfs (duplicates counted — Lucene's multi-term
+        ``Weight`` convention), dl/avgdl as usual:
+
+            score = (sum_t idf(t)) * freq*(k1+1) / (freq + k1*(1-b+b*dl/avgdl))
+
+        Ties break to the smaller doc id (K1 comparator). Requires
+        ``store_positions=True``."""
+        import math
+
+        tokens = self._query_terms(phrase)
+        if not tokens:
+            return []
+        docs, freq = self._phrase_freqs(tokens)
+        if docs.size == 0:
+            return []
+        # dl rides every posting: take it from the first term's decode
+        d0 = self._decode_term(tokens[0])
+        dl = d0[2][np.searchsorted(d0[0], docs)].astype(np.float64)
+        idf_sum = float(sum(self._sim_idf(t) for t in tokens))
+        f = freq.astype(np.float64)
+        k1, b = self.bm25.k1, self.bm25.b
+        scores = idf_sum * (f * (k1 + 1.0)) / (
+            f + k1 * ((1.0 - b) + (b * dl) / self.avgdl))
+        order = np.lexsort((docs, -scores.astype(np.float32)))[:k]
+        return [(int(docs[i]), float(scores[i])) for i in order]
+
     def _fwd_files(self) -> list[str]:
         out = []
         for gd in self._gdirs:

@@ -194,3 +194,55 @@ def test_non_positional_index_refuses_phrase_hits(built_index):
     s = Searcher(idx)
     with pytest.raises(ValueError, match="store_positions"):
         s.phrase_hits(["baba", "cece"], 0)
+
+
+def test_topk_phrase_scoring_semantics(pos_index, pages_dir):
+    """Lucene PhraseQuery scoring: tf = exact adjacent-occurrence count,
+    idf = sum of term idfs (duplicates counted), BM25 normalization —
+    verified against a brute-force recount over the tokenized corpus."""
+    import math
+
+    idx, _ = pos_index
+    s = Searcher(idx)
+    ids, toks = _corpus_tokens(pages_dir, s.query_cfg)
+    stored = np.sort(np.concatenate(
+        [pq.read_table(p, columns=["doc_id"])["doc_id"].to_numpy()
+         for p in s._fwd_files()]))
+    row = toks[3].as_py()
+    phrase = row[0:2]
+    got = s.topk_phrase(" ".join(phrase), 10)
+    assert got, "fixture phrase must have hits"
+
+    # brute force: freq per stored doc, then the same score expression
+    freqs = {}
+    for i in range(len(toks)):
+        if ids[i] not in stored:
+            continue
+        t = toks[i].as_py()
+        f = sum(1 for j in range(len(t) - 1)
+                if t[j] == phrase[0] and t[j + 1] == phrase[1])
+        if f:
+            freqs[int(ids[i])] = f
+    idf_sum = sum(s._sim_idf(t) for t in phrase)
+    want = []
+    # dl via the first term's postings (same source the engine uses)
+    dec = s._decode_term(phrase[0])
+    dl_of = dict(zip(dec[0].tolist(), dec[2].tolist()))
+    k1, b = s.bm25.k1, s.bm25.b
+    for d, f in freqs.items():
+        dl = float(dl_of[d])
+        sc = idf_sum * (f * (k1 + 1.0)) / (f + k1 * ((1.0 - b) + (b * dl) / s.avgdl))
+        want.append((d, sc))
+    want.sort(key=lambda x: (-np.float32(x[1]), x[0]))
+    want = want[:10]
+    assert [d for d, _ in got] == [d for d, _ in want]
+    np.testing.assert_allclose([x[1] for x in got], [x[1] for x in want],
+                               rtol=0, atol=0)
+
+    # repeated-term phrase: freq counts overlapping adjacency correctly
+    rep = s.topk_phrase(f"{phrase[0]} {phrase[0]}", 5)
+    for d, sc in rep:
+        t = toks[int(np.flatnonzero(ids == d)[0])].as_py()
+        f = sum(1 for j in range(len(t) - 1)
+                if t[j] == phrase[0] and t[j + 1] == phrase[0])
+        assert f >= 1
