@@ -30,6 +30,14 @@ def main() -> None:
     ap.add_argument("--docs-per-segment", type=int, default=1 << 20)
     ap.add_argument("--term-buckets", type=int, default=64)
     ap.add_argument("--no-dedup", action="store_true")
+    ap.add_argument("--store-positions", action="store_true",
+                    help="positional sidecar: phrase/proximity verify off "
+                         "the index (pos_bytes streams; ~+55%% chunk bytes)")
+    ap.add_argument("--chunk-format", choices=("parquet", "ipc"),
+                    default="parquet",
+                    help="ipc = uncompressed Arrow chunks, memory-mapped "
+                         "zero-copy by searchers (serving tier); parquet = "
+                         "zstd (build/archive tier, default)")
     args = ap.parse_args()
 
     import ray
@@ -45,7 +53,9 @@ def main() -> None:
     from org_rdkit_lucene_ray.pipelines.build import build_index
 
     cfg = IndexConfig(docs_per_segment=args.docs_per_segment,
-                      term_buckets=args.term_buckets)
+                      term_buckets=args.term_buckets,
+                      store_positions=args.store_positions,
+                      chunk_format=args.chunk_format)
     manifest = build_index(args.input, args.index, cfg=cfg,
                            dedup=not args.no_dedup)
     stats, tim = manifest["stats"], manifest["timings_sec"]
