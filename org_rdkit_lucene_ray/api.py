@@ -195,6 +195,20 @@ class Engine:
 
         return search_phrases(self.searcher(), docs, phrases, **kw)
 
+    def phrase_hits(self, phrase: str, slop: int = 0,
+                    max_hits: int | None = None) -> np.ndarray:
+        """Phrase / in-order proximity hit set entirely off the index
+        (needs ``store_positions=True``): positional-sidecar verify, no
+        stored text touched."""
+        s = self.searcher()
+        return s.phrase_hits(s._query_terms(phrase), slop, max_hits)
+
+    def search_phrase_topk(self, phrase: str, k: int = 10) -> list[tuple[int, float]]:
+        """Scored exact-phrase top-k (Lucene PhraseQuery under BM25:
+        tf = exact phrase frequency, idf = summed term idfs). Needs
+        ``store_positions=True``."""
+        return self.searcher().topk_phrase(phrase, k)
+
     def search_with_snippets(self, docs: rd.Dataset, query: str,
                              k: int = 10, *, window: int = 5,
                              text_col: str = "text",

@@ -246,3 +246,16 @@ def test_topk_phrase_scoring_semantics(pos_index, pages_dir):
         f = sum(1 for j in range(len(t) - 1)
                 if t[j] == phrase[0] and t[j + 1] == phrase[0])
         assert f >= 1
+
+
+def test_engine_facade_phrase_surfaces(pos_index):
+    """Engine facade exposes the positional surfaces (phrase_hits /
+    search_phrase_topk) with Searcher-identical answers."""
+    from org_rdkit_lucene_ray import Engine
+
+    idx, _ = pos_index
+    e = Engine(idx)
+    s = Searcher(idx)
+    toks = s._query_terms("baba cece")
+    assert np.array_equal(e.phrase_hits("baba cece"), s.phrase_hits(toks))
+    assert e.search_phrase_topk("baba cece", 5) == s.topk_phrase("baba cece", 5)
