@@ -1170,6 +1170,13 @@ class Searcher:
             return self.topk_bmw(query, k, after=after)
         if mode == "wand":
             return self.topk_wand(query, k, after=after)
+        if mode == "phrase":
+            # scored exact-phrase queries through the same distributed
+            # surface (SearcherStage actor pool); no pagination — phrase
+            # hit sets are verify-bounded, page via k
+            if after is not None:
+                raise ValueError("phrase mode does not support search-after")
+            return self.topk_phrase(query, k)
         return self.topk_exhaustive(query, k, after=after)
 
     # --------------------------------------------- reference-API search peers

@@ -259,3 +259,26 @@ def test_engine_facade_phrase_surfaces(pos_index):
     toks = s._query_terms("baba cece")
     assert np.array_equal(e.phrase_hits("baba cece"), s.phrase_hits(toks))
     assert e.search_phrase_topk("baba cece", 5) == s.topk_phrase("baba cece", 5)
+
+
+def test_run_queries_phrase_mode(ray_session, pos_index):
+    """Scored phrase queries through the distributed actor-pool surface
+    (run_queries mode="phrase") == driver-side topk_phrase."""
+    from org_rdkit_lucene_ray.pipelines.query import run_queries
+
+    idx, _ = pos_index
+    s = Searcher(idx)
+    queries = pa.table({
+        "query_id": pa.array([0, 1], pa.int32()),
+        "query": pa.array(["baba cece", "cece dada"], pa.string()),
+        "k": pa.array([5, 5], pa.int32()),
+    })
+    out = run_queries(idx, queries, mode="phrase", resolve_urls=False,
+                      concurrency=2).to_pandas().sort_values(
+                          ["query_id", "rank"]).reset_index(drop=True)
+    for qid, q in ((0, "baba cece"), (1, "cece dada")):
+        want = s.topk_phrase(q, 5)
+        got = out[out.query_id == qid]
+        assert list(got.doc_id) == [d for d, _ in want]
+        np.testing.assert_allclose(got.score.to_numpy(),
+                                   np.float32([sc for _, sc in want]))
