@@ -354,8 +354,6 @@ def _reencode_chunk(src_path: str, out_path: str, deletes: np.ndarray,
             alive = new_counts > 0
             terms = terms.filter(pa.array(alive))
             counts = new_counts[alive]
-            if has_pos:
-                valid_term = valid_term[alive]
     if docs.size == 0:
         return None
     term_starts = np.concatenate([[0], np.cumsum(counts)[:-1]])

@@ -1357,29 +1357,27 @@ class Searcher:
         return (np.concatenate(docs_l), np.concatenate(tfs_l),
                 np.concatenate(pos_l))
 
-    def phrase_hits(self, tokens: list[str], slop: int = 0,
-                    max_hits: int | None = None) -> np.ndarray:
-        """Phrase / in-order proximity hits ENTIRELY from the index (needs
-        ``store_positions=True``): SCREEN via :meth:`phrase_candidates`,
-        then VERIFY on the candidates' decoded positions with the same
-        greedy occurrence chain as the stored-text mask
-        (:func:`_phrase_match_mask` — both decide ``p_n - p_1 - (n-1) <=
-        slop`` over strictly-increasing in-order occurrences), so the two
-        layouts return identical hit sets. Cost is O(candidate postings)
-        — no stored-text decode per candidate (r3 verdict #7)."""
+    def _phrase_chain(self, tokens: list[str]):
+        """Shared SCREEN + greedy occurrence chain behind the positional
+        phrase surfaces: returns ``(cand, start, cur, alive)`` or None when
+        no occurrence chain exists. ``start``/``cur`` are the first/last
+        composite ``(cand_rank << 32 | position)`` keys of each chained
+        occurrence attempt; the greedy chain finds each start's minimal
+        completion (same decision rule as the stored-text
+        :func:`_phrase_match_mask`)."""
         cand = self.phrase_candidates(tokens)
         if cand.size == 0:
-            return cand
+            return None
         keys: list[np.ndarray] = []
         for t in tokens:
             dec = self._decode_term_positions(t, only_docs=cand)
             if dec is None:                      # screened => present, but be safe
-                return np.zeros(0, np.int64)
+                return None
             docs, tfs, pos = dec
             rank = np.searchsorted(cand, docs)
             k = (np.repeat(rank, tfs) << 32) | pos
             if k.size == 0:
-                return np.zeros(0, np.int64)
+                return None
             keys.append(k)                       # ascending: docs asc, pos asc
         start = keys[0]
         cur = start
@@ -1391,6 +1389,22 @@ class Searcher:
             ok &= (nxt >> 32) == (cur >> 32)     # same candidate doc
             alive &= ok
             cur = np.where(ok, nxt, cur)
+        return cand, start, cur, alive
+
+    def phrase_hits(self, tokens: list[str], slop: int = 0,
+                    max_hits: int | None = None) -> np.ndarray:
+        """Phrase / in-order proximity hits ENTIRELY from the index (needs
+        ``store_positions=True``): SCREEN via :meth:`phrase_candidates`,
+        then VERIFY on the candidates' decoded positions with the same
+        greedy occurrence chain as the stored-text mask
+        (:func:`_phrase_match_mask` — both decide ``p_n - p_1 - (n-1) <=
+        slop`` over strictly-increasing in-order occurrences), so the two
+        layouts return identical hit sets. Cost is O(candidate postings)
+        — no stored-text decode per candidate (r3 verdict #7)."""
+        chain = self._phrase_chain(tokens)
+        if chain is None:
+            return np.zeros(0, np.int64)
+        cand, start, cur, alive = chain
         span_extra = (cur & 0xFFFFFFFF) - (start & 0xFFFFFFFF) - (len(tokens) - 1)
         good = alive & (span_extra <= slop)
         hits = cand[np.unique(start[good] >> 32)]
@@ -1402,30 +1416,10 @@ class Searcher:
         (Lucene ``PhraseQuery`` freq at slop=0; the greedy chain finds the
         minimal completion per start, which for slop=0 decides each start
         exactly). Same chain as :meth:`phrase_hits`."""
-        cand = self.phrase_candidates(tokens)
-        if cand.size == 0:
-            return cand, np.zeros(0, np.int64)
-        keys: list[np.ndarray] = []
-        for t in tokens:
-            dec = self._decode_term_positions(t, only_docs=cand)
-            if dec is None:
-                return np.zeros(0, np.int64), np.zeros(0, np.int64)
-            docs, tfs, pos = dec
-            rank = np.searchsorted(cand, docs)
-            k = (np.repeat(rank, tfs) << 32) | pos
-            if k.size == 0:
-                return np.zeros(0, np.int64), np.zeros(0, np.int64)
-            keys.append(k)
-        start = keys[0]
-        cur = start
-        alive = np.ones(cur.size, bool)
-        for k in keys[1:]:
-            nxt_idx = np.searchsorted(k, cur, side="right")
-            ok = nxt_idx < k.size
-            nxt = k[np.minimum(nxt_idx, k.size - 1)]
-            ok &= (nxt >> 32) == (cur >> 32)
-            alive &= ok
-            cur = np.where(ok, nxt, cur)
+        chain = self._phrase_chain(tokens)
+        if chain is None:
+            return np.zeros(0, np.int64), np.zeros(0, np.int64)
+        cand, start, cur, alive = chain
         good = alive & ((cur & 0xFFFFFFFF) - (start & 0xFFFFFFFF)
                         == (len(tokens) - 1))
         freq = np.bincount((start[good] >> 32).astype(np.int64),
@@ -1434,18 +1428,20 @@ class Searcher:
         return cand[hit], freq[hit].astype(np.int64)
 
     def topk_phrase(self, phrase: str, k: int = 10) -> list[tuple[int, float]]:
-        """Scored exact-phrase top-k (Lucene ``PhraseQuery`` under
-        BM25Similarity): tf = the doc's exact phrase frequency (adjacent
-        occurrences, from the positional sidecar), idf = the SUM of the
-        phrase terms' idfs (duplicates counted — Lucene's multi-term
-        ``Weight`` convention), dl/avgdl as usual:
+        """Scored exact-phrase top-k (Lucene ``PhraseQuery``): tf = the
+        doc's exact phrase frequency (adjacent occurrences, from the
+        positional sidecar), idf = the SUM of the phrase terms' idfs
+        (duplicates counted — Lucene's multi-term ``Weight`` convention),
+        fed through the searcher's ACTIVE similarity's weight formula
+        (:meth:`_weight_arrays` — the same seam every other scored surface
+        uses, so phrase ranking under ``similarity="classic"`` is the
+        classic formula, never a BM25/classic hybrid). Under the default
+        BM25:
 
             score = (sum_t idf(t)) * freq*(k1+1) / (freq + k1*(1-b+b*dl/avgdl))
 
         Ties break to the smaller doc id (K1 comparator). Requires
         ``store_positions=True``."""
-        import math
-
         tokens = self._query_terms(phrase)
         if not tokens:
             return []
@@ -1456,10 +1452,7 @@ class Searcher:
         d0 = self._decode_term(tokens[0])
         dl = d0[2][np.searchsorted(d0[0], docs)].astype(np.float64)
         idf_sum = float(sum(self._sim_idf(t) for t in tokens))
-        f = freq.astype(np.float64)
-        k1, b = self.bm25.k1, self.bm25.b
-        scores = idf_sum * (f * (k1 + 1.0)) / (
-            f + k1 * ((1.0 - b) + (b * dl) / self.avgdl))
+        scores = self._weight_arrays(idf_sum, freq.astype(np.float64), dl)
         order = np.lexsort((docs, -scores.astype(np.float32)))[:k]
         return [(int(docs[i]), float(scores[i])) for i in order]
 
@@ -2332,15 +2325,17 @@ def search_phrases(
 
     On a ``store_positions=True`` index the verify phase reads the
     positional sidecar instead (``Searcher.phrase_hits``) — cost
-    O(candidate postings), no text touched at all; ``docs`` is ignored.
-    Both layouts return identical hit sets (greedy-chain semantics are
-    shared; tested in test_positions.py).
+    O(candidate postings); only ``docs``'s ID column is streamed (one
+    ``select_columns`` pass scoping the hits to the caller's dataset —
+    never the text), so both layouts return identical rows for the same
+    ``docs`` scope (tested in test_positions.py).
 
     ``phrases`` rows are ``(query_id, phrase, slop)``; result rows are
     ``(query_id, doc_id)`` membership, like the rest of the set-returning
     search family."""
     import ray
 
+    out_schema = pa.schema([("query_id", pa.int64()), ("doc_id", pa.int64())])
     if searcher.store_positions:
         qids_out, docs_out = [], []
         for qid, phrase, slop in phrases:
@@ -2348,10 +2343,28 @@ def search_phrases(
             hit = searcher.phrase_hits(ptoks, int(slop))
             qids_out.append(np.full(hit.size, int(qid), np.int64))
             docs_out.append(hit)
-        return rd.from_arrow(pa.table({
-            "query_id": pa.array(np.concatenate(qids_out), pa.int64()),
-            "doc_id": pa.array(np.concatenate(docs_out), pa.int64()),
-        }))
+        hits_tbl = pa.table({
+            "query_id": pa.array(np.concatenate(qids_out)
+                                 if qids_out else [], pa.int64()),
+            "doc_id": pa.array(np.concatenate(docs_out)
+                               if docs_out else [], pa.int64()),
+        })
+        if hits_tbl.num_rows == 0:
+            return rd.from_arrow(out_schema.empty_table())
+        # scope the index-wide hits to the docs the caller provided: the
+        # docs dataset defines the searchable universe exactly as it does
+        # on the stored-text path (each doc id appears in one batch)
+        hits_ref = ray.put(hits_tbl)
+
+        def scope(batch: pa.Table) -> pa.Table:
+            hits = ray.get(hits_ref)
+            keep = np.isin(hits["doc_id"].to_numpy(),
+                           batch[id_column].to_numpy(zero_copy_only=False)
+                           .astype(np.int64))
+            return hits.filter(pa.array(keep)).cast(out_schema)
+
+        return docs.select_columns([id_column]).map_batches(
+            scope, batch_format="pyarrow")
 
     parsed: list[tuple[int, list[str], int]] = []
     cands: dict[int, np.ndarray] = {}

@@ -175,7 +175,9 @@ def lookup_join(left: rd.Dataset, right: rd.Dataset, *, on: str,
       object store as Arrow block refs exactly once; every map task builds
       a ``pc.index_in`` probe in ``__init__`` and the lookup is one
       vectorized kernel per batch — no shuffle, no Python dict, no
-      per-row loop;
+      per-row loop. The broadcast path REQUIRES unique right keys (it is
+      a lookup, not a one-to-many join) and refuses duplicates loudly so
+      the two paths can never silently return different row sets;
     - larger: Ray-native hash-partitioned ``Dataset.join`` with
       data-sized ``num_partitions`` (``(left_rows + right_rows) /
       rows_per_partition``; pass ``left_rows`` when the left count is
@@ -195,16 +197,46 @@ def lookup_join(left: rd.Dataset, right: rd.Dataset, *, on: str,
     if join_type not in ("inner", "left_outer"):
         raise ValueError(f"lookup_join supports inner/left_outer, got {join_type!r}")
     right_on = right_on or on
+    # materialize once: count() would otherwise execute the right pipeline
+    # and the broadcast/join below would execute it a second time
+    right = right.materialize()
     n_right = right.count()
+    if n_right == 0:
+        # an empty Dataset loses its schema through Ray's exchanges, so
+        # neither probe nor Dataset.join can run — synthesize the join
+        # result directly: left_outer = left + all-null value columns,
+        # inner = the same shape with zero rows
+        sch = getattr(right.schema(), "base_schema", None)
+        if sch is None:
+            raise ValueError("lookup_join: empty right side with unknown "
+                             "schema — cannot type the output columns")
+        value_fields = [f for f in sch if f.name != right_on]
+
+        def extend(t: pa.Table) -> pa.Table:
+            for f in value_fields:
+                t = t.append_column(f.name, pa.nulls(t.num_rows, f.type))
+            return t
+
+        out = left.map_batches(extend, batch_format="pyarrow")
+        return out if join_type == "left_outer" else out.limit(0)
     if n_right <= broadcast_row_limit:
         refs = right.to_arrow_refs()
 
         class Probe:
             def __init__(self):
                 tabs = [t for t in ray.get(list(refs)) if t.num_rows]
-                t = pa.concat_tables(tabs).combine_chunks() if tabs else None
-                if t is None:
-                    raise ValueError("lookup_join: empty right side")
+                t = pa.concat_tables(tabs).combine_chunks()
+                # LOOKUP contract: pc.index_in probes the FIRST match, so a
+                # duplicate right key would silently drop rows the shuffle
+                # path (a real join) emits — refuse instead of diverging
+                n_uniq = pc.count_distinct(t[right_on]).as_py()
+                if n_uniq != t.num_rows:
+                    raise ValueError(
+                        f"lookup_join: right key {right_on!r} is not unique "
+                        f"({t.num_rows - n_uniq:,} duplicate rows). The "
+                        "broadcast lookup keeps one match per key; for a "
+                        "one-to-many join pass broadcast_row_limit=0 to "
+                        "force the hash-join path, or dedupe the right side")
                 self.keys = t[right_on].combine_chunks()
                 self.values = t.drop_columns([right_on])
 

@@ -282,3 +282,45 @@ def test_run_queries_phrase_mode(ray_session, pos_index):
         assert list(got.doc_id) == [d for d, _ in want]
         np.testing.assert_allclose(got.score.to_numpy(),
                                    np.float32([sc for _, sc in want]))
+
+
+def test_search_phrases_respects_docs_scope(ray_session, pos_index, pages_dir):
+    """On a positional index the docs dataset still defines the searchable
+    universe (review fix): hits outside the provided docs are excluded,
+    and an empty phrase list returns an empty dataset, matching the
+    stored-text path's contract."""
+    import ray.data as rd
+
+    idx, _ = pos_index
+    s = Searcher(idx)
+    ids, toks = _corpus_tokens(pages_dir, s.query_cfg)
+    ptoks = toks[3].as_py()[0:2]
+    full = s.phrase_hits(ptoks, 0)
+    assert full.size >= 2
+    keep = full[: full.size // 2]                 # scope to half the hits
+    scoped_docs = rd.from_arrow(pa.table({"doc_id": pa.array(keep, pa.int64()),
+                                          "text": pa.array([""] * keep.size)}))
+    out = search_phrases(s, scoped_docs, [(0, " ".join(ptoks), 0)]).to_pandas()
+    assert sorted(out.doc_id) == sorted(keep.tolist())
+    # 0-row Datasets lose schema through to_pandas (known Ray behavior);
+    # contract on the count
+    assert search_phrases(s, scoped_docs, []).count() == 0
+
+
+def test_topk_phrase_classic_similarity_consistent(pos_index):
+    """Phrase scoring under similarity='classic' uses the classic weight
+    formula (idf_sum^2 * sqrt(freq) / sqrt(dl)), never a BM25 hybrid."""
+    idx, _ = pos_index
+    sc = Searcher(idx, similarity="classic")
+    sb = Searcher(idx)
+    got = sc.topk_phrase("baba cece", 5)
+    assert got
+    toks = sc._query_terms("baba cece")
+    docs, freq = sb._phrase_freqs(toks)
+    d0 = sb._decode_term(toks[0])
+    dl = d0[2][np.searchsorted(d0[0], docs)].astype(np.float64)
+    idf_sum = sum(sc._sim_idf(t) for t in toks)
+    want_scores = (idf_sum * idf_sum) * np.sqrt(freq.astype(np.float64)) / np.sqrt(dl)
+    order = np.lexsort((docs, -want_scores.astype(np.float32)))[:5]
+    assert [d for d, _ in got] == [int(docs[i]) for i in order]
+    np.testing.assert_array_equal([s for _, s in got], want_scores[order])

@@ -1411,3 +1411,28 @@ def test_lookup_join_broadcast_and_shuffle_paths_identical(ray_session):
     assert b[b.k == 9]["seg"].isna().all() and s[s.k == 9]["seg"].isna().all()
     pd.testing.assert_frame_equal(
         b.astype({"seg": "object"}), s.astype({"seg": "object"}), check_dtype=False)
+
+
+def test_lookup_join_refuses_duplicate_broadcast_keys(ray_session):
+    """The broadcast lookup keeps one match per key; duplicate right keys
+    must fail loudly instead of silently diverging from the shuffle path
+    (review fix). Empty right sides route to the join path, not a crash."""
+    from org_rdkit_lucene_ray.stages.join import lookup_join
+
+    left = rd.from_arrow(pa.table({"k": pa.array([1, 2], pa.int64())}))
+    dup_right = rd.from_arrow(pa.table({
+        "rk": pa.array([1, 1, 2], pa.int64()),
+        "v": pa.array(["a", "b", "c"])}))
+    with pytest.raises(Exception, match="not unique"):
+        lookup_join(left, dup_right, on="k", right_on="rk").materialize()
+    # one-to-many works via the forced shuffle path
+    out = lookup_join(left, dup_right, on="k", right_on="rk",
+                      broadcast_row_limit=0).to_pandas()
+    assert len(out) == 3
+    # empty right: inner -> no rows; left_outer -> left rows, null values
+    empty_right = rd.from_arrow(pa.table({
+        "rk": pa.array([], pa.int64()), "v": pa.array([], pa.string())}))
+    assert lookup_join(left, empty_right, on="k", right_on="rk").count() == 0
+    lo = lookup_join(left, empty_right, on="k", right_on="rk",
+                     join_type="left_outer").to_pandas()
+    assert len(lo) == 2 and lo["v"].isna().all()
