@@ -1285,14 +1285,31 @@ class Searcher:
         postings' slices are gathered and decoded. A phrase with one rare
         term then pays O(candidate positions) on its HEAD terms too, not
         O(head-term postings) (measured 102 s -> sub-second for a
-        head+rare phrase at 1.57M docs, BASELINE r4)."""
+        head+rare phrase at 1.57M docs, BASELINE r4).
+
+        DENSE decodes (candidate set not selective — stopword-pair
+        phrases) are the expensive case, so their full per-term result is
+        LRU-cached (bounded by total cached positions) and later calls
+        subset the cached arrays whatever their candidate set."""
         from org_rdkit_lucene_ray.functions.codec import decode_position_streams
 
         if not self.store_positions:
             raise ValueError(
                 "index was built without store_positions=True — phrase "
                 "verify must run over the stored text (search_phrases)")
+        cached = self._pos_cache_get(term)
+        if cached is not None:
+            docs, tfs, pos = cached
+            if only_docs is not None:
+                sel = np.isin(docs, only_docs, assume_unique=True)
+                if not sel.all():
+                    pos = pos[np.repeat(sel, tfs)]
+                    docs, tfs = docs[sel], tfs[sel]
+            if docs.size == 0:
+                return None
+            return docs, tfs, pos
         docs_l, tfs_l, pos_l = [], [], []
+        full_l: list | None = []       # pre-filter arrays; None once any
         for _, tbl, tix in self._bucket_chunks(self._term_bucket(term)):
             i = tix.find(term)
             if i is None:
@@ -1312,11 +1329,13 @@ class Searcher:
             stream = np.frombuffer(blob.as_buffer(), np.uint8)
             if only_docs is not None:
                 sel = np.isin(docs, only_docs, assume_unique=True)
-                if not sel.any():
-                    continue
                 n_sel = int(sel.sum())
                 if n_sel * 8 < n:
-                    # SELECTIVE: skip decoding non-candidate positions.
+                    # SELECTIVE: skip decoding non-candidate positions
+                    # (chunk not fully decoded -> not cacheable)
+                    full_l = None
+                    if n_sel == 0:
+                        continue
                     # value ends without decoding: terminator-byte scan
                     ends = np.flatnonzero((stream & 0x80) == 0)
                     cumtf = np.concatenate([[0], np.cumsum(tfs)])
@@ -1333,29 +1352,70 @@ class Searcher:
                     # the 1/8 gate above bounds this loop)
                     for j in range(lo.size):
                         out[offs[j]:offs[j + 1]] = stream[lo[j]:hi[j]]
-                    stream = out
-                    pos = decode_position_streams(stream, tfs)
+                    pos = decode_position_streams(out, tfs)
                     docs_l.append(docs)
                     tfs_l.append(tfs)
                     pos_l.append(pos)
                     continue
-                # DENSE: decode everything once, filter flat (vectorized)
+                # DENSE: decode everything once, filter flat (vectorized);
+                # the pre-filter arrays are cache-worthy — this is exactly
+                # the expensive stopword-term case that recurs across
+                # phrase queries
                 pos = decode_position_streams(stream, tfs)
+                if full_l is not None:
+                    full_l.append((docs, tfs, pos))
                 if not sel.all():
                     pos = pos[np.repeat(sel, tfs)]
                     docs, tfs = docs[sel], tfs[sel]
-                docs_l.append(docs)
-                tfs_l.append(tfs)
-                pos_l.append(pos)
+                if docs.size:
+                    docs_l.append(docs)
+                    tfs_l.append(tfs)
+                    pos_l.append(pos)
                 continue
             pos = decode_position_streams(stream, tfs)
+            if full_l is not None:
+                full_l.append((docs, tfs, pos))
             docs_l.append(docs)
             tfs_l.append(tfs)
             pos_l.append(pos)
+        if full_l:
+            self._pos_cache_put(term, (
+                np.concatenate([x[0] for x in full_l]),
+                np.concatenate([x[1] for x in full_l]),
+                np.concatenate([x[2] for x in full_l])))
         if not docs_l:
             return None
         return (np.concatenate(docs_l), np.concatenate(tfs_l),
                 np.concatenate(pos_l))
+
+    # positions LRU: caches FULL per-term decodes (the dense stopword
+    # case) bounded by total cached position count, so repeated phrase
+    # queries over head terms pay the big decode once per actor
+    _POS_CACHE_MAX_VALUES = 64_000_000      # ~0.5 GB of int64 positions
+
+    def _pos_cache_get(self, term: str):
+        cache = getattr(self, "_pos_cache", None)
+        if cache is None:
+            return None
+        hit = cache.get(term)
+        if hit is not None:
+            cache.move_to_end(term)
+        return hit
+
+    def _pos_cache_put(self, term: str, dec) -> None:
+        from collections import OrderedDict
+
+        if not hasattr(self, "_pos_cache"):
+            self._pos_cache = OrderedDict()
+            self._pos_cache_values = 0
+        n = int(dec[2].size)
+        if n > self._POS_CACHE_MAX_VALUES:
+            return                           # never cache a monster alone
+        self._pos_cache[term] = dec
+        self._pos_cache_values += n
+        while self._pos_cache_values > self._POS_CACHE_MAX_VALUES:
+            _, old = self._pos_cache.popitem(last=False)
+            self._pos_cache_values -= int(old[2].size)
 
     def _phrase_chain(self, tokens: list[str]):
         """Shared SCREEN + greedy occurrence chain behind the positional
