@@ -324,3 +324,26 @@ def test_topk_phrase_classic_similarity_consistent(pos_index):
     order = np.lexsort((docs, -want_scores.astype(np.float32)))[:5]
     assert [d for d, _ in got] == [int(docs[i]) for i in order]
     np.testing.assert_array_equal([s for _, s in got], want_scores[order])
+
+
+def test_topk_sharded_phrase_matches_unsharded(ray_session, pos_index):
+    """Sharded phrase top-k == unsharded: shards partition docs, phrase
+    scores use GLOBAL df/avgdl (the shard searcher's _gdf path), so the
+    cross-shard merge is exact for mode='phrase' too."""
+    from org_rdkit_lucene_ray.pipelines.query import topk_sharded
+
+    idx, _ = pos_index
+    s = Searcher(idx)
+    queries = pa.table({
+        "query_id": pa.array([0, 1], pa.int32()),
+        "query": pa.array(["baba cece", "cece dada"], pa.string()),
+        "k": pa.array([5, 5], pa.int32()),
+    })
+    out = topk_sharded(idx, queries, n_shards=2, mode="phrase") \
+        .to_pandas().sort_values(["query_id", "rank"])
+    for qid, q in ((0, "baba cece"), (1, "cece dada")):
+        want = s.topk_phrase(q, 5)
+        got = out[out.query_id == qid]
+        assert list(got.doc_id) == [d for d, _ in want]
+        np.testing.assert_allclose(got.score.to_numpy(),
+                                   np.float32([sc for _, sc in want]))
