@@ -347,3 +347,48 @@ def test_topk_sharded_phrase_matches_unsharded(ray_session, pos_index):
         assert list(got.doc_id) == [d for d, _ in want]
         np.testing.assert_allclose(got.score.to_numpy(),
                                    np.float32([sc for _, sc in want]))
+
+
+def test_crash_resume_byte_identical_positional_ipc(ray_session, pages_dir,
+                                                    tmp_path_factory):
+    """Crash-resume determinism holds for the r4 layouts too: a positional
+    Arrow-IPC build whose outputs are partially destroyed resumes to
+    byte-identical segment files (positions encode deterministically; the
+    resume scan recognizes .arrow chunks)."""
+    import hashlib
+    import shutil
+
+    def tree_hashes(root):
+        out = {}
+        for dp, _, fs in os.walk(root):
+            for f in fs:
+                p = os.path.join(dp, f)
+                out[os.path.relpath(p, root)] = hashlib.md5(
+                    open(p, "rb").read()).hexdigest()
+        return out
+
+    cfg = IndexConfig(docs_per_segment=256, term_buckets=8, block_size=32,
+                      store_positions=True, chunk_format="ipc")
+    idx1 = str(tmp_path_factory.mktemp("pos_resume_ctrl"))
+    m1 = build_index(pages_dir, idx1, cfg=cfg)
+    control = tree_hashes(os.path.join(idx1, m1["generation"], "segments"))
+
+    idx2 = str(tmp_path_factory.mktemp("pos_resume_crash"))
+    m2 = build_index(pages_dir, idx2, cfg=cfg)
+    gdir2 = os.path.join(idx2, m2["generation"])
+    work = os.path.join(idx2, "work")
+    os.remove(os.path.join(work, "manifest", "frag-000002.json"))
+    os.remove(os.path.join(work, "postings", "frag-000002.parquet"))
+    os.remove(os.path.join(gdir2, "fwd", "frag-000002.parquet"))
+    seg_root = os.path.join(gdir2, "segments")
+    removed = 0
+    for seg in sorted(os.listdir(seg_root)):
+        for f in sorted(os.listdir(os.path.join(seg_root, seg))):
+            assert f.endswith(".arrow")
+            if removed < 3:
+                os.remove(os.path.join(seg_root, seg, f))
+                removed += 1
+    shutil.rmtree(os.path.join(gdir2, "df"))
+    m2b = build_index(pages_dir, idx2, cfg=cfg)
+    assert m2b["stats"]["n_postings"] == m1["stats"]["n_postings"]
+    assert tree_hashes(os.path.join(gdir2, "segments")) == control
