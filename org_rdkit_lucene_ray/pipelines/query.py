@@ -1905,9 +1905,12 @@ class SearcherStage:
     def __init__(self, index_dir: str, mode: str = "bmw", default_k: int = 10,
                  resolve_urls: bool = True, generation: str | None = None,
                  warm_top_terms: int = 16, similarity: str = "bm25"):
+        # serving actor: eager residency — init cost is amortized over the
+        # actor's lifetime and queries must never pay a first-probe load
+        # (lazy stays the default for driver-side / one-shot searchers)
         self.searcher = Searcher(index_dir, generation,
                                  warm_top_terms=warm_top_terms,
-                                 similarity=similarity)
+                                 similarity=similarity, residency="eager")
         self.mode = mode
         self.default_k = default_k
         self.resolve = resolve_urls
@@ -1948,8 +1951,10 @@ class ShardSearcherStage:
     def __init__(self, index_dir: str, shard_id: int, n_shards: int,
                  mode: str = "bmw", default_k: int = 10,
                  generation: str | None = None):
+        # serving actor: eager residency (see SearcherStage)
         self.searcher = Searcher(index_dir, generation,
-                                 shard=(shard_id, n_shards))
+                                 shard=(shard_id, n_shards),
+                                 residency="eager")
         self.mode = mode
         self.default_k = default_k
 
@@ -2034,7 +2039,8 @@ class SetSearcherStage:
     def __init__(self, index_dir: str, method: str = "search_query",
                  method_kwargs: dict | None = None,
                  generation: str | None = None):
-        self.searcher = Searcher(index_dir, generation)
+        # serving actor: eager residency (see SearcherStage)
+        self.searcher = Searcher(index_dir, generation, residency="eager")
         self.fn = getattr(self.searcher, method)
         self.kwargs = method_kwargs or {}
 
