@@ -3446,6 +3446,73 @@ def q_emb_ivf_recall(sf_dir: str) -> pa.Table:
 
 
 # ---------------------------------------------------------------------------
+# distributed k-means over the embedding column (stages/cluster.py): the
+# integer-quantized formulation makes the assignment step EXACTLY
+# SQL-expressible (floor(x*1024) is bit-identical in numpy float64 and
+# DuckDB, all distances/ties integer), and makes the iterated fit
+# partitioning-invariant (int64 partial sums commute) — so the fit gate can
+# assert determinism across two different block splits as a pinned verdict.
+# ---------------------------------------------------------------------------
+KMEANS_K = 8
+KMEANS_ITERS = 4
+from org_rdkit_lucene_ray.stages.cluster import QUANT as KMEANS_QUANT  # noqa: E402
+
+
+def _emb_ds(sf_dir: str, **kwargs) -> rd.Dataset:
+    return rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                           columns=["vec_id", "embedding"], **kwargs)
+
+
+def q_kmeans_assign(sf_dir: str) -> pa.Table:
+    """One deterministic k-means assignment step against fixed centroids
+    (the ``KMEANS_K`` smallest-``vec_id`` vectors), emitting per-cluster
+    (cluster, n, sum_vec_id) — the SemDeDup/IVF coarse-bucketing profile.
+    All-integer end to end, so the DuckDB oracle matches bit-for-bit."""
+    from org_rdkit_lucene_ray.stages.cluster import (init_centroids,
+                                                     kmeans_assign_profile)
+
+    ds = _emb_ds(sf_dir).materialize()   # two consumers: init + assign
+    cents = init_centroids(ds, KMEANS_K)
+    return kmeans_assign_profile(ds, cents, concurrency=2)
+
+
+def q_kmeans_fit(sf_dir: str) -> pa.Table:
+    """Full distributed Lloyd's, run TWICE under different block splits and
+    actor-pool sizes; verdict row pins (a) bit-identical centroids across
+    the two partitionings (int64 partials commute — the 100 TB determinism
+    contract) and (b) Lloyd's convergence (final inertia <= initial)."""
+    from org_rdkit_lucene_ray.stages.cluster import kmeans_fit
+
+    fit_a = kmeans_fit(_emb_ds(sf_dir, override_num_blocks=3),
+                       k=KMEANS_K, iters=KMEANS_ITERS, concurrency=2)
+    fit_b = kmeans_fit(_emb_ds(sf_dir, override_num_blocks=7),
+                       k=KMEANS_K, iters=KMEANS_ITERS, concurrency=4)
+    det = int(np.array_equal(fit_a["centroids"], fit_b["centroids"])
+              and fit_a["inertia"] == fit_b["inertia"])
+    conv = int(fit_a["inertia"][-1] <= fit_a["inertia"][0])
+    return pa.table({
+        "k": pa.array([KMEANS_K], pa.int64()),
+        "iters": pa.array([KMEANS_ITERS], pa.int64()),
+        "n_rows": pa.array([int(fit_a["profile"]["n"].sum())], pa.int64()),
+        "met_deterministic": pa.array([det], pa.int64()),
+        "met_converged": pa.array([conv], pa.int64()),
+    })
+
+
+BPE_PAIR_TOPK = 30
+
+
+def q_bpe_pair_counts(sf_dir: str) -> pa.Table:
+    """Top adjacent-token-pair counts — one BPE tokenizer-training merge
+    step (:func:`stages.lm.top_adjacent_pairs`), over the standard-analyzer
+    token stream the index itself uses."""
+    from org_rdkit_lucene_ray.stages.lm import top_adjacent_pairs
+
+    return top_adjacent_pairs(_docs(sf_dir, columns=["text"]),
+                              k=BPE_PAIR_TOPK)
+
+
+# ---------------------------------------------------------------------------
 # multimodal plumbing (deterministic fake decoder; n_bytes is SQL-checkable)
 # ---------------------------------------------------------------------------
 def q_media_features(sf_dir: str) -> rd.Dataset:
@@ -3687,6 +3754,45 @@ WHERE list_cosine_similarity(a.embedding, b.embedding) >= {EMB_DUP_THRESHOLD}
 """
 
 ORACLE_SQL: dict[str, str] = {
+    # exact mirror of the integer-quantized assignment step: floor(e*1024)
+    # (power-of-two scale => exact in IEEE float64 on both sides), integer
+    # squared-L2, ties -> lowest cluster id == numpy argmin first-match
+    "kmeans_assign": f"""
+WITH q AS (SELECT vec_id,
+                  list_transform(embedding,
+                                 e -> CAST(floor(e * {KMEANS_QUANT}) AS BIGINT)) AS qv
+           FROM embeddings),
+cent AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster, qv AS cv
+         FROM (SELECT * FROM q ORDER BY vec_id LIMIT {KMEANS_K})),
+dist AS (SELECT q.vec_id, c.cluster,
+                list_sum(list_transform(range(1, len(q.qv) + 1),
+                         i -> (q.qv[i] - c.cv[i]) * (q.qv[i] - c.cv[i]))) AS d
+         FROM q CROSS JOIN cent c),
+best AS (SELECT vec_id, cluster,
+                row_number() OVER (PARTITION BY vec_id ORDER BY d, cluster) AS rn
+         FROM dist)
+SELECT cluster::BIGINT AS cluster, count(*)::BIGINT AS n,
+       sum(vec_id)::BIGINT AS sum_vec_id
+FROM best WHERE rn = 1 GROUP BY cluster ORDER BY cluster
+""",
+    # verdict pin (like minhash_recall): the engine computes determinism
+    # across two block splits and convergence distributed; n_rows keeps the
+    # row data-dependent
+    "kmeans_fit": f"""
+SELECT {KMEANS_K}::BIGINT AS k, {KMEANS_ITERS}::BIGINT AS iters,
+       count(*)::BIGINT AS n_rows, 1::BIGINT AS met_deterministic,
+       1::BIGINT AS met_converged
+FROM embeddings
+""",
+    # lockstep unnest of toks[1:-1] x toks[2:] = the adjacent-pair stream
+    "bpe_pair_counts": f"""
+WITH d AS (SELECT {_TOKS} AS toks FROM documents),
+p AS (SELECT unnest(list_slice(toks, 1, len(toks) - 1)) AS t1,
+             unnest(list_slice(toks, 2, len(toks))) AS t2
+      FROM d WHERE len(toks) >= 2)
+SELECT t1 || ' ' || t2 AS pair, count(*)::BIGINT AS n
+FROM p GROUP BY pair ORDER BY n DESC, pair ASC LIMIT {BPE_PAIR_TOPK}
+""",
     "term_df": f"""
 WITH tok AS (
   SELECT DISTINCT doc_id, unnest({_TOKS}) AS term FROM documents
@@ -4238,6 +4344,9 @@ QUERIES = {
     "stem_df": q_stem_df,
     "free_multifield": q_free_multifield,
     "record_roundtrip": q_record_roundtrip,
+    "kmeans_assign": q_kmeans_assign,
+    "kmeans_fit": q_kmeans_fit,
+    "bpe_pair_counts": q_bpe_pair_counts,
     "bm25_topk": q_bm25_topk,
     "term_df": q_term_df,
     "doc_lengths": q_doc_lengths,

@@ -214,3 +214,65 @@ def perplexity_scores(docs: rd.Dataset, model: dict, *,
                          "nll": pa.array(nll, pa.float64())})
 
     return docs.map_batches(score, batch_format="pyarrow")
+
+
+_PAIR_SCHEMA = pa.schema([("pair", pa.string()), ("c", pa.int64())])
+
+
+def top_adjacent_pairs(docs: rd.Dataset, *, k: int = 30,
+                       text_col: str = "text",
+                       analyzer: str = "standard") -> pa.Table:
+    """The BPE merge-step statistic (Sennrich et al. 2016): the ``k`` most
+    frequent ADJACENT token pairs across the corpus, ``(pair, n)`` ordered
+    (n desc, pair asc). One iteration of tokenizer training = pick the top
+    pair and merge; this operator is that counting pass, distributed.
+
+    Scale shape: per-batch pairs are pre-aggregated inside the batch (an
+    Arrow ``group_by`` over at most batch-token-count rows), so the
+    ``groupby("pair")`` exchange moves distinct-pair partials, not
+    occurrences; the top-k is a per-block ``select_k`` partial plus a
+    <= k x blocks driver merge (the `top_terms` pattern). No Python
+    per-token loop: pair starts are a numpy boolean mask over the flat
+    token array (every position except each doc's last token), and the
+    pair strings come from one ``binary_join_element_wise`` kernel."""
+    from ray.data.aggregate import Sum
+
+    cfg = REGISTRY[analyzer]
+
+    def partial(t: pa.Table) -> pa.Table:
+        toks = tokenize_column(t[text_col].combine_chunks(), cfg)
+        flat = pc.list_flatten(toks)
+        counts = pc.list_value_length(toks).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        n = len(flat)
+        if n < 2:
+            return _PAIR_SCHEMA.empty_table()
+        mask = np.ones(n, bool)
+        last = np.cumsum(counts)[counts > 0] - 1   # doc-final positions
+        mask[last] = False
+        idx = np.flatnonzero(mask)
+        if not idx.size:
+            return _PAIR_SCHEMA.empty_table()
+        t1 = flat.take(pa.array(idx, pa.int64()))
+        t2 = flat.take(pa.array(idx + 1, pa.int64()))
+        pair = pc.binary_join_element_wise(t1, t2, " ")
+        g = pa.table({"pair": pair}).group_by("pair").aggregate(
+            [("pair", "count")])
+        return pa.table({"pair": g["pair"],
+                         "c": pc.cast(g["pair_count"], pa.int64())})
+
+    agg = (docs.map_batches(partial, batch_format="pyarrow")
+           .groupby("pair").aggregate(Sum("c", alias_name="n")))
+
+    def block_top(t: pa.Table) -> pa.Table:
+        sel = pc.select_k_unstable(t, k=min(k, t.num_rows), sort_keys=[
+            ("n", "descending"), ("pair", "ascending")])
+        return t.take(sel)
+
+    rows = agg.map_batches(block_top, batch_format="pyarrow").take_all()
+    rows.sort(key=lambda r: (-r["n"], r["pair"]))
+    rows = rows[:k]
+    return pa.table({
+        "pair": pa.array([r["pair"] for r in rows], pa.string()),
+        "n": pa.array([r["n"] for r in rows], pa.int64()),
+    })

@@ -1436,3 +1436,87 @@ def test_lookup_join_refuses_duplicate_broadcast_keys(ray_session):
     lo = lookup_join(left, empty_right, on="k", right_on="rk",
                      join_type="left_outer").to_pandas()
     assert len(lo) == 2 and lo["v"].isna().all()
+
+
+# --------------------------------------------------------------- clustering
+def test_kmeans_assign_matches_numpy(ray_session):
+    """Assignment profile == a direct numpy oracle (quantize, squared L2,
+    argmin with first-match ties, per-cluster count/sum-of-id)."""
+    from org_rdkit_lucene_ray.stages.cluster import (
+        QUANT, init_centroids, kmeans_assign_profile)
+
+    t = _emb_table(n=60, d=8)
+    ds = rd.from_arrow(t).repartition(4).materialize()
+    k = 5
+    C = init_centroids(ds, k)
+    got = kmeans_assign_profile(ds, C, concurrency=2).to_pandas()
+
+    E = np.stack([np.asarray(v, np.float64) for v in
+                  t["embedding"].to_pylist()])
+    Q = np.floor(E * QUANT).astype(np.int64)
+    np.testing.assert_array_equal(C, Q[:k])   # k smallest vec_ids
+    dists = ((Q[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+    a = np.argmin(dists, axis=1)
+    ids = np.arange(len(t), dtype=np.int64)
+    want = pd.DataFrame({
+        "cluster": np.arange(k, dtype=np.int64),
+        "n": np.bincount(a, minlength=k).astype(np.int64),
+        "sum_vec_id": np.array(
+            [ids[a == c].sum() for c in range(k)], np.int64),
+    })
+    want = want[want.n > 0].reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_kmeans_assign_ties_go_to_lowest_cluster(ray_session):
+    """A point exactly equidistant from two centroids lands in the
+    lower-id cluster (numpy argmin first-match == SQL ORDER BY dist,
+    cluster)."""
+    from org_rdkit_lucene_ray.stages.cluster import (
+        QUANT, init_centroids, kmeans_assign_profile)
+
+    # 1-dim, exactly representable multiples of 1/QUANT:
+    # centroids q=0 (vec 0) and q=2 (vec 1); vec 2 at q=1 is equidistant
+    t = pa.table({
+        "vec_id": pa.array([0, 1, 2], pa.int64()),
+        "embedding": pa.array([[0.0], [2.0 / QUANT], [1.0 / QUANT]],
+                              pa.list_(pa.float32())),
+    })
+    ds = rd.from_arrow(t).materialize()
+    C = init_centroids(ds, 2)
+    got = kmeans_assign_profile(ds, C).to_pandas()
+    # cluster 0 holds vec 0 AND the tied vec 2; cluster 1 holds vec 1
+    assert got.to_dict("list") == {
+        "cluster": [0, 1], "n": [2, 1], "sum_vec_id": [2, 1]}
+
+
+def test_kmeans_fit_partition_invariant_and_monotone(ray_session):
+    """Bit-identical centroids + inertia under different block splits and
+    pool sizes (int64 partials commute); inertia converges."""
+    from org_rdkit_lucene_ray.stages.cluster import kmeans_fit
+
+    t = _emb_table(n=80, d=8)
+    a = kmeans_fit(rd.from_arrow(t).repartition(3).materialize(),
+                   k=4, iters=4, concurrency=2)
+    b = kmeans_fit(rd.from_arrow(t).repartition(7).materialize(),
+                   k=4, iters=4, concurrency=3)
+    np.testing.assert_array_equal(a["centroids"], b["centroids"])
+    assert a["inertia"] == b["inertia"]
+    assert a["inertia"][-1] <= a["inertia"][0]
+    assert int(a["profile"]["n"].sum()) == 80
+
+
+def test_top_adjacent_pairs_matches_python(docs_ds):
+    """BPE pair counts == a per-doc python zip(toks, toks[1:]) oracle,
+    including the (n desc, pair asc) cut order."""
+    from collections import Counter
+
+    from org_rdkit_lucene_ray.stages.lm import top_adjacent_pairs
+
+    got = top_adjacent_pairs(docs_ds, k=15).to_pandas()
+    cnt: Counter = Counter()
+    for text in _docs_table()["text"].to_pylist():
+        toks = analyze_text(text, REGISTRY["standard"])
+        cnt.update(f"{a} {b}" for a, b in zip(toks, toks[1:]))
+    want = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:15]
+    assert list(zip(got["pair"], got["n"])) == [(p, n) for p, n in want]
