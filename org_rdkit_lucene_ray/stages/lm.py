@@ -48,9 +48,12 @@ _B = np.uint64(1099511628211)
 
 
 def _token_and_bigram_hashes(texts: pa.Array, cfg) -> tuple[
-        np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+        np.ndarray, np.ndarray, np.ndarray, np.ndarray, np.ndarray,
+        pa.Array]:
     """-> (doc index per transition, bigram hash, context hash, flat token
-    hashes) for one batch, fully vectorized."""
+    hashes, transition start position, flat token Array) for one batch,
+    fully vectorized. ``pos[i]`` indexes transition i's FIRST token in the
+    flat array (its second token is ``pos[i] + 1``)."""
     from org_rdkit_lucene_ray.pipelines.build import stable_term_hash
 
     toks = tokenize_column(texts, cfg)
@@ -59,7 +62,8 @@ def _token_and_bigram_hashes(texts: pa.Array, cfg) -> tuple[
         zero_copy_only=False).astype(np.int64)
     if len(flat) == 0:
         z = np.zeros(0, np.uint64)
-        return np.zeros(0, np.int64), z, z, z
+        return (np.zeros(0, np.int64), z, z, z, np.zeros(0, np.int64),
+                flat)
     enc = pc.dictionary_encode(flat)
     th = stable_term_hash(enc.dictionary)[
         enc.indices.to_numpy(zero_copy_only=False)]
@@ -67,7 +71,8 @@ def _token_and_bigram_hashes(texts: pa.Array, cfg) -> tuple[
     docs2 = np.flatnonzero(counts >= 2)
     if not docs2.size:
         z = np.zeros(0, np.uint64)
-        return np.zeros(0, np.int64), z, z, th
+        return (np.zeros(0, np.int64), z, z, th, np.zeros(0, np.int64),
+                flat)
     n_tr = counts[docs2] - 1
     tr_doc = np.repeat(docs2, n_tr)
     bounds = np.concatenate([[0], np.cumsum(n_tr)])
@@ -76,7 +81,7 @@ def _token_and_bigram_hashes(texts: pa.Array, cfg) -> tuple[
     ctx = th[pos]
     with np.errstate(over="ignore"):
         big = (ctx * _B) ^ th[pos + 1]
-    return tr_doc, big, ctx, th
+    return tr_doc, big, ctx, th, pos, flat
 
 
 _FOLD_BUCKETS = 32        # top-5-bit hash-range buckets for the model fold
@@ -103,7 +108,7 @@ def train_bigram_lm(docs: rd.Dataset, *, text_col: str = "text",
     shift = np.uint64(64 - int(np.log2(_FOLD_BUCKETS)))
 
     def partial(t: pa.Table) -> pa.Table:
-        _, big, ctx, th = _token_and_bigram_hashes(
+        _, big, ctx, th, _, _ = _token_and_bigram_hashes(
             t[text_col].combine_chunks(), cfg)
         bkeys: list[int] = []
         hs: list[bytes] = []
@@ -197,7 +202,7 @@ def perplexity_scores(docs: rd.Dataset, model: dict, *,
     def score(t: pa.Table) -> pa.Table:
         m = _bcast(ref)
         ids = pc.cast(t[id_col], pa.int64())
-        tr_doc, big, ctx, _ = _token_and_bigram_hashes(
+        tr_doc, big, ctx, _, _, _ = _token_and_bigram_hashes(
             t[text_col].combine_chunks(), cfg)
         n_tr = np.zeros(len(t), np.int64)
         nll_sum = np.zeros(len(t), np.float64)
@@ -219,22 +224,47 @@ def perplexity_scores(docs: rd.Dataset, model: dict, *,
 _PAIR_SCHEMA = pa.schema([("pair", pa.string()), ("c", pa.int64())])
 
 
+_PAIR_EXACT_DOC_LIMIT = 100_000   # auto: exact string groupby below this
+_PAIR_CAND_LIMIT = 65_536         # hashed path: candidate-set ceiling
+
+
 def top_adjacent_pairs(docs: rd.Dataset, *, k: int = 30,
-                       text_col: str = "text",
-                       analyzer: str = "standard") -> pa.Table:
+                       text_col: str = "text", analyzer: str = "standard",
+                       method: str = "auto") -> pa.Table:
     """The BPE merge-step statistic (Sennrich et al. 2016): the ``k`` most
     frequent ADJACENT token pairs across the corpus, ``(pair, n)`` ordered
     (n desc, pair asc). One iteration of tokenizer training = pick the top
     pair and merge; this operator is that counting pass, distributed.
 
-    Scale shape: per-batch pairs are pre-aggregated inside the batch (an
-    Arrow ``group_by`` over at most batch-token-count rows), so the
-    ``groupby("pair")`` exchange moves distinct-pair partials, not
-    occurrences; the top-k is a per-block ``select_k`` partial plus a
-    <= k x blocks driver merge (the `top_terms` pattern). No Python
-    per-token loop: pair starts are a numpy boolean mask over the flat
-    token array (every position except each doc's last token), and the
-    pair strings come from one ``binary_join_element_wise`` kernel."""
+    Two executions with identical output (equality-tested):
+
+    - ``exact``: per-batch pair strings pre-aggregated inside the batch,
+      then a ``groupby("pair")`` + partial-top-k cut. Exact by
+      construction, but the groupby is a sort-based shuffle over every
+      distinct (batch, pair) partial — measured 137 s at 400k docs — so
+      it is the small-corpus path.
+    - ``hashed``: the ``train_bigram_lm`` fold shape. Pass 1 counts
+      64-bit FNV pair hashes through the bucket-packed blob exchange
+      (per-batch unique arrays pre-split into hash ranges; only ~32
+      blob rows per batch ride the shuffle) and each bucket emits its
+      top-k WITH count-ties, so the global top-k is always inside the
+      candidate set. Pass 2 streams the corpus once more to recover the
+      candidate pair STRINGS (broadcast sorted candidate hashes, one
+      searchsorted membership per batch). Collision odds are the lm.py
+      contract (~candidates^2 / 2^65) and an actual collision fails
+      loudly rather than merging counts. Count-tie explosions past
+      ``_PAIR_CAND_LIMIT`` fail loudly too (use ``method="exact"``).
+
+    ``auto`` picks exact under ``_PAIR_EXACT_DOC_LIMIT`` docs. No Python
+    per-token loop on either path: pair starts are a numpy boolean mask /
+    position vector over the flat token array, pair strings come from one
+    ``binary_join_element_wise`` kernel."""
+    if method == "auto":
+        method = ("exact" if docs.count() <= _PAIR_EXACT_DOC_LIMIT
+                  else "hashed")
+    if method == "hashed":
+        return _top_adjacent_pairs_hashed(docs, k=k, text_col=text_col,
+                                          analyzer=analyzer)
     from ray.data.aggregate import Sum
 
     cfg = REGISTRY[analyzer]
@@ -275,4 +305,100 @@ def top_adjacent_pairs(docs: rd.Dataset, *, k: int = 30,
     return pa.table({
         "pair": pa.array([r["pair"] for r in rows], pa.string()),
         "n": pa.array([r["n"] for r in rows], pa.int64()),
+    })
+
+
+def _top_adjacent_pairs_hashed(docs: rd.Dataset, *, k: int, text_col: str,
+                               analyzer: str) -> pa.Table:
+    """Scale path of :func:`top_adjacent_pairs` — see its docstring."""
+    cfg = REGISTRY[analyzer]
+    shift = np.uint64(64 - int(np.log2(_FOLD_BUCKETS)))
+    # two STREAMING passes: the input plan re-executes rather than
+    # materializing the corpus (re-reading parquet beats holding 100 TB in
+    # the object store; pass a .materialize()d dataset if the input is
+    # itself an expensive computation)
+
+    def partial(t: pa.Table) -> pa.Table:
+        _, big, _, _, _, _ = _token_and_bigram_hashes(
+            t[text_col].combine_chunks(), cfg)
+        u, c = np.unique(big, return_counts=True)
+        edges = np.searchsorted((u >> shift).astype(np.int64),
+                                np.arange(_FOLD_BUCKETS + 1))
+        bkeys, hs, ns = [], [], []
+        for b in range(_FOLD_BUCKETS):
+            lo, hi = int(edges[b]), int(edges[b + 1])
+            if hi > lo:
+                bkeys.append(b)
+                hs.append(u[lo:hi].tobytes())
+                ns.append(c[lo:hi].astype(np.int64).tobytes())
+        return pa.table({"bkey": pa.array(bkeys, pa.int64()),
+                         "h": pa.array(hs, pa.large_binary()),
+                         "n": pa.array(ns, pa.large_binary())})
+
+    def fold_top(g: pa.Table) -> pa.Table:
+        hh = np.concatenate([np.frombuffer(x.as_py(), np.uint64)
+                             for x in g["h"]])
+        nn = np.concatenate([np.frombuffer(x.as_py(), np.int64)
+                             for x in g["n"]])
+        order = np.argsort(hh, kind="stable")
+        sh, sn = hh[order], nn[order]
+        starts = np.flatnonzero(np.concatenate([[True], sh[1:] != sh[:-1]]))
+        u, c = sh[starts], np.add.reduceat(sn, starts)
+        if u.size > k:
+            kth = np.partition(c, u.size - k)[u.size - k]
+            keep = c >= kth    # include count-ties: the global top-k's
+            u, c = u[keep], c[keep]   # string tie-break happens later
+        return pa.table({"h": pa.array(u, pa.uint64()),
+                         "n": pa.array(c, pa.int64())})
+
+    cand = (docs.map_batches(partial, batch_format="pyarrow")
+            .groupby("bkey").map_groups(fold_top, batch_format="pyarrow")
+            .take_all())
+    if not cand:
+        return pa.table({"pair": pa.array([], pa.string()),
+                         "n": pa.array([], pa.int64())})
+    if len(cand) > _PAIR_CAND_LIMIT:
+        raise ValueError(
+            f"top_adjacent_pairs(hashed): {len(cand)} candidates after "
+            f"count-tie expansion (> {_PAIR_CAND_LIMIT}) — the kth count "
+            "is tied corpus-wide; use method='exact'")
+    cand_h = np.sort(np.array([r["h"] for r in cand], np.uint64))
+    counts = dict((int(r["h"]), int(r["n"])) for r in cand)
+    ref = ray.put(cand_h)
+
+    def recover(t: pa.Table) -> pa.Table:
+        H = _bcast(ref)
+        _, big, _, _, pos, flat = _token_and_bigram_hashes(
+            t[text_col].combine_chunks(), cfg)
+        if not big.size:
+            return pa.table({"h": pa.array([], pa.uint64()),
+                             "pair": pa.array([], pa.string())})
+        loc = np.searchsorted(H, big)
+        loc_c = np.minimum(loc, H.size - 1)
+        hit = H[loc_c] == big
+        if not hit.any():
+            return pa.table({"h": pa.array([], pa.uint64()),
+                             "pair": pa.array([], pa.string())})
+        p = pos[hit]
+        t1 = flat.take(pa.array(p, pa.int64()))
+        t2 = flat.take(pa.array(p + 1, pa.int64()))
+        pair = pc.binary_join_element_wise(t1, t2, " ")
+        tab = pa.table({"h": pa.array(big[hit], pa.uint64()), "pair": pair})
+        return tab.group_by(["h", "pair"]).aggregate([])   # batch-distinct
+
+    rows = docs.map_batches(recover, batch_format="pyarrow").take_all()
+    by_hash: dict[int, str] = {}
+    for r in rows:
+        h, s = int(r["h"]), r["pair"]
+        old = by_hash.get(h)
+        if old is not None and old != s:
+            raise ValueError(
+                f"top_adjacent_pairs(hashed): 64-bit pair-hash collision "
+                f"({old!r} vs {s!r}) — use method='exact'")
+        by_hash[h] = s
+    out = sorted(((by_hash[h], n) for h, n in counts.items()),
+                 key=lambda kv: (-kv[1], kv[0]))[:k]
+    return pa.table({
+        "pair": pa.array([p for p, _ in out], pa.string()),
+        "n": pa.array([n for _, n in out], pa.int64()),
     })

@@ -1520,3 +1520,14 @@ def test_top_adjacent_pairs_matches_python(docs_ds):
         cnt.update(f"{a} {b}" for a, b in zip(toks, toks[1:]))
     want = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:15]
     assert list(zip(got["pair"], got["n"])) == [(p, n) for p, n in want]
+
+
+def test_top_adjacent_pairs_hashed_equals_exact(docs_ds):
+    """The blob-fold scale path and the exact string-groupby path emit
+    identical tables (hash counting + candidate string recovery is exact
+    absent 64-bit collisions, which fail loudly)."""
+    from org_rdkit_lucene_ray.stages.lm import top_adjacent_pairs
+
+    exact = top_adjacent_pairs(docs_ds, k=12, method="exact")
+    hashed = top_adjacent_pairs(docs_ds, k=12, method="hashed")
+    assert exact.equals(hashed)
