@@ -3512,6 +3512,31 @@ def q_bpe_pair_counts(sf_dir: str) -> pa.Table:
                               k=BPE_PAIR_TOPK)
 
 
+def q_bloom_novel_docs(sf_dir: str) -> pa.Table:
+    """Bloom-screened crawl novelty (:func:`stages.sketch.bloom_novel_docs`):
+    new = the `snapshot_diff` deterministic re-crawl (every 31st doc gone,
+    every 13th rewritten); output = ids of new docs whose content md5
+    appears NOWHERE in the old crawl. EXACT anti-join parity at bloom
+    cost: bloom misses are definitely novel (no false negatives) and skip
+    the verify; bloom hits are confirmed by one broadcast-searchsorted
+    pass over the old side (the decontaminate shape). Zero shuffles."""
+    from org_rdkit_lucene_ray.stages.sketch import bloom_novel_docs
+
+    def recrawl(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = ids % 31 != 0
+        sel = t.filter(pa.array(keep))
+        ids = ids[keep]
+        txt = sel["text"].combine_chunks()
+        txt = pc.if_else(pa.array(ids % 13 == 0),
+                         pc.binary_join_element_wise(txt, " v2", ""), txt)
+        return pa.table({"doc_id": pa.array(ids), "text": txt})
+
+    new = _docs(sf_dir, columns=["doc_id", "text"]).map_batches(
+        recrawl, batch_format="pyarrow")
+    return bloom_novel_docs(new, _docs(sf_dir, columns=["doc_id", "text"]))
+
+
 # ---------------------------------------------------------------------------
 # multimodal plumbing (deterministic fake decoder; n_bytes is SQL-checkable)
 # ---------------------------------------------------------------------------
@@ -3783,6 +3808,16 @@ SELECT {KMEANS_K}::BIGINT AS k, {KMEANS_ITERS}::BIGINT AS iters,
        count(*)::BIGINT AS n_rows, 1::BIGINT AS met_deterministic,
        1::BIGINT AS met_converged
 FROM embeddings
+""",
+    # exact anti-join over content md5 — the bloom is pruning, not answer
+    "bloom_novel_docs": """
+WITH newdocs AS (SELECT doc_id,
+                        CASE WHEN doc_id % 13 = 0 THEN text || ' v2'
+                             ELSE text END AS text
+                 FROM documents WHERE doc_id % 31 <> 0)
+SELECT n.doc_id FROM newdocs n
+WHERE md5(n.text) NOT IN (SELECT md5(text) FROM documents)
+ORDER BY n.doc_id
 """,
     # lockstep unnest of toks[1:-1] x toks[2:] = the adjacent-pair stream
     "bpe_pair_counts": f"""
@@ -4347,6 +4382,7 @@ QUERIES = {
     "kmeans_assign": q_kmeans_assign,
     "kmeans_fit": q_kmeans_fit,
     "bpe_pair_counts": q_bpe_pair_counts,
+    "bloom_novel_docs": q_bloom_novel_docs,
     "bm25_topk": q_bm25_topk,
     "term_df": q_term_df,
     "doc_lengths": q_doc_lengths,

@@ -231,3 +231,184 @@ def grouped_distinct_hll(ds: rd.Dataset, group_col: str, col: str, *,
     out = (ds.map_batches(partial, batch_format="pyarrow")
            .groupby("grp").map_groups(merge, batch_format="pyarrow"))
     return {r["grp"]: r["est"] for r in out.take_all()}
+
+
+# ------------------------------------------------------------------- bloom
+# Distributed Bloom filter + the bloom-screened incremental-crawl novelty
+# filter. Same OR-foldable shape as the HLL registers: per-batch partials
+# are SET-BIT POSITION blobs pre-split into bit-range slices (k positions
+# per key, ~4*8 B per row — occurrence-sized bitmaps never ride the
+# exchange), a groupby(slice).map_groups ORs each slice's bitmap, and the
+# driver only concatenates the slices. Bit order is little-endian
+# (np.packbits bitorder="little") so position p lives at
+# byte p>>3, bit p&7. Reference analog: the per-fragment url blooms in
+# the segment footers (state/bloom.py) — this is the corpus-level,
+# fold-built variant a snapshot-over-snapshot pipeline needs.
+
+_BLOOM_SLICE_BITS = 5              # 32 fold slices
+_BLOOM_K = 4
+_BLOOM_BITS_PER_KEY = 16           # ~0.24% false-positive rate at k=4
+_BLOOM_CAND_LIMIT = 5_000_000      # broadcastable verify-candidate ceiling
+
+
+def _bloom_positions(d: np.ndarray, k: int, n_bits: int) -> np.ndarray:
+    """(n, 2) int64 md5 words -> (n, k) uint64 bit positions via
+    Kirsch-Mitzenmacher double hashing (h1 + i*h2 mod m), m a power of 2."""
+    d0 = d[:, 0].view(np.uint64)
+    d1 = d[:, 1].view(np.uint64) | np.uint64(1)   # odd stride hits all bits
+    i = np.arange(k, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        return (d0[:, None] + i[None, :] * d1[:, None]) & np.uint64(n_bits - 1)
+
+
+def bloom_build(ds: rd.Dataset, col: str, *, n_bits: int,
+                k: int = _BLOOM_K) -> np.ndarray:
+    """Build one Bloom bitmap (uint8, little-endian bit order) over the
+    md5 fingerprints of a string column, fully distributed. ``n_bits``
+    must be a power of two. The bitmap must fit a driver/worker heap —
+    size it to the OLD side's cardinality (16 bits/key ~ 2 GB per 10^9
+    keys); past broadcastable sizes, use the per-partition blooms of
+    ``state/bloom.py`` instead (documented split)."""
+    from org_rdkit_lucene_ray.util import md5_digest64_column
+
+    if n_bits & (n_bits - 1):
+        raise ValueError(f"n_bits must be a power of two, got {n_bits}")
+    n_slices = 1 << _BLOOM_SLICE_BITS
+    slice_bits = n_bits >> _BLOOM_SLICE_BITS
+    shift = np.uint64(int(np.log2(n_bits)) - _BLOOM_SLICE_BITS)
+
+    def partial(t: pa.Table) -> pa.Table:
+        d = md5_digest64_column(t[col])
+        pos = np.unique(_bloom_positions(d, k, n_bits).ravel())
+        skey = (pos >> shift).astype(np.int64)
+        edges = np.searchsorted(skey, np.arange(n_slices + 1))
+        keys, blobs = [], []
+        for s in range(n_slices):
+            lo, hi = int(edges[s]), int(edges[s + 1])
+            if hi > lo:
+                keys.append(s)
+                blobs.append(pos[lo:hi].tobytes())
+        return pa.table({"skey": pa.array(keys, pa.int64()),
+                         "pos": pa.array(blobs, pa.large_binary())})
+
+    def fold(g: pa.Table) -> pa.Table:
+        skey = g["skey"][0].as_py()
+        base = np.uint64(skey * slice_bits)
+        bits = np.zeros(slice_bits, bool)
+        for b in g["pos"]:
+            bits[np.frombuffer(b.as_py(), np.uint64) - base] = True
+        return pa.table({
+            "skey": pa.array([skey], pa.int64()),
+            "bmp": pa.array([np.packbits(bits, bitorder="little").tobytes()],
+                            pa.large_binary())})
+
+    rows = (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("skey").map_groups(fold, batch_format="pyarrow")
+            .take_all())
+    bitmap = np.zeros(n_bits >> 3, np.uint8)
+    for r in rows:
+        s = r["skey"]
+        chunk = np.frombuffer(r["bmp"], np.uint8)
+        bitmap[s * (slice_bits >> 3): (s + 1) * (slice_bits >> 3)] = chunk
+    return bitmap
+
+
+def bloom_member(bitmap: np.ndarray, d: np.ndarray,
+                 k: int = _BLOOM_K) -> np.ndarray:
+    """Vectorized membership test: (n, 2) int64 md5 words -> bool mask.
+    No false negatives; false positives at the documented rate."""
+    n_bits = bitmap.size << 3
+    pos = _bloom_positions(d, k, n_bits)
+    byte = bitmap[(pos >> np.uint64(3)).astype(np.int64)]
+    bit = (byte >> (pos & np.uint64(7)).astype(np.uint8)) & 1
+    return bit.all(axis=1)
+
+
+def _void16(d: np.ndarray) -> np.ndarray:
+    """(n, 2) int64 -> void-16 view (memcmp order — consistent sort +
+    equality for exact 128-bit digest membership)."""
+    return np.ascontiguousarray(d).view(np.dtype((np.void, 16))).ravel()
+
+
+def bloom_novel_docs(new: rd.Dataset, old: rd.Dataset, *,
+                     text_col: str = "text", id_col: str = "doc_id",
+                     bits_per_key: int = _BLOOM_BITS_PER_KEY,
+                     k: int = _BLOOM_K) -> pa.Table:
+    """Incremental-crawl novelty: ids of ``new`` docs whose content md5
+    does NOT appear anywhere in ``old`` — EXACT output (SQL anti-join
+    parity) at bloom cost:
+
+    1. build the bloom over ``old``'s fingerprints (fold above);
+    2. screen ``new`` once — bloom misses are DEFINITELY novel (no false
+       negatives) and never enter a join;
+    3. verify the hits (true overlap + ~0.2% false positives) with one
+       more streamed pass over ``old``: the candidates' full 128-bit
+       digests broadcast sorted, membership via one searchsorted per
+       batch (the decontaminate shape). Zero shuffles anywhere.
+
+    The candidate set must broadcast (``_BLOOM_CAND_LIMIT`` guard): this
+    operator targets low-overlap workloads (novelty detection, eval
+    decontamination); for crawl updates where most content persists, the
+    fingerprint JOIN of `snapshot_diff` is the right tool (documented
+    split)."""
+    from org_rdkit_lucene_ray.util import md5_digest64_column
+
+    n_old = old.count()
+    n_bits = 1 << max(13, int(np.ceil(np.log2(max(1, n_old) * bits_per_key))))
+    bitmap = bloom_build(old, text_col, n_bits=n_bits, k=k)
+    import ray
+
+    bmp_ref = ray.put(bitmap)
+
+    def screen(t: pa.Table) -> pa.Table:
+        from org_rdkit_lucene_ray.stages.dedup import _bcast
+
+        bmp = _bcast(bmp_ref)
+        d = md5_digest64_column(t[text_col])
+        hit = bloom_member(bmp, d, k=k)
+        ids = pc.cast(t[id_col], pa.int64())
+        return pa.table({
+            id_col: ids,
+            "hit": pa.array(hit),
+            "d0": pa.array(d[:, 0], pa.int64()),
+            "d1": pa.array(d[:, 1], pa.int64()),
+        })
+
+    screened = new.map_batches(screen, batch_format="pyarrow").materialize()
+    cand = screened.filter(expr="hit == True").select_columns(
+        [id_col, "d0", "d1"]).take_all()
+    if len(cand) > _BLOOM_CAND_LIMIT:
+        raise ValueError(
+            f"bloom_novel_docs: {len(cand)} bloom-hit candidates "
+            f"(> {_BLOOM_CAND_LIMIT}) — overlap-dominated input; use the "
+            "snapshot_diff fingerprint join instead")
+    novel_ids = [r[id_col] for r in
+                 screened.filter(expr="hit == False")
+                 .select_columns([id_col]).take_all()]
+    if cand:
+        cd = np.array([[r["d0"], r["d1"]] for r in cand], np.int64)
+        # dedupe digests: candidates can SHARE content (dup pages in the
+        # new crawl) — the broadcast set must hold unique digests and each
+        # candidate maps to its digest's slot, or searchsorted marks only
+        # the first of an equal run as seen
+        uniq_cv, slot_of = np.unique(_void16(cd), return_inverse=True)
+        ref = ray.put(uniq_cv)
+
+        def verify(t: pa.Table) -> pa.Table:
+            from org_rdkit_lucene_ray.stages.dedup import _bcast
+
+            cands = _bcast(ref)
+            d = _void16(md5_digest64_column(t[text_col]))
+            loc = np.searchsorted(cands, d)
+            loc_c = np.minimum(loc, cands.size - 1)
+            seen = np.unique(loc_c[cands[loc_c] == d])
+            return pa.table({"slot": pa.array(seen.astype(np.int64),
+                                              pa.int64())})
+
+        seen_rows = old.map_batches(verify, batch_format="pyarrow").take_all()
+        seen_slots = set(r["slot"] for r in seen_rows)
+        cand_ids = np.array([r[id_col] for r in cand], np.int64)
+        novel_ids.extend(int(cand_ids[i]) for i in range(len(cand))
+                         if int(slot_of[i]) not in seen_slots)
+    novel_ids.sort()
+    return pa.table({id_col: pa.array(novel_ids, pa.int64())})

@@ -1531,3 +1531,51 @@ def test_top_adjacent_pairs_hashed_equals_exact(docs_ds):
     exact = top_adjacent_pairs(docs_ds, k=12, method="exact")
     hashed = top_adjacent_pairs(docs_ds, k=12, method="hashed")
     assert exact.equals(hashed)
+
+
+# -------------------------------------------------------------------- bloom
+def test_bloom_no_false_negatives(ray_session):
+    """Every key that went into the distributed bloom MUST test positive
+    (the screen's exactness guarantee rests on zero false negatives)."""
+    from org_rdkit_lucene_ray.stages.sketch import bloom_build, bloom_member
+    from org_rdkit_lucene_ray.util import md5_digest64_column
+
+    t = _docs_table()
+    ds = rd.from_arrow(t).repartition(4)
+    bm = bloom_build(ds, "text", n_bits=1 << 13)
+    d = md5_digest64_column(t["text"])
+    assert bloom_member(bm, d).all()
+
+
+def test_bloom_novel_docs_matches_set_oracle(ray_session):
+    """Novelty filter == python set anti-join, including content that is
+    duplicated in OLD under a different id (still not novel)."""
+    from org_rdkit_lucene_ray.stages.sketch import bloom_novel_docs
+
+    old_t = _docs_table()                      # ids 0..29, 10/11 dup 3
+    texts = old_t["text"].to_pylist()
+    new_texts = [t + " changed" if i % 7 == 0 else t
+                 for i, t in enumerate(texts)]
+    new_texts.append(texts[3])                 # re-crawl of dup content
+    new_ids = list(range(30)) + [99]
+    new_t = pa.table({"doc_id": pa.array(new_ids, pa.int64()),
+                      "text": pa.array(new_texts, pa.string())})
+    got = bloom_novel_docs(rd.from_arrow(new_t).repartition(3),
+                           rd.from_arrow(old_t).repartition(4))
+    old_set = set(texts)
+    want = sorted(i for i, t in zip(new_ids, new_texts)
+                  if t not in old_set)
+    assert got["doc_id"].to_pylist() == want
+    assert 99 not in want                      # dup content: not novel
+
+
+def test_bloom_novel_docs_candidate_guard(ray_session, monkeypatch):
+    """Overlap-dominated inputs must fail loudly at the broadcast
+    candidate ceiling instead of materializing them on the driver."""
+    import org_rdkit_lucene_ray.stages.sketch as sk
+
+    monkeypatch.setattr(sk, "_BLOOM_CAND_LIMIT", 1)
+    t = _docs_table()
+    with pytest.raises(ValueError, match="snapshot_diff"):
+        sk.bloom_novel_docs(rd.from_arrow(t).repartition(2),
+                            rd.from_arrow(t).repartition(2))
