@@ -187,8 +187,9 @@ def bench_gate_queries(sf_dir: str) -> dict[str, float]:
              # round-3b batch 2 (joins, funnel, budget cut)
              "snapshot_diff", "funnel", "token_budget_cut", "epoch_mix",
              # round-4 (positional-sidecar phrase verify on the gate index;
-             # distributed k-means; BPE pair counts)
-             "phrase_search", "kmeans_assign", "bpe_pair_counts"]
+             # distributed k-means; BPE pair counts; bloom novelty)
+             "phrase_search", "kmeans_assign", "bpe_pair_counts",
+             "bloom_novel_docs"]
     repeats = int((os.environ.get("RAY_GRAFT_GATE_REPEATS") or "2"))
     for name in picks:
         fn = gate.QUERIES[name]
