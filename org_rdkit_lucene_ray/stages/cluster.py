@@ -182,6 +182,28 @@ def kmeans_fit(ds: rd.Dataset, k: int = 8, iters: int = 8, *,
             "profile": {"n": n, "sum_id": sum_id}}
 
 
+def kmeans_assign_column(ds: rd.Dataset, centroids: np.ndarray, *,
+                         emb_col: str = "embedding",
+                         out_col: str = "cluster",
+                         concurrency: int | None = None) -> rd.Dataset:
+    """Append each row's nearest-centroid id as an int64 column — the
+    export step of curriculum/SemDeDup sharding (write the result with
+    ``partition_cols=[out_col]``). Same broadcast + exact-integer argmin
+    as the fit passes, so assignments are bit-identical to
+    :func:`kmeans_assign_profile` under any partitioning."""
+    ref = ray.put(np.ascontiguousarray(centroids, dtype=np.int64))
+
+    def tag(batch: pa.Table) -> pa.Table:
+        from org_rdkit_lucene_ray.stages.dedup import _bcast
+
+        a = _assign(quantized_matrix(batch, emb_col), _bcast(ref))
+        return batch.append_column(
+            out_col, pa.array(a.astype(np.int64), pa.int64()))
+
+    return ds.map_batches(tag, batch_format="pyarrow",
+                          concurrency=concurrency)
+
+
 def kmeans_assign_profile(ds: rd.Dataset, centroids: np.ndarray, *,
                           id_col: str = "vec_id",
                           emb_col: str = "embedding",

@@ -1579,3 +1579,24 @@ def test_bloom_novel_docs_candidate_guard(ray_session, monkeypatch):
     with pytest.raises(ValueError, match="snapshot_diff"):
         sk.bloom_novel_docs(rd.from_arrow(t).repartition(2),
                             rd.from_arrow(t).repartition(2))
+
+
+def test_kmeans_assign_column_and_shard_layout(ray_session, tmp_path):
+    """jobs/shard_by_cluster_job.py logic (in-process): the tagged column
+    matches the profile's per-cluster counts bit-for-bit and the
+    partitioned export lands one directory per live cluster."""
+    from org_rdkit_lucene_ray.stages.cluster import (
+        init_centroids, kmeans_assign_column, kmeans_assign_profile,
+        kmeans_fit)
+
+    t = _emb_table(n=90, d=8)
+    ds = rd.from_arrow(t).repartition(4).materialize()
+    fit = kmeans_fit(ds, k=4, iters=3)
+    tagged = kmeans_assign_column(ds, fit["centroids"])
+    counts = tagged.to_pandas().groupby("cluster").size()
+    prof = kmeans_assign_profile(ds, fit["centroids"]).to_pandas()
+    assert dict(counts) == dict(zip(prof["cluster"], prof["n"]))
+    out = str(tmp_path / "shards")
+    tagged.write_parquet(out, partition_cols=["cluster"])
+    dirs = sorted(p for p in os.listdir(out) if p.startswith("cluster="))
+    assert len(dirs) == len(prof)
