@@ -3537,6 +3537,51 @@ def q_bloom_novel_docs(sf_dir: str) -> pa.Table:
     return bloom_novel_docs(new, _docs(sf_dir, columns=["doc_id", "text"]))
 
 
+QREL_MOD = 23     # relevance rule: (doc_id + query_id) % QREL_MOD == 0
+
+
+def q_eval_retrieval(sf_dir: str) -> pa.Table:
+    """TREC-style retrieval evaluation
+    (:func:`stages.evalmetrics.retrieval_metrics`): the reference BM25
+    query set's ranked top-k vs a deterministic binary qrels relation
+    ((doc_id + query_id) % QREL_MOD == 0), per-query
+    (n_rel, precision@k numerator, first relevant rank, reciprocal
+    rank). The qrels side streams distributed; the oracle reproduces
+    the ranking through the SAME bm25 CTE the `bm25_topk` gate pins."""
+    from org_rdkit_lucene_ray.pipelines.query import run_queries
+    from org_rdkit_lucene_ray.stages.evalmetrics import retrieval_metrics
+
+    queries = pa.table({
+        "query_id": pa.array([q[0] for q in BM25_QUERIES], pa.int32()),
+        "query": pa.array([q[1] for q in BM25_QUERIES], pa.string()),
+        "k": pa.array([q[2] for q in BM25_QUERIES], pa.int32()),
+    })
+    res = run_queries(gate_index(sf_dir), queries, mode="bmw",
+                      resolve_urls=False, concurrency=2).to_pandas()
+    results = pa.table({
+        "query_id": pa.array(res["query_id"].astype(np.int64)),
+        "rank": pa.array(res["rank"].astype(np.int64)),
+        "doc_id": pa.array(res["doc_id"].astype(np.int64)),
+    })
+    qid_arr = np.array([q[0] for q in BM25_QUERIES], np.int64)
+    qid_ref = __import__("ray").put(qid_arr)
+
+    def qrel_rows(t: pa.Table) -> pa.Table:
+        from org_rdkit_lucene_ray.stages.dedup import _bcast
+
+        qids = _bcast(qid_ref)
+        d = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        rel = (d[:, None] + qids[None, :]) % QREL_MOD == 0
+        di, qi = np.nonzero(rel)
+        return pa.table({"query_id": pa.array(qids[qi], pa.int64()),
+                         "doc_id": pa.array(d[di], pa.int64())})
+
+    qrels = _docs(sf_dir, columns=["doc_id"]).map_batches(
+        qrel_rows, batch_format="pyarrow")
+    return retrieval_metrics(results, qrels,
+                             query_ids=[q[0] for q in BM25_QUERIES])
+
+
 # ---------------------------------------------------------------------------
 # multimodal plumbing (deterministic fake decoder; n_bytes is SQL-checkable)
 # ---------------------------------------------------------------------------
@@ -3552,11 +3597,12 @@ def q_media_features(sf_dir: str) -> rd.Dataset:
 # ---------------------------------------------------------------------------
 # SQL oracles
 # ---------------------------------------------------------------------------
-def _bm25_sql(page: int = 1) -> str:
+def _bm25_ranked_cte() -> str:
     # one VALUES row PER OCCURRENCE: the engine adds one BM25 contribution
     # per repeated query term (cursor mult), so the oracle must too.
-    # ``page`` > 1 models search-after pagination: page p of size k holds
-    # exactly the global ranks [k*(p-1), k*p).
+    # Shared by the top-k/pagination oracles (`_bm25_sql`) and the
+    # retrieval-metrics oracle (`_eval_retrieval_sql`) so the ranking CTE
+    # can never drift between them.
     terms_vals = ", ".join(
         f"({qid}, '{t}')"
         for qid, q, _ in BM25_QUERIES for t in sorted(q.split()))
@@ -3586,11 +3632,43 @@ ranked AS (
   SELECT query_id, doc_id,
          row_number() OVER (PARTITION BY query_id
                             ORDER BY CAST(score AS REAL) DESC, doc_id ASC) - 1 AS rank
-  FROM scores)
+  FROM scores)"""
+
+
+def _bm25_sql(page: int = 1) -> str:
+    # ``page`` > 1 models search-after pagination: page p of size k holds
+    # exactly the global ranks [k*(p-1), k*p).
+    return _bm25_ranked_cte() + f"""
 SELECT r.query_id::BIGINT AS query_id, r.rank::BIGINT AS rank, r.doc_id
 FROM ranked r JOIN qk ON qk.query_id = r.query_id
 WHERE r.rank >= qk.k * {page - 1} AND r.rank < qk.k * {page}
 ORDER BY 1, 2
+"""
+
+
+def _eval_retrieval_sql() -> str:
+    qid_vals = ", ".join(f"({qid})" for qid, _, _ in BM25_QUERIES)
+    return _bm25_ranked_cte() + f""",
+topk AS (SELECT r.query_id, r.rank, r.doc_id FROM ranked r
+         JOIN qk ON qk.query_id = r.query_id WHERE r.rank < qk.k),
+qs(query_id) AS (VALUES {qid_vals}),
+rel AS (SELECT qs.query_id, d.doc_id FROM qs CROSS JOIN documents d
+        WHERE (d.doc_id + qs.query_id) % {QREL_MOD} = 0),
+hits AS (SELECT t.query_id, t.rank FROM topk t
+         JOIN rel ON rel.query_id = t.query_id AND rel.doc_id = t.doc_id),
+agg AS (SELECT qs.query_id,
+         (SELECT count(*) FROM rel WHERE rel.query_id = qs.query_id) AS n_rel,
+         (SELECT count(*) FROM hits WHERE hits.query_id = qs.query_id)
+           AS n_rel_topk,
+         (SELECT min(rank) + 1 FROM hits WHERE hits.query_id = qs.query_id)
+           AS frr
+        FROM qs)
+SELECT query_id::BIGINT AS query_id, n_rel::BIGINT AS n_rel,
+       n_rel_topk::BIGINT AS n_rel_topk,
+       COALESCE(frr, 0)::BIGINT AS first_rel_rank,
+       CASE WHEN frr IS NULL THEN 0.0
+            ELSE 1.0 / CAST(frr AS DOUBLE) END AS rr
+FROM agg ORDER BY query_id
 """
 
 
@@ -3967,6 +4045,7 @@ SELECT count(*)::BIGINT AS n_docs,
 """,
     "delete_by_query": _DELETE_BY_QUERY_SQL.format(toks=_TOKS),
     "bm25_topk": _bm25_sql(),
+    "eval_retrieval": _eval_retrieval_sql(),
     "highlight": _highlight_sql(),
     "pagerank": _pagerank_sql(),
     "perplexity_topk": _PERPLEXITY_SQL.format(toks=_TOKS),
@@ -4383,6 +4462,7 @@ QUERIES = {
     "kmeans_fit": q_kmeans_fit,
     "bpe_pair_counts": q_bpe_pair_counts,
     "bloom_novel_docs": q_bloom_novel_docs,
+    "eval_retrieval": q_eval_retrieval,
     "bm25_topk": q_bm25_topk,
     "term_df": q_term_df,
     "doc_lengths": q_doc_lengths,

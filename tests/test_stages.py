@@ -1600,3 +1600,31 @@ def test_kmeans_assign_column_and_shard_layout(ray_session, tmp_path):
     tagged.write_parquet(out, partition_cols=["cluster"])
     dirs = sorted(p for p in os.listdir(out) if p.startswith("cluster="))
     assert len(dirs) == len(prof)
+
+
+def test_retrieval_metrics_hand_computed(ray_session):
+    """Hand-built ranked lists × qrels: precision@k numerator, 1-based
+    first relevant rank, rr, and the zero-result / zero-hit edge rows."""
+    from org_rdkit_lucene_ray.stages.evalmetrics import retrieval_metrics
+
+    # q1: ranked docs [10, 11, 12]; relevant {11, 12, 99} -> 2 in top-k,
+    #     first at rank 2.  q2: ranked [20, 21]; relevant {5} -> no hit.
+    # q3: in query_ids but has NO result rows at all.
+    results = pa.table({
+        "query_id": pa.array([1, 1, 1, 2, 2], pa.int64()),
+        "rank": pa.array([0, 1, 2, 0, 1], pa.int64()),
+        "doc_id": pa.array([10, 11, 12, 20, 21], pa.int64()),
+    })
+    qrels_t = pa.table({
+        "query_id": pa.array([1, 1, 1, 2, 3], pa.int64()),
+        "doc_id": pa.array([11, 12, 99, 5, 7], pa.int64()),
+    })
+    for nparts in (1, 3):
+        qrels = rd.from_arrow(qrels_t).repartition(nparts)
+        out = retrieval_metrics(results, qrels,
+                                query_ids=[1, 2, 3]).to_pandas()
+        assert out["query_id"].tolist() == [1, 2, 3]
+        assert out["n_rel"].tolist() == [3, 1, 1]
+        assert out["n_rel_topk"].tolist() == [2, 0, 0]
+        assert out["first_rel_rank"].tolist() == [2, 0, 0]
+        assert out["rr"].tolist() == [0.5, 0.0, 0.0]
