@@ -2391,6 +2391,56 @@ def q_search_or(sf_dir: str) -> pa.Table:
     return _bool_search(sf_dir, "or")
 
 
+# (query_id, query, minimum number of SHOULD clauses that must match)
+MSM_QUERIES: list[tuple[int, str, int]] = [
+    (0, "hash join merge vector", 2),
+    (1, "customer window group sort", 3),
+    (2, "zzznotaterm hash stream", 2),     # absent term can't count
+    (3, "data value table row key", 5),    # == AND over all five
+]
+
+
+def q_min_should_match(sf_dir: str) -> pa.Table:
+    """``BooleanQuery.setMinimumNumberShouldMatch`` — the knob between the
+    reference's conjunctive (J3) and disjunctive (J4) searches: docs
+    matching >= m of the query's distinct terms
+    (:meth:`Searcher.search_min_should`)."""
+    s = _searcher(sf_dir)
+    qids, docs = [], []
+    for qid, q, m in MSM_QUERIES:
+        hits = s.search_min_should(q, m)
+        qids.extend([qid] * len(hits))
+        docs.extend(int(d) for d in hits)
+    return pa.table({"query_id": pa.array(qids, pa.int64()),
+                     "doc_id": pa.array(docs, pa.int64())})
+
+
+DISMAX_TIE = 0.1
+DISMAX_QUERIES: list[tuple[int, str, int]] = [
+    (0, "hash join", 10),
+    (1, "slow scan filter", 10),
+    (2, "vector window merge", 10),
+    (3, "data value table row", 10),
+]
+
+
+def q_dismax_topk(sf_dir: str) -> pa.Table:
+    """Lucene ``DisjunctionMaxQuery`` scoring (max clause score +
+    tie-break x the rest) over the reference index
+    (:meth:`Searcher.topk_dismax`); rank-compared on float32-cast scores
+    per the repo float-parity policy."""
+    s = _searcher(sf_dir)
+    qids, ranks, docs = [], [], []
+    for qid, q, k in DISMAX_QUERIES:
+        for r, (d, _) in enumerate(s.topk_dismax(q, k, tie=DISMAX_TIE)):
+            qids.append(qid)
+            ranks.append(r)
+            docs.append(d)
+    return pa.table({"query_id": pa.array(qids, pa.int64()),
+                     "rank": pa.array(ranks, pa.int64()),
+                     "doc_id": pa.array(docs, pa.int64())})
+
+
 FACET_QUERIES: list[tuple[int, str, str]] = [  # (qid, query, mode)
     (0, "hash join", "or"),
     (1, "customer window", "and"),
@@ -3697,6 +3747,66 @@ FROM q JOIN tok ON tok.term = q.term ORDER BY 1, 2
 """
 
 
+def _msm_sql() -> str:
+    terms_vals = ", ".join(
+        f"({qid}, '{t}')"
+        for qid, q, _ in MSM_QUERIES for t in sorted(set(q.split())))
+    m_vals = ", ".join(f"({qid}, {m})" for qid, _, m in MSM_QUERIES)
+    return f"""
+WITH docs AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+tok AS (SELECT DISTINCT doc_id, unnest(toks) AS term FROM docs),
+q(query_id, term) AS (VALUES {terms_vals}),
+qm(query_id, m) AS (VALUES {m_vals})
+SELECT t.query_id::BIGINT AS query_id, t.doc_id FROM (
+  SELECT q.query_id, tok.doc_id, count(*) AS hit
+  FROM q JOIN tok ON tok.term = q.term GROUP BY 1, 2) t
+JOIN qm ON qm.query_id = t.query_id
+WHERE t.hit >= qm.m ORDER BY 1, 2
+"""
+
+
+def _dismax_sql() -> str:
+    # per-(query, doc, clause) BM25 contribution — the same expression the
+    # bm25 ranked CTE sums — combined per doc as max + tie*(sum-max)
+    terms_vals = ", ".join(
+        f"({qid}, '{t}')"
+        for qid, q, _ in DISMAX_QUERIES for t in sorted(set(q.split())))
+    k_vals = ", ".join(f"({qid}, {k})" for qid, _, k in DISMAX_QUERIES)
+    return f"""
+WITH docs AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+dl AS (SELECT doc_id, len(toks) AS dl FROM docs),
+stats AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+                 CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+tok AS (SELECT doc_id, unnest(toks) AS term FROM docs),
+tf AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf FROM tok GROUP BY 1, 2),
+df AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
+q(query_id, term) AS (VALUES {terms_vals}),
+qk(query_id, k) AS (VALUES {k_vals}),
+clause AS (
+  SELECT q.query_id, tf.doc_id,
+         ln(1.0 + (s.n - df.df + 0.5) / (df.df + 0.5))
+           * (tf.tf * (1.2 + 1.0))
+           / (tf.tf + 1.2 * ((1.0 - 0.75) + (0.75 * dl.dl) / s.avgdl)) AS sc
+  FROM q
+  JOIN tf ON tf.term = q.term
+  JOIN df ON df.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s),
+combined AS (
+  SELECT query_id, doc_id,
+         MAX(sc) + {DISMAX_TIE} * (SUM(sc) - MAX(sc)) AS score
+  FROM clause GROUP BY 1, 2),
+ranked AS (
+  SELECT query_id, doc_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY CAST(score AS REAL) DESC, doc_id ASC) - 1 AS rank
+  FROM combined)
+SELECT r.query_id::BIGINT AS query_id, r.rank::BIGINT AS rank, r.doc_id
+FROM ranked r JOIN qk ON qk.query_id = r.query_id
+WHERE r.rank < qk.k ORDER BY 1, 2
+"""
+
+
 _QUALITY_SQL = f"""
 WITH base AS (
   SELECT doc_id, text, {_TOKS} AS toks, length(text) AS n_chars_m FROM documents),
@@ -4045,6 +4155,8 @@ SELECT count(*)::BIGINT AS n_docs,
 """,
     "delete_by_query": _DELETE_BY_QUERY_SQL.format(toks=_TOKS),
     "bm25_topk": _bm25_sql(),
+    "min_should_match": _msm_sql(),
+    "dismax_topk": _dismax_sql(),
     "eval_retrieval": _eval_retrieval_sql(),
     "highlight": _highlight_sql(),
     "pagerank": _pagerank_sql(),
@@ -4463,6 +4575,8 @@ QUERIES = {
     "bpe_pair_counts": q_bpe_pair_counts,
     "bloom_novel_docs": q_bloom_novel_docs,
     "eval_retrieval": q_eval_retrieval,
+    "min_should_match": q_min_should_match,
+    "dismax_topk": q_dismax_topk,
     "bm25_topk": q_bm25_topk,
     "term_df": q_term_df,
     "doc_lengths": q_doc_lengths,

@@ -1215,6 +1215,61 @@ class Searcher:
         out = np.unique(np.concatenate(parts))
         return out if max_hits is None else out[:max_hits]
 
+    def search_min_should(self, query: str, min_match: int,
+                          max_hits: int | None = None) -> np.ndarray:
+        """``BooleanQuery.setMinimumNumberShouldMatch`` analog (the knob
+        between J3's pure AND and J4's pure OR): docs holding at least
+        ``min_match`` DISTINCT query terms, ascending doc-id order.
+
+        Vectorized as one concat of the (already doc-unique) per-term
+        posting doc arrays + ``np.unique(return_counts=True)`` — a term
+        absent from the index contributes to no doc's count, exactly like
+        a SHOULD clause that matches nothing."""
+        if min_match <= 0:
+            return self.search_or(query, max_hits)
+        terms = set(self._query_terms(query))
+        parts = [d[0] for t in terms if (d := self._decode_term(t)) is not None]
+        if len(parts) < min_match:
+            return np.zeros(0, np.int64)
+        u, cnt = np.unique(np.concatenate(parts), return_counts=True)
+        out = u[cnt >= min_match]
+        return out if max_hits is None else out[:max_hits]
+
+    def topk_dismax(self, query: str, k: int = 10,
+                    tie: float = 0.1) -> list[tuple[int, float]]:
+        """``DisjunctionMaxQuery`` analog (the multi-field scoring rule the
+        reference's MultiFieldQueryParser family rewrites into): clause =
+        each DISTINCT query term (composite ``field:value`` clauses score
+        through the same cursors); ``score(doc) = max_clause_score +
+        tie * (sum_of_other_clause_scores)``.
+
+        Float parity with the SQL oracle: per-clause contributions are the
+        per-posting BM25 weights; the segment max is order-independent, the
+        segment sum runs in ascending clause order (``np.add.reduceat`` is
+        sequential below its 128-element pairwise threshold), and the final
+        score is the single IEEE expression ``mx + tie * (sm - mx)``. Rank
+        comparator: (float32 score desc, doc_id asc)."""
+        _, cursors = self._cursors(query)
+        parts_d, parts_w = [], []
+        for t in sorted(cursors):          # distinct clauses, ascending term
+            c = cursors[t]
+            parts_d.append(c.docs)
+            parts_w.append(c.weight_vector())
+        if not parts_d or k <= 0:
+            return []
+        docs = np.concatenate(parts_d)
+        ws = np.concatenate(parts_w)
+        order = np.argsort(docs, kind="stable")
+        docs_s, ws_s = docs[order], ws[order]
+        starts = np.flatnonzero(
+            np.concatenate([[True], docs_s[1:] != docs_s[:-1]]))
+        mx = np.maximum.reduceat(ws_s, starts)
+        sm = np.add.reduceat(ws_s, starts)
+        s32 = (mx + tie * (sm - mx)).astype(np.float32)
+        u = docs_s[starts]
+        top = np.lexsort((u, -s32.astype(np.float64)))[:k]
+        return [(int(u[i]), float(s32[i])) for i in top]
+
     def search_exact(self, text: str, max_hits: int | None = None) -> np.ndarray:
         """J2: exact-match after canonicalization. Canonical form = the token
         multiset (the analyzer is our 'canonical SMILES',

@@ -837,3 +837,48 @@ def test_lazy_residency_matches_eager(built_index, searcher, oracle_index):
     assert lazy.df("baba") == eager.df("baba")
     with pytest.raises(ValueError, match="residency"):
         Searcher(idx, residency="mmap")
+
+
+def test_min_should_match_boundaries(searcher):
+    """BooleanQuery.minimumNumberShouldMatch: m=1 == OR, m=n == AND,
+    m > matchable clauses == empty; absent terms never count."""
+    q = "baba cece didi"
+    n = 3
+    assert np.array_equal(searcher.search_min_should(q, 1),
+                          searcher.search_or(q))
+    assert np.array_equal(searcher.search_min_should(q, n),
+                          searcher.search_and(q))
+    assert searcher.search_min_should(q, n + 1).size == 0
+    # an index-absent term cannot contribute to any doc's clause count
+    with_ghost = searcher.search_min_should(q + " zzznotaterm", 2)
+    assert np.array_equal(with_ghost, searcher.search_min_should(q, 2))
+    # monotone: raising m can only shrink the hit set
+    sizes = [searcher.search_min_should(q, m).size for m in range(1, n + 1)]
+    assert sizes == sorted(sizes, reverse=True)
+    # max_hits cap
+    capped = searcher.search_min_should(q, 1, max_hits=2)
+    assert capped.size <= 2
+
+
+def test_dismax_semantics(searcher):
+    """DisjunctionMaxQuery: tie=1.0 degenerates to the plain BM25 sum
+    (rank-identical to exhaustive); tie=0.0 is the pure max; hit SET
+    equals the OR set regardless of tie."""
+    q = "baba cece"
+    full = searcher.topk_dismax(q, 1000, tie=1.0)
+    exh = searcher.topk_exhaustive(q, 1000)
+    # tie=1.0: mx + 1.0*(sm-mx) == sm exactly in IEEE
+    assert [d for d, _ in full] == [d for d, _ in exh]
+    for (_, s1), (_, s2) in zip(full, exh):
+        assert s1 == np.float32(s2)
+    assert {d for d, _ in searcher.topk_dismax(q, 10**6, tie=0.0)} \
+        == set(searcher.search_or(q).tolist())
+    # pure-max scores are bounded by the sum combination
+    mx = dict(searcher.topk_dismax(q, 10**6, tie=0.0))
+    for d, s in full:
+        assert mx[d] <= s or np.isclose(mx[d], s)
+    # single-clause query: tie is irrelevant
+    a = searcher.topk_dismax("baba", 5, tie=0.0)
+    b = searcher.topk_dismax("baba", 5, tie=0.9)
+    assert a == b == [(d, np.float32(s)) for d, s in
+                      searcher.topk_exhaustive("baba", 5)]
