@@ -2441,6 +2441,80 @@ def q_dismax_topk(sf_dir: str) -> pa.Table:
                      "doc_id": pa.array(docs, pa.int64())})
 
 
+CHUNK_WINDOW, CHUNK_STRIDE = 32, 24
+
+
+def q_chunk_stats(sf_dir: str) -> rd.Dataset:
+    """RAG chunking (:func:`stages.chunk.chunk_documents`): overlapping
+    token windows per document, one vectorized map_batches explosion —
+    the retrieval-corpus preparation stage fronting chunk-level
+    embedding/indexing. Emits per-chunk (token count, boundary tokens)
+    so the oracle pins the exact slice arithmetic."""
+    from org_rdkit_lucene_ray.stages.chunk import chunk_documents
+
+    return chunk_documents(_docs(sf_dir, columns=["doc_id", "text"]),
+                           window=CHUNK_WINDOW, stride=CHUNK_STRIDE)
+
+
+def _chunk_stats_sql() -> str:
+    w, s = CHUNK_WINDOW, CHUNK_STRIDE
+    return f"""
+WITH docs AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+nn AS (SELECT doc_id, toks, len(toks) AS n FROM docs WHERE len(toks) > 0),
+c AS (SELECT doc_id, toks, n,
+        CASE WHEN n <= {w} THEN 1 ELSE (n - {w} + {s} - 1) // {s} + 1 END
+          AS n_chunks FROM nn),
+u AS (SELECT doc_id, toks, n, unnest(range(0, n_chunks)) AS chunk_id FROM c)
+SELECT doc_id, chunk_id::BIGINT AS chunk_id,
+  (LEAST(chunk_id * {s} + {w}, n) - chunk_id * {s})::BIGINT AS n_tokens,
+  toks[CAST(chunk_id * {s} + 1 AS BIGINT)] AS first_token,
+  toks[CAST(LEAST(chunk_id * {s} + {w}, n) AS BIGINT)] AS last_token
+FROM u ORDER BY 1, 2
+"""
+
+
+DSIR_TOPN = 50
+DSIR_TARGET = ("lang", "en")
+
+
+def q_dsir_topk(sf_dir: str) -> pa.Table:
+    """DSIR importance weighting (Xie et al. 2023,
+    :func:`stages.dsir.dsir_topk`): top-N raw docs by unigram
+    log-likelihood ratio target-vs-raw (target = the ``lang='en'``
+    slice), rank-compared on float32-cast scores. The hashed
+    fixed-feature-space path (``n_buckets``) is the 100 TB variant,
+    equality-tested engine-side in test_stages."""
+    from org_rdkit_lucene_ray.stages.dsir import dsir_topk
+
+    return dsir_topk(_docs(sf_dir, columns=["doc_id", "lang", "text"]),
+                     target_col=DSIR_TARGET[0], target_value=DSIR_TARGET[1],
+                     n=DSIR_TOPN)
+
+
+def _dsir_sql() -> str:
+    col, val = DSIR_TARGET
+    return f"""
+WITH docs AS (SELECT doc_id, {col}, {_TOKS} AS toks FROM documents),
+tok AS (SELECT doc_id, {col}, unnest(toks) AS term FROM docs),
+raw AS (SELECT term, count(*) AS c FROM tok GROUP BY 1),
+tgt AS (SELECT term, count(*) AS c FROM tok WHERE {col} = '{val}' GROUP BY 1),
+tot AS (SELECT (SELECT CAST(sum(c) AS BIGINT) FROM raw) AS traw,
+               (SELECT CAST(COALESCE(sum(c), 0) AS BIGINT) FROM tgt) AS ttgt,
+               (SELECT count(*) FROM raw) AS v),
+lr AS (SELECT r.term,
+         ln((COALESCE(g.c, 0) + 1.0) / (tot.ttgt + tot.v))
+           - ln((r.c + 1.0) / (tot.traw + tot.v)) AS lr
+       FROM raw r LEFT JOIN tgt g ON g.term = r.term CROSS JOIN tot),
+sc AS (SELECT tok.doc_id, SUM(lr.lr) AS score
+       FROM tok JOIN lr ON lr.term = tok.term GROUP BY 1),
+ranked AS (SELECT doc_id,
+             row_number() OVER (ORDER BY CAST(score AS REAL) DESC,
+                                doc_id ASC) - 1 AS rank FROM sc)
+SELECT rank::BIGINT AS rank, doc_id FROM ranked
+WHERE rank < {DSIR_TOPN} ORDER BY 1
+"""
+
+
 FACET_QUERIES: list[tuple[int, str, str]] = [  # (qid, query, mode)
     (0, "hash join", "or"),
     (1, "customer window", "and"),
@@ -3632,6 +3706,67 @@ def q_eval_retrieval(sf_dir: str) -> pa.Table:
                              query_ids=[q[0] for q in BM25_QUERIES])
 
 
+HARDNEG_PER_QUERY = 5
+
+
+def q_hard_negatives(sf_dir: str) -> pa.Table:
+    """Hard-negative mining (DPR recipe,
+    :func:`stages.evalmetrics.hard_negatives`): per reference query, the
+    highest-BM25-ranked docs NOT in the qrels relation — the training
+    pairs a dense-retriever fine-tune consumes. Shares the qrels rule and
+    the bm25 ranked CTE with `eval_retrieval`."""
+    from org_rdkit_lucene_ray.pipelines.query import run_queries
+    from org_rdkit_lucene_ray.stages.evalmetrics import hard_negatives
+
+    queries = pa.table({
+        "query_id": pa.array([q[0] for q in BM25_QUERIES], pa.int32()),
+        "query": pa.array([q[1] for q in BM25_QUERIES], pa.string()),
+        "k": pa.array([q[2] for q in BM25_QUERIES], pa.int32()),
+    })
+    res = run_queries(gate_index(sf_dir), queries, mode="bmw",
+                      resolve_urls=False, concurrency=2).to_pandas()
+    results = pa.table({
+        "query_id": pa.array(res["query_id"].astype(np.int64)),
+        "rank": pa.array(res["rank"].astype(np.int64)),
+        "doc_id": pa.array(res["doc_id"].astype(np.int64)),
+    })
+    qid_arr = np.array([q[0] for q in BM25_QUERIES], np.int64)
+    qid_ref = __import__("ray").put(qid_arr)
+
+    def qrel_rows(t: pa.Table) -> pa.Table:
+        from org_rdkit_lucene_ray.stages.dedup import _bcast
+
+        qids = _bcast(qid_ref)
+        d = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        rel = (d[:, None] + qids[None, :]) % QREL_MOD == 0
+        di, qi = np.nonzero(rel)
+        return pa.table({"query_id": pa.array(qids[qi], pa.int64()),
+                         "doc_id": pa.array(d[di], pa.int64())})
+
+    qrels = _docs(sf_dir, columns=["doc_id"]).map_batches(
+        qrel_rows, batch_format="pyarrow")
+    return hard_negatives(results, qrels, n_per_query=HARDNEG_PER_QUERY)
+
+
+def _hard_negatives_sql() -> str:
+    qid_vals = ", ".join(f"({qid})" for qid, _, _ in BM25_QUERIES)
+    return _bm25_ranked_cte() + f""",
+topk AS (SELECT r.query_id, r.rank, r.doc_id FROM ranked r
+         JOIN qk ON qk.query_id = r.query_id WHERE r.rank < qk.k),
+qs(query_id) AS (VALUES {qid_vals}),
+rel AS (SELECT qs.query_id, d.doc_id FROM qs CROSS JOIN documents d
+        WHERE (d.doc_id + qs.query_id) % {QREL_MOD} = 0),
+neg AS (SELECT t.query_id, t.rank, t.doc_id FROM topk t
+        ANTI JOIN rel ON rel.query_id = t.query_id
+                     AND rel.doc_id = t.doc_id),
+dense AS (SELECT query_id, doc_id,
+            row_number() OVER (PARTITION BY query_id ORDER BY rank) - 1
+              AS neg_rank FROM neg)
+SELECT query_id::BIGINT AS query_id, neg_rank::BIGINT AS neg_rank, doc_id
+FROM dense WHERE neg_rank < {HARDNEG_PER_QUERY} ORDER BY 1, 2
+"""
+
+
 # ---------------------------------------------------------------------------
 # multimodal plumbing (deterministic fake decoder; n_bytes is SQL-checkable)
 # ---------------------------------------------------------------------------
@@ -4157,6 +4292,9 @@ SELECT count(*)::BIGINT AS n_docs,
     "bm25_topk": _bm25_sql(),
     "min_should_match": _msm_sql(),
     "dismax_topk": _dismax_sql(),
+    "chunk_stats": _chunk_stats_sql(),
+    "dsir_topk": _dsir_sql(),
+    "hard_negatives": _hard_negatives_sql(),
     "eval_retrieval": _eval_retrieval_sql(),
     "highlight": _highlight_sql(),
     "pagerank": _pagerank_sql(),
@@ -4577,6 +4715,9 @@ QUERIES = {
     "eval_retrieval": q_eval_retrieval,
     "min_should_match": q_min_should_match,
     "dismax_topk": q_dismax_topk,
+    "chunk_stats": q_chunk_stats,
+    "dsir_topk": q_dsir_topk,
+    "hard_negatives": q_hard_negatives,
     "bm25_topk": q_bm25_topk,
     "term_df": q_term_df,
     "doc_lengths": q_doc_lengths,

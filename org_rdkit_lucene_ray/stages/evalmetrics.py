@@ -109,3 +109,61 @@ def retrieval_metrics(results: pa.Table, qrels: rd.Dataset, *,
         "rr": pa.array([1.0 / first[q] if first[q] else 0.0 for q in qids],
                        pa.float64()),
     })
+
+
+def hard_negatives(results: pa.Table, qrels: rd.Dataset, *,
+                   n_per_query: int, query_col: str = "query_id",
+                   doc_col: str = "doc_id",
+                   rank_col: str = "rank") -> pa.Table:
+    """Hard-negative mining for retrieval training (the DPR / sentence-
+    transformers recipe, Karpukhin et al. 2020 §3.2: the highest-ranked
+    NON-relevant retrieved docs are the hardest negatives): per query,
+    the first ``n_per_query`` result docs absent from qrels, re-ranked
+    densely (``neg_rank`` 0-based) in retrieval order.
+
+    Same scale shape as :func:`retrieval_metrics`: the ranked results
+    broadcast sorted; qrels STREAM through one ``map_batches`` pass whose
+    partials are only the result slots that matched (bounded by
+    |results|, never qrels volume)."""
+    rq = results[query_col].to_numpy().astype(np.int64)
+    rd_ = results[doc_col].to_numpy().astype(np.int64)
+    rr_ = results[rank_col].to_numpy().astype(np.int64)
+    pairs = _void16(np.stack([rq, rd_], axis=1))
+    order = np.argsort(pairs)
+    sorted_pairs = pairs[order]
+    ref = ray.put(sorted_pairs)
+
+    def slot_hits(t: pa.Table) -> pa.Table:
+        from org_rdkit_lucene_ray.stages.dedup import _bcast
+
+        sp = _bcast(ref)
+        q = t[query_col].to_numpy().astype(np.int64)
+        d = t[doc_col].to_numpy().astype(np.int64)
+        keys = _void16(np.stack([q, d], axis=1))
+        loc = np.searchsorted(sp, keys)
+        loc_c = np.minimum(loc, max(sp.size - 1, 0))
+        hit = (sp.size > 0) & (sp[loc_c] == keys)
+        return pa.table({"slot": pa.array(np.unique(loc_c[hit]), pa.int64())})
+
+    hit_rows = qrels.map_batches(slot_hits, batch_format="pyarrow").take_all()
+    rel_slots = np.zeros(len(results), bool)
+    for r in hit_rows:
+        rel_slots[r["slot"]] = True
+    # back to original row order; keep non-relevant, densify per query
+    rel_orig = np.zeros(len(results), bool)
+    rel_orig[order] = rel_slots
+    keep = ~rel_orig
+    kq, kd, kr = rq[keep], rd_[keep], rr_[keep]
+    by = np.lexsort((kr, kq))
+    kq, kd = kq[by], kd[by]
+    starts = np.concatenate([[True], kq[1:] != kq[:-1]]) if kq.size else \
+        np.zeros(0, bool)
+    seg_first = np.flatnonzero(starts)
+    seg_id = np.cumsum(starts) - 1
+    neg_rank = np.arange(kq.size) - seg_first[seg_id] if kq.size else kq
+    m = neg_rank < n_per_query
+    return pa.table({
+        "query_id": pa.array(kq[m], pa.int64()),
+        "neg_rank": pa.array(neg_rank[m], pa.int64()),
+        "doc_id": pa.array(kd[m], pa.int64()),
+    })

@@ -1628,3 +1628,127 @@ def test_retrieval_metrics_hand_computed(ray_session):
         assert out["n_rel_topk"].tolist() == [2, 0, 0]
         assert out["first_rel_rank"].tolist() == [2, 0, 0]
         assert out["rr"].tolist() == [0.5, 0.0, 0.0]
+
+
+def test_chunk_documents_matches_python(docs_ds):
+    """Chunk explosion == a per-doc python slicing oracle (window/stride
+    rule, last-chunk shortening, zero-token docs emit nothing)."""
+    from org_rdkit_lucene_ray.stages.chunk import chunk_documents
+
+    W, S = 7, 5
+    got = chunk_documents(docs_ds, window=W, stride=S,
+                          emit_text=True).to_pandas()
+    got = got.sort_values(["doc_id", "chunk_id"]).reset_index(drop=True)
+    rows = []
+    t = _docs_table()
+    for did, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+        toks = analyze_text(text, REGISTRY["standard"])
+        n = len(toks)
+        if n == 0:
+            continue
+        n_chunks = 1 if n <= W else (n - W + S - 1) // S + 1
+        for i in range(n_chunks):
+            sl = toks[i * S: i * S + W]
+            rows.append((did, i, len(sl), sl[0], sl[-1], " ".join(sl)))
+    assert len(got) == len(rows)
+    for r, (did, cid, nt, ft, lt, txt) in zip(got.itertuples(index=False), rows):
+        assert (r.doc_id, r.chunk_id, r.n_tokens) == (did, cid, nt)
+        assert (r.first_token, r.last_token, r.chunk_text) == (ft, lt, txt)
+    # consecutive chunks overlap by window - stride tokens
+    multi = got.groupby("doc_id").size()
+    assert (multi > 1).any(), "fixture must produce multi-chunk docs"
+
+
+def test_chunk_documents_rejects_bad_geometry(docs_ds):
+    from org_rdkit_lucene_ray.stages.chunk import chunk_batch
+
+    with pytest.raises(ValueError, match="stride"):
+        chunk_batch(_docs_table(), window=4, stride=5)
+    with pytest.raises(ValueError, match="stride"):
+        chunk_batch(_docs_table(), window=4, stride=0)
+
+
+def test_dsir_topk_matches_python_and_hashed_path(ray_session):
+    """DSIR log-ratio weights == a direct python reference on a planted
+    corpus (en docs share 'quantum'); the hashed fixed-feature-space
+    variant reproduces the same formula over FNV buckets and is
+    partition-invariant."""
+    import math
+
+    from org_rdkit_lucene_ray.pipelines.build import stable_term_hash
+    from org_rdkit_lucene_ray.stages.dsir import dsir_topk
+
+    texts, langs = [], []
+    for i in range(40):
+        if i % 3 == 0:
+            texts.append("quantum flux entangle " + f"w{i % 5}")
+            langs.append("en")
+        else:
+            texts.append("common words everywhere " + f"w{i % 5}")
+            langs.append("de")
+    t = pa.table({"doc_id": pa.array(range(40), pa.int64()),
+                  "lang": pa.array(langs), "text": pa.array(texts)})
+
+    def py_reference(feature_of, v):
+        from collections import Counter
+        tgt, raw = Counter(), Counter()
+        toks_by_doc = []
+        for lang, text in zip(langs, texts):
+            toks = [feature_of(w) for w in analyze_text(text, REGISTRY["standard"])]
+            toks_by_doc.append(toks)
+            raw.update(toks)
+            if lang == "en":
+                tgt.update(toks)
+        t_t, t_r = sum(tgt.values()), sum(raw.values())
+        lr = {f: math.log((tgt[f] + 1.0) / (t_t + v))
+              - math.log((raw[f] + 1.0) / (t_r + v)) for f in raw}
+        scores = [(did, np.float32(math.fsum(lr[f] for f in toks)))
+                  for did, toks in enumerate(toks_by_doc) if toks]
+        scores.sort(key=lambda x: (-x[1], x[0]))
+        return [d for d, _ in scores[:10]]
+
+    ds = rd.from_arrow(t).repartition(5)
+    got = dsir_topk(ds, target_col="lang", target_value="en",
+                    n=10)["doc_id"].to_pylist()
+    vocab = {w for txt in texts for w in analyze_text(txt, REGISTRY["standard"])}
+    assert got == py_reference(lambda w: w, len(vocab))
+    # every top doc is an 'en' doc on this planted corpus
+    assert all(d % 3 == 0 for d in got)
+
+    NB = 4096
+    def bucket_of(w):
+        return int(stable_term_hash(pa.array([w]))[0] % np.uint64(NB))
+    got_h = dsir_topk(ds, target_col="lang", target_value="en",
+                      n=10, n_buckets=NB)["doc_id"].to_pylist()
+    assert got_h == py_reference(bucket_of, NB)
+    # partition invariance of the hashed path
+    got_h2 = dsir_topk(rd.from_arrow(t).repartition(2), target_col="lang",
+                       target_value="en", n=10,
+                       n_buckets=NB)["doc_id"].to_pylist()
+    assert got_h2 == got_h
+
+
+def test_hard_negatives_hand_computed(ray_session):
+    """Hard-negative mining: non-relevant results keep retrieval order,
+    re-ranked densely; fully-relevant queries emit nothing."""
+    from org_rdkit_lucene_ray.stages.evalmetrics import hard_negatives
+
+    results = pa.table({
+        "query_id": pa.array([0, 0, 0, 0, 1, 1, 2], pa.int64()),
+        "rank": pa.array([0, 1, 2, 3, 0, 1, 0], pa.int64()),
+        "doc_id": pa.array([10, 11, 12, 13, 20, 21, 30], pa.int64()),
+    })
+    qrels = rd.from_arrow(pa.table({
+        "query_id": pa.array([0, 0, 1, 1, 2, 0], pa.int64()),
+        "doc_id": pa.array([11, 13, 20, 21, 30, 99], pa.int64()),
+    })).repartition(3)
+    out = hard_negatives(results, qrels, n_per_query=2).to_pandas()
+    got = list(out.itertuples(index=False, name=None))
+    # q0: ranks 0(10) and 2(12) survive -> neg_rank 0,1; q1/q2 fully covered
+    assert got == [(0, 0, 10), (0, 1, 12)]
+    # cap applies per query
+    out3 = hard_negatives(results, rd.from_arrow(pa.table({
+        "query_id": pa.array([9], pa.int64()),
+        "doc_id": pa.array([9], pa.int64())})), n_per_query=3).to_pandas()
+    assert (out3.groupby("query_id").size() <= 3).all()
+    assert len(out3) == 3 + 2 + 1
