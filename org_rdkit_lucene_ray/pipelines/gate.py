@@ -3767,6 +3767,52 @@ FROM dense WHERE neg_rank < {HARDNEG_PER_QUERY} ORDER BY 1, 2
 """
 
 
+BPE_N_MERGES = 40
+
+
+def q_bpe_roundtrip(sf_dir: str) -> pa.Table:
+    """Full BPE tokenizer training + application
+    (:mod:`stages.bpe` — Sennrich et al. 2016): fold the distributed
+    word-frequency table, learn ``BPE_N_MERGES`` merges driver-side (the
+    vocabulary-sized part), broadcast-encode every document. Verdict
+    row pins (a) merge-list bit-identity across two different block
+    splits (the 100 TB determinism contract), (b) decode(encode(x))==x
+    for every document, against SQL-computed doc/token totals."""
+    from org_rdkit_lucene_ray.stages.bpe import (bpe_encode, bpe_train,
+                                                 word_counts)
+
+    path = os.path.join(sf_dir, "documents.parquet")
+    docs_a = rd.read_parquet(path, columns=["doc_id", "text"],
+                             override_num_blocks=3)
+    docs_b = rd.read_parquet(path, columns=["doc_id", "text"],
+                             override_num_blocks=7)
+    merges_a = bpe_train(word_counts(docs_a), BPE_N_MERGES)
+    merges_b = bpe_train(word_counts(docs_b), BPE_N_MERGES)
+    enc = bpe_encode(docs_a, merges_a).materialize()
+    n_docs = enc.count()
+    s = enc.sum(["n_tokens", "roundtrip_ok"])
+    return pa.table({
+        "n_docs": pa.array([n_docs], pa.int64()),
+        "total_tokens": pa.array([int(s["sum(n_tokens)"])], pa.int64()),
+        "n_merges": pa.array([len(merges_a)], pa.int64()),
+        "merges_match": pa.array([int(merges_a == merges_b)], pa.int64()),
+        "roundtrip_ok": pa.array([int(int(s["sum(roundtrip_ok)"]) == n_docs)],
+                                 pa.int64()),
+    })
+
+
+def _bpe_roundtrip_sql() -> str:
+    return f"""
+SELECT (SELECT count(*) FROM documents WHERE len({_TOKS}) > 0)::BIGINT
+         AS n_docs,
+       (SELECT CAST(COALESCE(sum(len({_TOKS})), 0) AS BIGINT)
+          FROM documents) AS total_tokens,
+       {BPE_N_MERGES}::BIGINT AS n_merges,
+       1::BIGINT AS merges_match,
+       1::BIGINT AS roundtrip_ok
+"""
+
+
 # ---------------------------------------------------------------------------
 # multimodal plumbing (deterministic fake decoder; n_bytes is SQL-checkable)
 # ---------------------------------------------------------------------------
@@ -4295,6 +4341,7 @@ SELECT count(*)::BIGINT AS n_docs,
     "chunk_stats": _chunk_stats_sql(),
     "dsir_topk": _dsir_sql(),
     "hard_negatives": _hard_negatives_sql(),
+    "bpe_roundtrip": _bpe_roundtrip_sql(),
     "eval_retrieval": _eval_retrieval_sql(),
     "highlight": _highlight_sql(),
     "pagerank": _pagerank_sql(),
@@ -4718,6 +4765,7 @@ QUERIES = {
     "chunk_stats": q_chunk_stats,
     "dsir_topk": q_dsir_topk,
     "hard_negatives": q_hard_negatives,
+    "bpe_roundtrip": q_bpe_roundtrip,
     "bm25_topk": q_bm25_topk,
     "term_df": q_term_df,
     "doc_lengths": q_doc_lengths,

@@ -1752,3 +1752,82 @@ def test_hard_negatives_hand_computed(ray_session):
         "doc_id": pa.array([9], pa.int64())})), n_per_query=3).to_pandas()
     assert (out3.groupby("query_id").size() <= 3).all()
     assert len(out3) == 3 + 2 + 1
+
+
+def test_bpe_train_matches_naive_recompute(ray_session):
+    """Incremental pair-count maintenance == a from-scratch recount every
+    iteration (same (count desc, pair asc) rule)."""
+    from collections import Counter
+
+    from org_rdkit_lucene_ray.stages.bpe import (_merge_word, _symbols_of,
+                                                 bpe_train)
+
+    wc = pa.table({
+        "word": pa.array(["low", "lower", "newest", "widest", "wide",
+                          "west", "new", "est"], pa.string()),
+        "n": pa.array([5, 2, 6, 3, 2, 1, 4, 2], pa.int64())})
+
+    def naive(k):
+        words = [_symbols_of(w) for w in wc["word"].to_pylist()]
+        counts = wc["n"].to_pylist()
+        merges = []
+        for _ in range(k):
+            pc_ = Counter()
+            for sym, c in zip(words, counts):
+                for p in zip(sym, sym[1:]):
+                    pc_[p] += c
+            if not +pc_:
+                break
+            best = min(((-c, p) for p, c in pc_.items() if c > 0))
+            merges.append(best[1])
+            words = [_merge_word(s, *best[1]) for s in words]
+        return merges
+
+    for k in (1, 5, 12, 40):
+        assert bpe_train(wc, k) == naive(k), k
+
+
+def test_bpe_encode_replays_training_segmentation(ray_session):
+    """encode_word (rank-order replay) == applying the merge list in
+    learned order (the trainer's segmentation) for every training word;
+    round-trips with the end-of-word marker stripped."""
+    from org_rdkit_lucene_ray.stages.bpe import (EOW, _merge_word,
+                                                 _symbols_of, bpe_train,
+                                                 encode_word)
+
+    wc = pa.table({
+        "word": pa.array(["hashing", "hash", "hashes", "shard", "share",
+                          "shared", "hard"], pa.string()),
+        "n": pa.array([4, 7, 2, 5, 3, 2, 6], pa.int64())})
+    merges = bpe_train(wc, 15)
+    ranks = {p: i for i, p in enumerate(merges)}
+    for w in wc["word"].to_pylist():
+        sym = _symbols_of(w)
+        for a, b in merges:
+            sym = _merge_word(sym, a, b)
+        enc = encode_word(w, ranks)
+        assert enc == sym, w
+        joined = "".join(enc)
+        assert joined[:-len(EOW)] == w
+
+
+def test_bpe_word_counts_and_encode_distributed(docs_ds):
+    """Distributed word-count fold == Counter oracle; bpe_encode emits
+    per-doc piece counts with n_pieces >= n_tokens and all round-trips."""
+    from collections import Counter
+
+    from org_rdkit_lucene_ray.stages.bpe import (bpe_encode, bpe_train,
+                                                 word_counts)
+
+    wc = word_counts(docs_ds)
+    cnt: Counter = Counter()
+    for text in _docs_table()["text"].to_pylist():
+        cnt.update(analyze_text(text, REGISTRY["standard"]))
+    assert dict(zip(wc["word"].to_pylist(),
+                    wc["n"].to_pylist())) == dict(cnt)
+    merges = bpe_train(wc, 10)
+    assert len(merges) == 10
+    out = bpe_encode(docs_ds, merges).to_pandas()
+    assert (out["roundtrip_ok"] == 1).all()
+    assert (out["n_pieces"] >= out["n_tokens"]).all()
+    assert out["n_tokens"].sum() == sum(cnt.values())
