@@ -189,7 +189,11 @@ def bench_gate_queries(sf_dir: str) -> dict[str, float]:
              # round-4 (positional-sidecar phrase verify on the gate index;
              # distributed k-means; BPE pair counts; bloom novelty)
              "phrase_search", "kmeans_assign", "bpe_pair_counts",
-             "bloom_novel_docs"]
+             "bloom_novel_docs",
+             # round-4 session 3 (query-surface parity; chunk/DSIR/BPE/
+             # hard-negative training-data operators)
+             "dismax_topk", "min_should_match", "chunk_stats",
+             "dsir_topk", "hard_negatives", "bpe_roundtrip"]
     repeats = int((os.environ.get("RAY_GRAFT_GATE_REPEATS") or "2"))
     for name in picks:
         fn = gate.QUERIES[name]

@@ -253,3 +253,41 @@ def test_curate_job_end_to_end(ray_session, tmp_path):
     want = int((scored.to_pandas()["score"] >= thr).sum())
     assert kept == want
     assert kept <= 200 * 0.35   # top ~20% plus ties
+
+
+def test_chunk_job_end_to_end(ray_session, tmp_path):
+    """jobs/chunk_job.py logic smoke (in-process): chunk explosion ->
+    id-range partitioned Parquet export; chunk-token totals conserved
+    and every partition holds only its own id range."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from org_rdkit_lucene_ray.stages.chunk import chunk_documents
+
+    texts = [" ".join(f"w{j % 11}" for j in range(i % 40)) for i in range(120)]
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(120), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    })).repartition(4)
+    chunks = chunk_documents(docs, window=8, stride=6, emit_text=True)
+    RANGE = 50
+
+    def with_range(t: pa.Table) -> pa.Table:
+        rng = pc.divide(t["doc_id"], RANGE)
+        return t.append_column("id_range", pc.cast(rng, pa.int64()))
+
+    out = chunks.map_batches(with_range, batch_format="pyarrow").materialize()
+    outdir = str(tmp_path / "chunks")
+    out.write_parquet(outdir, partition_cols=["id_range"])
+
+    back = rd.read_parquet(outdir).to_pandas()
+    assert len(back) == out.count() > 0
+    # token conservation: sum of chunk n_tokens >= sum of doc tokens
+    # (overlap re-counts), and every doc with >= 1 token appears
+    n_tok_docs = sum(len(t.split()) for t in texts if t)
+    assert back["n_tokens"].sum() >= n_tok_docs
+    assert set(back["doc_id"]) == {i for i, t in enumerate(texts) if t}
+    # partition dirs hold only their own ranges
+    assert (back["doc_id"] // RANGE == back["id_range"].astype(int)).all()
