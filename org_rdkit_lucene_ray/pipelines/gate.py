@@ -3813,6 +3813,132 @@ SELECT (SELECT count(*) FROM documents WHERE len({_TOKS}) > 0)::BIGINT
 """
 
 
+GROUP_SAMPLE_K = 12
+
+
+def q_group_sample(sf_dir: str) -> rd.Dataset:
+    """Deterministic k-per-group sample without replacement
+    (:func:`stages.sample.group_sample`): each language's
+    ``GROUP_SAMPLE_K`` docs with the smallest pk hash — the fixed-quota
+    eval-set draw, reproducible under any partitioning; rides the
+    partial-top-n exchange."""
+    from org_rdkit_lucene_ray.stages.sample import group_sample
+
+    ds = group_sample(_docs(sf_dir, columns=["doc_id", "lang"]),
+                      k=GROUP_SAMPLE_K, group_col="lang")
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table({"lang": t["lang"],
+                         "doc_id": pc.cast(t["doc_id"], pa.int64()),
+                         "rank": pc.cast(t["rank"], pa.int64())})
+
+    return ds.map_batches(finish, batch_format="pyarrow")
+
+
+def _group_sample_sql() -> str:
+    from org_rdkit_lucene_ray.stages.sample import sql_group_sample
+
+    return sql_group_sample(GROUP_SAMPLE_K, group_col="lang")
+
+
+LENGTH_BUCKET_QS = (0.25, 0.5, 0.75)
+
+
+def q_length_buckets(sf_dir: str) -> rd.Dataset:
+    """Sequence-length bucketing (the training-efficiency batching prep:
+    group docs of similar token length so padding waste is bounded):
+    bucket boundaries = EXACT corpus quantiles of token length
+    (:func:`stages.quantile.exact_quantiles` — bit-parity with DuckDB
+    ``quantile_disc``), assignment = count of boundaries strictly below
+    the doc's length (one broadcast searchsorted per batch, zero
+    shuffle). Integer end to end."""
+    from org_rdkit_lucene_ray.stages.quantile import exact_quantiles
+
+    def with_dl(t: pa.Table) -> pa.Table:
+        toks = tokenize_column(t["text"].combine_chunks(),
+                               REGISTRY["standard"])
+        offs = toks.offsets.to_numpy(zero_copy_only=False)
+        return pa.table({"doc_id": pc.cast(t["doc_id"], pa.int64()),
+                         "dl": pa.array(np.diff(offs).astype(np.int64))})
+
+    dls = _docs(sf_dir, columns=["doc_id", "text"]).map_batches(
+        with_dl, batch_format="pyarrow").materialize()
+    thr = np.sort(np.array(
+        [v.as_py() for v in
+         exact_quantiles(dls, "dl", list(LENGTH_BUCKET_QS))["value"]],
+        np.int64))
+    thr_ref = __import__("ray").put(thr)
+
+    def assign(t: pa.Table) -> pa.Table:
+        from org_rdkit_lucene_ray.stages.dedup import _bcast
+
+        bounds = _bcast(thr_ref)
+        dl = t["dl"].to_numpy(zero_copy_only=False).astype(np.int64)
+        bucket = np.searchsorted(bounds, dl, side="left")
+        return t.append_column("bucket",
+                               pa.array(bucket.astype(np.int64)))
+
+    return dls.map_batches(assign, batch_format="pyarrow")
+
+
+def _length_buckets_sql() -> str:
+    qs = ", ".join(str(q) for q in LENGTH_BUCKET_QS)
+    return f"""
+WITH d AS (SELECT doc_id, len({_TOKS}) AS dl FROM documents),
+t AS (SELECT unnest(quantile_disc(dl, [{qs}])) AS thr FROM d)
+SELECT d.doc_id, d.dl::BIGINT AS dl,
+       (SELECT count(*) FROM t WHERE t.thr < d.dl)::BIGINT AS bucket
+FROM d ORDER BY 1
+"""
+
+
+WINNOW_K, WINNOW_WINDOW = 3, 4
+
+
+def q_winnow_fingerprints(sf_dir: str) -> rd.Dataset:
+    """Winnowing fingerprints (Schleimer et al. 2003,
+    :func:`stages.textstats.winnow_batch`): per-doc count of selected
+    window-min gram hashes + the smallest selected hash — the MOSS-style
+    local-similarity sketch, one stateless map_batches pass."""
+    from org_rdkit_lucene_ray.stages.textstats import winnow_batch
+
+    return _docs(sf_dir, columns=["doc_id", "text"]).map_batches(
+        lambda t: winnow_batch(t, shingle_k=WINNOW_K,
+                               window=WINNOW_WINDOW),
+        batch_format="pyarrow")
+
+
+def _winnow_sql() -> str:
+    k, w = WINNOW_K, WINNOW_WINDOW
+    gram_expr = sql_gram_transform("toks", REGISTRY[f"shingle_{k}"])
+    return f"""
+WITH docs AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+g0 AS (SELECT doc_id, {gram_expr} AS grams FROM docs),
+g AS (SELECT doc_id, grams, len(grams) AS m FROM g0 WHERE len(grams) > 0),
+gr AS (SELECT doc_id,
+         unnest(range(0, m)) AS gpos,
+         unnest(list_transform(grams, x -> md5(x))) AS gh FROM g),
+wins AS (SELECT doc_id, unnest(range(0, GREATEST(m - {w} + 1, 1))) AS ws
+         FROM g),
+j AS (SELECT w.doc_id, w.ws, gr.gpos, gr.gh FROM wins w
+      JOIN gr ON gr.doc_id = w.doc_id
+             AND gr.gpos >= w.ws AND gr.gpos < w.ws + {w}),
+sel AS (SELECT doc_id, ws, gpos, gh,
+          row_number() OVER (PARTITION BY doc_id, ws
+                             ORDER BY gh ASC, gpos DESC) AS rn FROM j),
+fp AS (SELECT DISTINCT doc_id, gpos, gh FROM sel WHERE rn = 1),
+agg AS (SELECT doc_id, count(*) AS n_fps, min(gh) AS fp_min
+        FROM fp GROUP BY 1)
+SELECT d.doc_id, COALESCE(g.m, 0)::BIGINT AS n_grams,
+       COALESCE(a.n_fps, 0)::BIGINT AS n_fps,
+       COALESCE(a.fp_min, '') AS fp_min
+FROM docs d
+LEFT JOIN g ON g.doc_id = d.doc_id
+LEFT JOIN agg a ON a.doc_id = d.doc_id
+ORDER BY 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # multimodal plumbing (deterministic fake decoder; n_bytes is SQL-checkable)
 # ---------------------------------------------------------------------------
@@ -4342,6 +4468,9 @@ SELECT count(*)::BIGINT AS n_docs,
     "dsir_topk": _dsir_sql(),
     "hard_negatives": _hard_negatives_sql(),
     "bpe_roundtrip": _bpe_roundtrip_sql(),
+    "group_sample": _group_sample_sql(),
+    "length_buckets": _length_buckets_sql(),
+    "winnow_fingerprints": _winnow_sql(),
     "eval_retrieval": _eval_retrieval_sql(),
     "highlight": _highlight_sql(),
     "pagerank": _pagerank_sql(),
@@ -4766,6 +4895,9 @@ QUERIES = {
     "dsir_topk": q_dsir_topk,
     "hard_negatives": q_hard_negatives,
     "bpe_roundtrip": q_bpe_roundtrip,
+    "group_sample": q_group_sample,
+    "length_buckets": q_length_buckets,
+    "winnow_fingerprints": q_winnow_fingerprints,
     "bm25_topk": q_bm25_topk,
     "term_df": q_term_df,
     "doc_lengths": q_doc_lengths,

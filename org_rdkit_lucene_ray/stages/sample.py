@@ -102,3 +102,45 @@ def epoch_mix(ds: rd.Dataset, *, weights: dict[str, float],
         return out.append_column("copy", pa.array(copy, pa.int64()))
 
     return ds.map_batches(expand, batch_format="pyarrow")
+
+
+def group_sample(ds: rd.Dataset, *, k: int, group_col: str,
+                 id_col: str = "doc_id", seed: int = 12345) -> rd.Dataset:
+    """Deterministic k-per-group sample WITHOUT replacement (the
+    fixed-quota companion to :func:`stratified_sample`'s rate rule —
+    "give me exactly k eval docs per language"): keep each group's k
+    rows with the smallest ``mix32(pk)`` hash (tie -> smaller id).
+
+    Hash-ordered selection is a uniform without-replacement draw that is
+    reproducible across runs / partitionings / cluster sizes and needs
+    no RNG state; the heavy lifting reuses the partial-top-n exchange
+    (:func:`stages.window.grouped_topn` on the negated hash), so at most
+    k x groups x batches rows ride the shuffle. Emits the input columns
+    plus ``rank`` (0-based position in the group's hash order)."""
+    from org_rdkit_lucene_ray.stages.window import grouped_topn
+
+    def hashed(t: pa.Table) -> pa.Table:
+        pk = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return t.append_column(
+            "neg_h", pa.array(-_mix32(pk, seed), pa.int64()))
+
+    top = grouped_topn(ds.map_batches(hashed, batch_format="pyarrow"),
+                       n=k, key_col=group_col, value_col="neg_h",
+                       id_col=id_col)
+    return top.map_batches(lambda t: t.drop_columns(["neg_h"]),
+                           batch_format="pyarrow")
+
+
+def sql_group_sample(k: int, *, group_col: str, table: str = "documents",
+                     id_col: str = "doc_id", seed: int = 12345) -> str:
+    """The identical k-per-group draw in DuckDB."""
+    return f"""
+WITH h AS (SELECT {group_col}, {id_col},
+             (({id_col} % {_FOLD}) * {_MULT} + {seed}) % {_MOD} AS hv
+           FROM {table}),
+r AS (SELECT {group_col}, {id_col},
+        row_number() OVER (PARTITION BY {group_col}
+                           ORDER BY hv, {id_col}) - 1 AS rank FROM h)
+SELECT {group_col}, {id_col}, rank::BIGINT AS rank FROM r
+WHERE rank < {k} ORDER BY 1, 3
+"""

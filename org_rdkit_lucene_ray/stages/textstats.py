@@ -370,3 +370,68 @@ def top_terms_per_doc(docs, df_table: pa.Table, n_docs: int, *, k: int = 3,
         })
 
     return docs.map_batches(fn, batch_format="pyarrow")
+
+
+def winnow_batch(batch: pa.Table, text_col: str = "text", *,
+                 shingle_k: int = 3, window: int = 4,
+                 id_col: str = "doc_id") -> pa.Table:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    SIGMOD 2003 — the MOSS local-similarity sketch): hash every
+    ``shingle_k``-gram, slide a ``window``-gram window and select each
+    window's MINIMUM hash (tie -> rightmost position, the paper's rule);
+    the distinct selected (position, hash) set is the fingerprint.
+    Guarantees: any shared substring of length >= window+shingle_k-1
+    yields at least one shared fingerprint (the winnowing theorem), at
+    ~2/(window+1) the k-gram density.
+
+    Gram hash = DuckDB-parity ``md5`` hex of the ``_``-joined shingle
+    (the shingle analyzer's own join rule; hex strings order
+    lexicographically == numerically, so the window-min is computed on a
+    per-batch RANK ENCODING of the hex values — ``np.unique`` inverse —
+    because numpy has no min ufunc for flexible dtypes). Fewer grams
+    than ``window`` -> one window over what exists.
+
+    Emits (doc_id, n_grams, n_fps, fp_min): fingerprint count + the
+    smallest selected hash ('' when the doc has no grams) — the summary
+    the SQL oracle pins exactly; the full (doc, pos, hash) set is what a
+    dedup join would consume."""
+    cfg = REGISTRY[f"shingle_{shingle_k}"]
+    toks = tokenize_column(batch[text_col].combine_chunks(), cfg)
+    from org_rdkit_lucene_ray.util import md5_hex_column
+
+    flat = toks.values
+    hexes = md5_hex_column(flat).to_numpy(zero_copy_only=False) \
+        if len(flat) else np.zeros(0, object)
+    counts = pc.list_value_length(toks).to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    # order-isomorphic integer ranks (batch-global is fine per doc)
+    if len(hexes):
+        uniq, inv = np.unique(hexes, return_inverse=True)
+    else:
+        uniq, inv = np.zeros(0, object), np.zeros(0, np.int64)
+    ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    n_fps = np.zeros(batch.num_rows, np.int64)
+    fp_min = [""] * batch.num_rows
+    for i in range(batch.num_rows):
+        m = int(counts[i])
+        if m == 0:
+            continue
+        r = inv[starts[i]: starts[i] + m]
+        w = min(window, m)
+        W = np.lib.stride_tricks.sliding_window_view(r, w)
+        wmin = W.min(axis=1)
+        # rightmost occurrence of the window min (paper's tie rule)
+        best = np.zeros(wmin.size, np.int64)
+        for off in range(w):
+            hit = r[off: off + wmin.size] == wmin
+            best[hit] = np.arange(wmin.size)[hit] + off
+        sel = np.unique(best)
+        n_fps[i] = sel.size
+        fp_min[i] = str(uniq[r[sel].min()])
+    return pa.table({
+        "doc_id": pa.array(ids),
+        "n_grams": pa.array(counts),
+        "n_fps": pa.array(n_fps),
+        "fp_min": pa.array(fp_min, pa.string()),
+    })

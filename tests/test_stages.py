@@ -1831,3 +1831,97 @@ def test_bpe_word_counts_and_encode_distributed(docs_ds):
     assert (out["roundtrip_ok"] == 1).all()
     assert (out["n_pieces"] >= out["n_tokens"]).all()
     assert out["n_tokens"].sum() == sum(cnt.values())
+
+
+def test_group_sample_quota_and_partition_invariance(ray_session):
+    """k-per-group draw: exact quota where the group has >= k rows, whole
+    group otherwise; identical membership under different partitionings."""
+    from org_rdkit_lucene_ray.stages.sample import group_sample
+
+    t = pa.table({
+        "doc_id": pa.array(range(100), pa.int64()),
+        "grp": pa.array((["a"] * 60) + (["b"] * 35) + (["c"] * 5)),
+    })
+
+    def draw(nblocks):
+        out = group_sample(rd.from_arrow(t).repartition(nblocks),
+                           k=10, group_col="grp").to_pandas()
+        return out.sort_values(["grp", "rank"]).reset_index(drop=True)
+
+    a, b = draw(3), draw(8)
+    assert a.equals(b)
+    sizes = a.groupby("grp").size().to_dict()
+    assert sizes == {"a": 10, "b": 10, "c": 5}
+    # ranks dense from 0 per group
+    for g, sub in a.groupby("grp"):
+        assert list(sub["rank"]) == list(range(len(sub)))
+
+
+def test_length_buckets_quantile_boundaries(ray_session, tmp_path):
+    """Bucket id == count of exact-quantile thresholds strictly below the
+    doc's token length (python oracle over the same quantile rule)."""
+    import math
+
+    from org_rdkit_lucene_ray.pipelines.gate import (LENGTH_BUCKET_QS,
+                                                     q_length_buckets)
+
+    sf = "/root/testdata/sf0.001"
+    out = q_length_buckets(sf).to_pandas().sort_values("doc_id")
+    dls = out.sort_values("doc_id")["dl"].to_numpy()
+    srt = np.sort(dls)
+    thr = [srt[max(0, math.ceil(q * len(srt)) - 1)] for q in LENGTH_BUCKET_QS]
+    want = np.array([sum(t < d for t in thr) for d in out["dl"]])
+    assert (out["bucket"].to_numpy() == want).all()
+    assert set(out["bucket"]) <= {0, 1, 2, 3}
+
+
+def test_winnow_fingerprints_guarantee_and_tie_rule(ray_session):
+    """Winnowing theorem: docs sharing a substring of >= window+k-1
+    tokens share >= 1 selected fingerprint hash; selection density is
+    bounded; the rightmost-tie rule picks ONE fp for a constant doc."""
+    from org_rdkit_lucene_ray.stages.textstats import winnow_batch
+    from org_rdkit_lucene_ray.util import md5_hex_column
+    from org_rdkit_lucene_ray.functions.analyze import tokenize_column
+
+    K, W = 3, 4
+    shared = "alpha beta gamma delta epsilon zeta eta theta"   # 8 toks >= W+K-1
+    t = pa.table({
+        "doc_id": pa.array([0, 1, 2], pa.int64()),
+        "text": pa.array([
+            "xx yy " + shared + " zz",
+            "aa " + shared + " bb cc",
+            "same same same same same same same same",   # all grams equal
+        ]),
+    })
+    out = winnow_batch(t, shingle_k=K, window=W).to_pandas()
+    assert (out.loc[out.n_grams > 0, "n_fps"] > 0).all()
+    # constant-gram doc: every window min is the same hash; rightmost tie
+    # picks the LAST position of each window -> fps = one per window tail,
+    # but all share one hash value; check via selected-hash containment:
+    # recompute full selected sets with a python reference
+    def py_winnow(text):
+        toks = tokenize_column(pa.array([text]),
+                               REGISTRY[f"shingle_{K}"]).values
+        hx = md5_hex_column(toks).to_pylist()
+        m = len(hx)
+        if m == 0:
+            return set()
+        w = min(W, m)
+        sel = set()
+        for ws in range(max(1, m - w + 1)):
+            win = hx[ws: ws + w]
+            mn = min(win)
+            # rightmost occurrence
+            pos = max(i for i, h in enumerate(win) if h == mn) + ws
+            sel.add((pos, hx[pos]))
+        return sel
+
+    sets = [py_winnow(x) for x in t["text"].to_pylist()]
+    # theorem: 0 and 1 share at least one fingerprint HASH
+    assert {h for _, h in sets[0]} & {h for _, h in sets[1]}
+    # engine counts == python reference counts
+    assert list(out["n_fps"]) == [len(s) for s in sets]
+    assert list(out["fp_min"]) == [min(h for _, h in s) if s else ""
+                                   for s in sets]
+    # density: far fewer fingerprints than grams for doc 0
+    assert out.loc[0, "n_fps"] <= out.loc[0, "n_grams"]
