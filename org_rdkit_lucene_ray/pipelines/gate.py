@@ -3892,6 +3892,49 @@ FROM d ORDER BY 1
 """
 
 
+SUGGEST_PREFIXES: list[tuple[int, str, int]] = [   # (query_id, prefix, k)
+    (0, "ha", 8),
+    (1, "s", 8),
+    (2, "zzznope", 8),    # no completions -> no rows
+]
+
+
+def q_suggest_complete(sf_dir: str) -> pa.Table:
+    """Prefix autocomplete (Lucene suggest-module ``AnalyzingSuggester``
+    analog, weight = df — :meth:`Searcher.suggest_complete`): top
+    completions per prefix, (df desc, term asc)."""
+    s = _searcher(sf_dir)
+    qids, ranks, terms, dfs = [], [], [], []
+    for qid, prefix, k in SUGGEST_PREFIXES:
+        for r, (t, d) in enumerate(s.suggest_complete(prefix, k)):
+            qids.append(qid)
+            ranks.append(r)
+            terms.append(t)
+            dfs.append(d)
+    return pa.table({"query_id": pa.array(qids, pa.int64()),
+                     "rank": pa.array(ranks, pa.int64()),
+                     "term": pa.array(terms, pa.string()),
+                     "df": pa.array(dfs, pa.int64())})
+
+
+def _suggest_complete_sql() -> str:
+    p_vals = ", ".join(f"({qid}, '{p}', {k})"
+                       for qid, p, k in SUGGEST_PREFIXES)
+    return f"""
+WITH docs AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+tok AS (SELECT DISTINCT doc_id, unnest(toks) AS term FROM docs),
+dfx AS (SELECT term, count(*) AS df FROM tok GROUP BY 1),
+p(query_id, prefix, k) AS (VALUES {p_vals}),
+r AS (SELECT p.query_id, p.k, dfx.term, dfx.df,
+        row_number() OVER (PARTITION BY p.query_id
+                           ORDER BY dfx.df DESC, dfx.term ASC) - 1 AS rank
+      FROM p JOIN dfx ON starts_with(dfx.term, p.prefix))
+SELECT query_id::BIGINT AS query_id, rank::BIGINT AS rank, term,
+       df::BIGINT AS df
+FROM r WHERE rank < k ORDER BY 1, 2
+"""
+
+
 WINNOW_K, WINNOW_WINDOW = 3, 4
 
 
@@ -4471,6 +4514,7 @@ SELECT count(*)::BIGINT AS n_docs,
     "group_sample": _group_sample_sql(),
     "length_buckets": _length_buckets_sql(),
     "winnow_fingerprints": _winnow_sql(),
+    "suggest_complete": _suggest_complete_sql(),
     "eval_retrieval": _eval_retrieval_sql(),
     "highlight": _highlight_sql(),
     "pagerank": _pagerank_sql(),
@@ -4898,6 +4942,7 @@ QUERIES = {
     "group_sample": q_group_sample,
     "length_buckets": q_length_buckets,
     "winnow_fingerprints": q_winnow_fingerprints,
+    "suggest_complete": q_suggest_complete,
     "bm25_topk": q_bm25_topk,
     "term_df": q_term_df,
     "doc_lengths": q_doc_lengths,

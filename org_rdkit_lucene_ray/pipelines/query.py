@@ -977,6 +977,31 @@ class Searcher:
         out.sort(key=lambda r: (r[1], -r[2], r[0]))
         return out[:k]
 
+    def suggest_complete(self, prefix: str, k: int = 10) -> list[tuple[str, int]]:
+        """Prefix autocomplete (the Lucene suggest module's
+        ``AnalyzingSuggester`` shape, weight = corpus doc frequency):
+        dictionary terms starting with ``prefix`` ranked (df desc, term
+        asc). One vectorized ``starts_with`` scan over the df table +
+        ``select_k`` — the df table doubles as the suggester's
+        weight-bearing FST input. Fielded ``lang:de`` namespace terms are
+        excluded (completions come from the text vocabulary)."""
+        if not hasattr(self, "_dfs_cache"):
+            self._dfs_cache = self._read_df_tables()
+        dfs = self._dfs_cache
+        if dfs is None or k <= 0:
+            return []
+        terms = dfs["term"].combine_chunks()
+        m = pc.and_(pc.starts_with(terms, prefix),
+                    pc.invert(pc.match_substring(terms, pattern=":")))
+        sel = pa.table({"term": terms, "df": dfs["df"]}).filter(m)
+        if len(sel) == 0:
+            return []
+        idx = pc.select_k_unstable(sel, k=min(k, len(sel)), sort_keys=[
+            ("df", "descending"), ("term", "ascending")])
+        sel = sel.take(idx)
+        return [(t, int(d)) for t, d in
+                zip(sel["term"].to_pylist(), sel["df"].to_pylist())]
+
     def search_fuzzy(self, query: str, max_edits: int = 1,
                      max_hits: int | None = None) -> np.ndarray:
         """FuzzyQuery analog: every query term expands to its fuzzy term

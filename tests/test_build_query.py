@@ -882,3 +882,18 @@ def test_dismax_semantics(searcher):
     b = searcher.topk_dismax("baba", 5, tie=0.9)
     assert a == b == [(d, np.float32(s)) for d, s in
                       searcher.topk_exhaustive("baba", 5)]
+
+
+def test_suggest_complete_ordering(searcher, oracle_index):
+    """Prefix autocomplete: completions ranked (df desc, term asc); every
+    completion starts with the prefix; empty prefix family returns []."""
+    got = searcher.suggest_complete("ba", 10)
+    assert got, "fixture vocabulary must contain ba-terms"
+    assert all(t.startswith("ba") for t, _ in got)
+    assert all(d == searcher.df(t) for t, d in got)
+    key = [(-d, t) for t, d in got]
+    assert key == sorted(key)
+    assert searcher.suggest_complete("zzznope", 5) == []
+    assert searcher.suggest_complete("ba", 0) == []
+    # fielded namespace terms are never suggested
+    assert all(":" not in t for t, _ in searcher.suggest_complete("", 1000))
