@@ -37,7 +37,6 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray
 import ray.data as rd
-from ray.data.aggregate import Sum
 
 from org_rdkit_lucene_ray.config import AnalyzerConfig
 from org_rdkit_lucene_ray.functions.analyze import REGISTRY, tokenize_column
@@ -62,8 +61,10 @@ def word_counts(ds: rd.Dataset, *, text_column: str = "text",
         return pa.table({"word": g["word"],
                          "n": pc.cast(g["word_count"], pa.int64())})
 
-    agg = (ds.map_batches(partial, batch_format="pyarrow")
-             .groupby("word").aggregate(Sum("n", alias_name="n")))
+    from org_rdkit_lucene_ray.util import fold_grouped_counts
+
+    agg = fold_grouped_counts(
+        ds.map_batches(partial, batch_format="pyarrow"), "word", ["n"])
     rows = agg.take_all()
     words = pa.array([r["word"] for r in rows], pa.string())
     ns = pa.array([int(r["n"]) for r in rows], pa.int64())

@@ -32,7 +32,6 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray
 import ray.data as rd
-from ray.data.aggregate import Sum
 
 from org_rdkit_lucene_ray.config import AnalyzerConfig
 from org_rdkit_lucene_ray.functions.analyze import REGISTRY, tokenize_column
@@ -74,16 +73,17 @@ def unigram_logratio_lut(ds: rd.Dataset, *, target_col: str,
     """Pass 1: fold feature counts, return the broadcastable LUT dict
     ``{"features": sorted pa.Array | None, "lr": float64 np.ndarray,
     "n_buckets": int | None}``."""
+    from org_rdkit_lucene_ray.util import fold_grouped_counts
+
     cfg = REGISTRY[analyzer]
-    agg = (ds.map_batches(
-        lambda t: _count_partials(t, text_column=text_column,
-                                  target_col=target_col,
-                                  target_value=target_value, cfg=cfg,
-                                  n_buckets=n_buckets),
-        batch_format="pyarrow")
-        .groupby("feature")
-        .aggregate(Sum("c_tgt", alias_name="c_tgt"),
-                   Sum("c_raw", alias_name="c_raw")))
+    agg = fold_grouped_counts(
+        ds.map_batches(
+            lambda t: _count_partials(t, text_column=text_column,
+                                      target_col=target_col,
+                                      target_value=target_value, cfg=cfg,
+                                      n_buckets=n_buckets),
+            batch_format="pyarrow"),
+        "feature", ["c_tgt", "c_raw"])
     tbl = pa.Table.from_pylist(agg.take_all())
     c_tgt = tbl["c_tgt"].to_numpy(zero_copy_only=False).astype(np.int64)
     c_raw = tbl["c_raw"].to_numpy(zero_copy_only=False).astype(np.int64)

@@ -108,3 +108,45 @@ def md5_digest64_column(arr) -> "np.ndarray":
     md5 = hashlib.md5
     digs = b"".join(md5(mv[offs[i]: offs[i + 1]]).digest() for i in range(n))
     return np.frombuffer(digs, np.int64).reshape(-1, 2)
+
+
+def fold_grouped_counts(parts, key_col: str, count_cols: list[str],
+                        n_buckets: int = 64):
+    """Global sum of per-batch partial count rows WITHOUT a sort-based
+    key shuffle: bucket each row by a hash of its key (FNV for string
+    keys, identity-mod for integers), ``groupby(bucket)`` over the tiny
+    int bucket domain, and run the real (hash-table) aggregation inside
+    ``map_groups`` with Arrow's vectorized ``group_by``.
+
+    Ray's ``groupby(key).sum`` is a sort-based shuffle over every
+    partial row — measured ~10x the cost of this bucket fold on this
+    repo's vocabulary-sized exchanges (BASELINE r3); the bucket sort key
+    is 64 ints regardless of vocabulary size. Output: one (key,
+    *count_cols) row per distinct key, bucket-partitioned.
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    def with_bucket(t: pa.Table) -> pa.Table:
+        keys = t[key_col].combine_chunks()
+        if pa.types.is_integer(keys.type):
+            b = keys.to_numpy(zero_copy_only=False).astype(np.int64) \
+                % n_buckets
+        else:
+            from org_rdkit_lucene_ray.pipelines.build import stable_term_hash
+
+            b = (stable_term_hash(keys)
+                 % np.uint64(n_buckets)).astype(np.int64)
+        return t.append_column("_bkt", pa.array(b, pa.int64()))
+
+    def fold(g: pa.Table) -> pa.Table:
+        gg = g.group_by(key_col).aggregate(
+            [(c, "sum") for c in count_cols])
+        cols = {key_col: gg[key_col]}
+        for c in count_cols:
+            cols[c] = gg[f"{c}_sum"].cast(pa.int64())
+        return pa.table(cols)
+
+    return (parts.map_batches(with_bucket, batch_format="pyarrow")
+                 .groupby("_bkt")
+                 .map_groups(fold, batch_format="pyarrow"))
