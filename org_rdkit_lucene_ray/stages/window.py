@@ -237,8 +237,16 @@ def grouped_topn(events: rd.Dataset, n: int = 2, key_col: str = "event_type",
 
     partial = events.map_batches(
         lambda t: keep_topn(t, False), batch_format="pyarrow")
-    return partial.groupby(key_col).map_groups(
-        lambda g: keep_topn(g, True), batch_format="pyarrow")
+    # final fold rides a 64-int bucket sort (hash-partition by key), not a
+    # sort-shuffle over the key domain — keep_topn already segments
+    # multiple keys per block, so whole-key bucket groups fold correctly
+    from org_rdkit_lucene_ray.util import append_bucket_column
+
+    return (partial.map_batches(
+        lambda t: append_bucket_column(t, key_col), batch_format="pyarrow")
+        .groupby("_bkt")
+        .map_groups(lambda g: keep_topn(g.drop_columns(["_bkt"]), True),
+                    batch_format="pyarrow"))
 
 
 def funnel_steps(events: rd.Dataset, steps: list[str], *,

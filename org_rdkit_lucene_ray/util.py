@@ -110,6 +110,26 @@ def md5_digest64_column(arr) -> "np.ndarray":
     return np.frombuffer(digs, np.int64).reshape(-1, 2)
 
 
+def append_bucket_column(t, key_col: str, n_buckets: int = 64,
+                         out_col: str = "_bkt"):
+    """Append an int64 hash-bucket column over ``key_col`` (FNV for
+    strings, identity-mod for integers) — the shared front half of every
+    bucket-fold exchange: sort-shuffle on 64 ints instead of the key
+    domain, real work inside ``map_groups``."""
+    import numpy as np
+    import pyarrow as pa
+
+    keys = t[key_col].combine_chunks() if hasattr(t[key_col], "combine_chunks") \
+        else t[key_col]
+    if pa.types.is_integer(keys.type):
+        b = keys.to_numpy(zero_copy_only=False).astype(np.int64) % n_buckets
+    else:
+        from org_rdkit_lucene_ray.pipelines.build import stable_term_hash
+
+        b = (stable_term_hash(keys) % np.uint64(n_buckets)).astype(np.int64)
+    return t.append_column(out_col, pa.array(b, pa.int64()))
+
+
 def fold_grouped_counts(parts, key_col: str, count_cols: list[str],
                         n_buckets: int = 64):
     """Global sum of per-batch partial count rows WITHOUT a sort-based
@@ -124,20 +144,10 @@ def fold_grouped_counts(parts, key_col: str, count_cols: list[str],
     is 64 ints regardless of vocabulary size. Output: one (key,
     *count_cols) row per distinct key, bucket-partitioned.
     """
-    import numpy as np
     import pyarrow as pa
 
     def with_bucket(t: pa.Table) -> pa.Table:
-        keys = t[key_col].combine_chunks()
-        if pa.types.is_integer(keys.type):
-            b = keys.to_numpy(zero_copy_only=False).astype(np.int64) \
-                % n_buckets
-        else:
-            from org_rdkit_lucene_ray.pipelines.build import stable_term_hash
-
-            b = (stable_term_hash(keys)
-                 % np.uint64(n_buckets)).astype(np.int64)
-        return t.append_column("_bkt", pa.array(b, pa.int64()))
+        return append_bucket_column(t, key_col, n_buckets)
 
     def fold(g: pa.Table) -> pa.Table:
         gg = g.group_by(key_col).aggregate(
