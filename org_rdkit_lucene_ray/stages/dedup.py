@@ -60,32 +60,37 @@ def exact_dedup_groups(docs: rd.Dataset, *, text_col: str = "text",
     """Exact content dedup -> one row per distinct content:
     ``(doc_id = min id of the group, n_copies)``.
 
-    Shape: map_batches(md5 fingerprint — the content hash shuffles, never the
-    full text) -> groupby(hash) partial-friendly Min/Count aggregate. The
-    groupby key is the 16-byte digest, so at 100 TB the shuffle payload is
-    ~32 B/row regardless of document size."""
-    from ray.data.aggregate import Count, Min
+    Shape: map_batches(md5 fingerprint — the content hash shuffles, never
+    the full text; per-batch partial (fp, min-id, count) combine first) ->
+    bucket fold: the exchange sorts on 64 int hash buckets, the real
+    min/count merge is an Arrow hash-aggregate inside ``map_groups`` —
+    never a global sort over the corpus-sized digest domain. Shuffle
+    payload stays ~50 B/row regardless of document size."""
 
-    def fingerprint(t: pa.Table) -> pa.Table:
+    def fingerprint_partial(t: pa.Table) -> pa.Table:
         from org_rdkit_lucene_ray.util import md5_hex_column
 
-        return pa.table({"fp": md5_hex_column(t[text_col], null_value=""),
-                         id_col: pc.cast(t[id_col], pa.int64())})
+        fp = pa.table({"fp": md5_hex_column(t[text_col], null_value=""),
+                       id_col: pc.cast(t[id_col], pa.int64())})
+        g = fp.group_by("fp").aggregate([(id_col, "min"), ("fp", "count")])
+        return pa.table({"fp": g["fp"],
+                         "keep_id": g[f"{id_col}_min"],
+                         "n": pc.cast(g["fp_count"], pa.int64())})
 
-    agg = (
-        docs.map_batches(fingerprint, batch_format="pyarrow")
-        .groupby("fp")
-        .aggregate(Min(id_col, alias_name="keep_id"),
-                   Count(alias_name="n_copies"))
-    )
+    from org_rdkit_lucene_ray.util import append_bucket_column
 
-    def finish(t: pa.Table) -> pa.Table:
+    def merge(g: pa.Table) -> pa.Table:
+        gg = g.group_by("fp").aggregate([("keep_id", "min"), ("n", "sum")])
         return pa.table({
-            id_col: pc.cast(t["keep_id"], pa.int64()),
-            "n_copies": pc.cast(t["n_copies"], pa.int64()),
+            id_col: pc.cast(gg["keep_id_min"], pa.int64()),
+            "n_copies": pc.cast(gg["n_sum"], pa.int64()),
         })
 
-    return agg.map_batches(finish, batch_format="pyarrow")
+    return (docs.map_batches(fingerprint_partial, batch_format="pyarrow")
+                .map_batches(lambda t: append_bucket_column(t, "fp"),
+                             batch_format="pyarrow")
+                .groupby("_bkt")
+                .map_groups(merge, batch_format="pyarrow"))
 
 
 def _fnv1a_tokens(tokens: list[str]) -> np.ndarray:

@@ -180,30 +180,60 @@ def hopping_window_agg(events: rd.Dataset, width_secs: int = 3600,
 def sessionize(events: rd.Dataset, gap_secs: int = 1800,
                key_col: str = "user_id", ts_col: str = "ts") -> rd.Dataset:
     """Per-key session stats: a new session starts when the gap from the
-    previous event exceeds ``gap_secs``. groupby(key) -> sorted map_groups.
+    previous event exceeds ``gap_secs``.
 
-    Arrow-native throughout (no per-group pandas conversion), and only
-    (key, ts) rides the shuffle — the other event columns are projected
-    away before the groupby."""
+    Shape: the exchange sorts on 64 int hash buckets (never the user-id
+    domain); each bucket group folds EVERY resident user in one
+    vectorized sort + segmented reduceat pass. Only (key, ts) rides the
+    shuffle — the other event columns are projected away first."""
 
-    def per_user(g: pa.Table) -> pa.Table:
-        ts = pc.cast(g[ts_col], pa.timestamp("us")).combine_chunks()
-        # compare gaps in MICROSECONDS: the SQL oracle's epoch keeps
-        # fractional seconds, so flooring to whole seconds here could flip
-        # a session boundary for a gap in (gap_secs, gap_secs + 1)
-        ts_us = np.sort(ts.cast(pa.int64()).to_numpy())
-        n_sessions = 1 + int(
-            (np.diff(ts_us) > gap_secs * 1_000_000).sum()) if ts_us.size else 0
+    gap_us = gap_secs * 1_000_000
+
+    def fold(g: pa.Table) -> pa.Table:
+        # one VECTORIZED pass over every user in the bucket: sort by
+        # (key, ts), segment by key, count per-segment gap breaks.
+        # gaps compared in MICROSECONDS: the SQL oracle's epoch keeps
+        # fractional seconds, so flooring to whole seconds could flip a
+        # session boundary for a gap in (gap_secs, gap_secs + 1)
+        if g.num_rows == 0:
+            return pa.table({
+                key_col: g[key_col],
+                "n_events": pa.array([], pa.int64()),
+                "n_sessions": pa.array([], pa.int64()),
+                "first_ts": pa.array([], pa.timestamp("us")),
+                "last_ts": pa.array([], pa.timestamp("us")),
+            })
+        order = pc.sort_indices(g, sort_keys=[(key_col, "ascending"),
+                                              (ts_col, "ascending")])
+        g = g.take(order)
+        keys = g[key_col].combine_chunks()
+        kidx = pc.dictionary_encode(keys).indices.to_numpy(
+            zero_copy_only=False)
+        ts_us = pc.cast(g[ts_col], pa.timestamp("us")).cast(
+            pa.int64()).to_numpy(zero_copy_only=False)
+        same_key = np.concatenate([[False], kidx[1:] == kidx[:-1]])
+        breaks = same_key & (np.concatenate([[0], np.diff(ts_us)]) > gap_us)
+        starts = np.flatnonzero(~same_key)
+        bounds = np.concatenate([starts, [len(kidx)]])
+        n_events = np.diff(bounds)
+        n_sessions = 1 + np.add.reduceat(breaks.astype(np.int64), starts)
         return pa.table({
-            key_col: g[key_col].slice(0, 1).combine_chunks(),
-            "n_events": pa.array([ts_us.size], pa.int64()),
-            "n_sessions": pa.array([n_sessions], pa.int64()),
-            "first_ts": pa.array([ts_us[0]], pa.int64()).cast(pa.timestamp("us")),
-            "last_ts": pa.array([ts_us[-1]], pa.int64()).cast(pa.timestamp("us")),
+            key_col: keys.take(pa.array(starts)),
+            "n_events": pa.array(n_events.astype(np.int64)),
+            "n_sessions": pa.array(n_sessions.astype(np.int64)),
+            "first_ts": pa.array(ts_us[starts]).cast(pa.timestamp("us")),
+            "last_ts": pa.array(ts_us[bounds[1:] - 1]).cast(
+                pa.timestamp("us")),
         })
 
+    from org_rdkit_lucene_ray.util import append_bucket_column
+
     return (events.select_columns([key_col, ts_col])
-            .groupby(key_col).map_groups(per_user, batch_format="pyarrow"))
+            .map_batches(lambda t: append_bucket_column(t, key_col),
+                         batch_format="pyarrow")
+            .groupby("_bkt")
+            .map_groups(lambda g: fold(g.drop_columns(["_bkt"])),
+                        batch_format="pyarrow"))
 
 
 def grouped_topn(events: rd.Dataset, n: int = 2, key_col: str = "event_type",
@@ -260,34 +290,55 @@ def funnel_steps(events: rd.Dataset, steps: list[str], *,
     search, decided greedily (earliest match per step, which is exact
     for subsequence existence).
 
-    Scale shape: one ``groupby(key)`` exchange of the (key, ts, id,
-    type) projection; each group folds locally (sort by (ts, id), one
-    ``searchsorted`` per step). Emits ``(user_id, steps_completed)``;
-    callers aggregate the per-step conversion counts (a K-row table).
+    Scale shape: the (key, ts, id, type) projection rides a 64-int
+    hash-bucket exchange (never a sort over the user domain); each
+    bucket group sorts once by (key, ts, id) and walks every resident
+    user's greedy step chain over per-step position arrays. Emits
+    ``(user_id, steps_completed)``; callers aggregate the per-step
+    conversion counts (a K-row table).
     """
     step_list = list(steps)
 
     def fold(g: pa.Table) -> pa.Table:
-        order = pc.sort_indices(g, sort_keys=[(ts_col, "ascending"),
+        if g.num_rows == 0:
+            return pa.table({key_col: g[key_col],
+                             "steps_completed": pa.array([], pa.int64())})
+        order = pc.sort_indices(g, sort_keys=[(key_col, "ascending"),
+                                              (ts_col, "ascending"),
                                               (id_col, "ascending")])
-        types = g[type_col].take(order)
+        g = g.take(order)
+        keys = g[key_col].combine_chunks()
+        kidx = pc.dictionary_encode(keys).indices.to_numpy(
+            zero_copy_only=False)
+        starts = np.flatnonzero(
+            np.concatenate([[True], kidx[1:] != kidx[:-1]]))
+        bounds = np.concatenate([starts, [len(kidx)]])
+        types = g[type_col]
         pos_of = {
             st: pc.indices_nonzero(pc.equal(types, st)).to_numpy()
             for st in set(step_list)
         }
-        p = 0
-        done = 0
-        for st in step_list:
-            arr = pos_of[st]
-            i = int(np.searchsorted(arr, p, side="left"))
-            if i >= arr.size:
-                break
-            p = int(arr[i]) + 1
-            done += 1
+        done = np.zeros(starts.size, np.int64)
+        for u in range(starts.size):
+            lo, hi = int(bounds[u]), int(bounds[u + 1])
+            p = lo
+            for st in step_list:
+                arr = pos_of[st]
+                i = int(np.searchsorted(arr, p, side="left"))
+                if i >= arr.size or arr[i] >= hi:
+                    break
+                p = int(arr[i]) + 1
+                done[u] += 1
         return pa.table({
-            key_col: g[key_col][:1],          # key type preserved verbatim
-            "steps_completed": pa.array([done], pa.int64()),
+            key_col: keys.take(pa.array(starts)),  # key type preserved
+            "steps_completed": pa.array(done),
         })
 
+    from org_rdkit_lucene_ray.util import append_bucket_column
+
     proj = events.select_columns([key_col, ts_col, id_col, type_col])
-    return proj.groupby(key_col).map_groups(fold, batch_format="pyarrow")
+    return (proj.map_batches(lambda t: append_bucket_column(t, key_col),
+                             batch_format="pyarrow")
+            .groupby("_bkt")
+            .map_groups(lambda g: fold(g.drop_columns(["_bkt"])),
+                        batch_format="pyarrow"))
