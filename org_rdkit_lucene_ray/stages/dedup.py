@@ -291,6 +291,44 @@ def _pairs_of_group(group: pa.Table) -> pa.Table:
     return pa.table({"a": pa.array(ids[ii]), "b": pa.array(ids[jj])})
 
 
+def _pairs_of_bucket_groups(g: pa.Table) -> pa.Table:
+    """Multi-bucket variant of :func:`_pairs_of_group`: one 64-way hash
+    bucket group holds MANY (band, band_hash) LSH buckets — segment by
+    the composite key after one lexsort, emit each segment's triu pairs.
+    Same per-bucket candidate ceiling, same output schema."""
+    empty = pa.table({"a": pa.array([], pa.int64()),
+                      "b": pa.array([], pa.int64())})
+    if g.num_rows == 0:
+        return empty
+    band = g["band"].to_numpy(zero_copy_only=False).astype(np.int64)
+    bh = g["band_hash"].to_numpy(zero_copy_only=False).astype(np.int64)
+    doc = g["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.lexsort((doc, bh, band))
+    band, bh, doc = band[order], bh[order], doc[order]
+    seg = np.concatenate(
+        [[True], (band[1:] != band[:-1]) | (bh[1:] != bh[:-1])])
+    bounds = np.concatenate([np.flatnonzero(seg), [doc.size]])
+    outs_a, outs_b = [], []
+    for s, e in zip(bounds[:-1], bounds[1:]):
+        ids = np.unique(doc[s:e])          # doc-sorted slice: cheap unique
+        if ids.size < 2:
+            continue
+        if ids.size > _MAX_LSH_BUCKET:
+            raise ValueError(
+                f"LSH band bucket holds {ids.size:,} docs "
+                f"(> {_MAX_LSH_BUCKET:,}): the corpus carries "
+                "mass-duplicated content — run exact dedup first "
+                "(exact_dedup_groups), then near-dup detection on the "
+                "distinct survivors.")
+        ii, jj = np.triu_indices(ids.size, k=1)
+        outs_a.append(ids[ii])
+        outs_b.append(ids[jj])
+    if not outs_a:
+        return empty
+    return pa.table({"a": pa.array(np.concatenate(outs_a)),
+                     "b": pa.array(np.concatenate(outs_b))})
+
+
 def exact_jaccard(tokens_a: list[str], tokens_b: list[str], shingle: int = 3) -> float:
     sa = set(_shingle_hashes(tokens_a, shingle).tolist())
     sb = set(_shingle_hashes(tokens_b, shingle).tolist())
@@ -318,15 +356,38 @@ def _bcast(ref):
 
 
 def _distinct_pairs(pairs_ds: rd.Dataset) -> rd.Dataset:
-    """Dedupe candidate pairs across bands — a groupby over (a, b): the
-    shuffle moves 16 B/pair, never document content. MATERIALIZED: the
-    result is the (small) candidate set, consumed twice (id collection +
-    verify); without this the whole LSH chain would re-execute per
-    consumer."""
-    from ray.data.aggregate import Count
+    """Dedupe candidate pairs across bands: per-batch distinct combine,
+    then a 64-int bucket exchange with the real (a, b) aggregation as an
+    Arrow hash-aggregate inside map_groups — the shuffle moves ~24 B per
+    per-batch-distinct pair, never document content, and never sorts the
+    pair domain. MATERIALIZED: the result is the (small) candidate set,
+    consumed twice (id collection + verify); without this the whole LSH
+    chain would re-execute per consumer."""
 
-    return pairs_ds.groupby(["a", "b"]).aggregate(
-        Count(alias_name="n_bands")).materialize()
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by(["a", "b"]).aggregate([("a", "count")])
+        return pa.table({"a": g["a"], "b": g["b"],
+                         "n": pc.cast(g["a_count"], pa.int64())})
+
+    def with_bucket(t: pa.Table) -> pa.Table:
+        a = t["a"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        b = t["b"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            bkt = ((a * np.uint64(0x9E3779B97F4A7C15) ^ b)
+                   % np.uint64(64)).astype(np.int64)
+        return t.append_column("_bkt", pa.array(bkt, pa.int64()))
+
+    def merge(g: pa.Table) -> pa.Table:
+        gg = g.drop_columns(["_bkt"]).group_by(["a", "b"]).aggregate(
+            [("n", "sum")])
+        return pa.table({"a": gg["a"], "b": gg["b"],
+                         "n_bands": pc.cast(gg["n_sum"], pa.int64())})
+
+    return (pairs_ds.map_batches(partial, batch_format="pyarrow")
+            .map_batches(with_bucket, batch_format="pyarrow")
+            .groupby("_bkt")
+            .map_groups(merge, batch_format="pyarrow")
+            .materialize())
 
 
 def _candidate_ids(pairs_ds: rd.Dataset) -> list[int]:
@@ -490,9 +551,14 @@ def minhash_dup_pairs(
                                    id_col=id_col)),
         batch_format="pyarrow",
     )
+    from org_rdkit_lucene_ray.util import append_bucket_column
+
     pairs_ds = _distinct_pairs(
-        band_ds.groupby(["band", "band_hash"])
-        .map_groups(_pairs_of_group, batch_format="pyarrow"))
+        band_ds.map_batches(lambda t: append_bucket_column(t, "band_hash"),
+                            batch_format="pyarrow")
+        .groupby("_bkt")
+        .map_groups(lambda g: _pairs_of_bucket_groups(
+            g.drop_columns(["_bkt"])), batch_format="pyarrow"))
     need = _candidate_ids(pairs_ds)
     logger.info("minhash-lsh: %d candidate docs in distinct pairs", len(need))
     empty = _VERIFIED_SCHEMA.empty_table()
