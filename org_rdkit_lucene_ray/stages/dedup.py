@@ -665,6 +665,27 @@ class SimHashStage:
         return batch.append_column("simhash", pa.array(out.astype(np.int64), pa.int64()))
 
 
+def _per_band_segments(g: pa.Table, fold) -> pa.Table:
+    """Run a single-(band, band_hash)-bucket fold over every LSH bucket
+    resident in one 64-way hash bucket group: sort once by the composite
+    key, slice per segment, concat the folds' (schema-stable) outputs.
+    Lets complex per-bucket folds (simhash star-compression) ride the
+    64-int exchange unchanged."""
+    if g.num_rows == 0:
+        return fold(g)
+    order = pc.sort_indices(g, sort_keys=[("band", "ascending"),
+                                          ("band_hash", "ascending")])
+    g = g.take(order)
+    band = g["band"].to_numpy(zero_copy_only=False).astype(np.int64)
+    bh = g["band_hash"].to_numpy(zero_copy_only=False).astype(np.int64)
+    seg = np.concatenate(
+        [[True], (band[1:] != band[:-1]) | (bh[1:] != bh[:-1])])
+    bounds = np.concatenate([np.flatnonzero(seg), [g.num_rows]])
+    outs = [fold(g.slice(int(s), int(e - s)))
+            for s, e in zip(bounds[:-1], bounds[1:])]
+    return pa.concat_tables(outs)
+
+
 def _simhash_group_pairs(group: pa.Table, *, max_hamming: int,
                          refine_threshold: int = 2048) -> pa.Table:
     """Candidate pairs of one band bucket, HOT-BUCKET SAFE.
@@ -896,12 +917,16 @@ def simhash_dup_pairs(docs: rd.Dataset, *, max_hamming: int = 3,
 
     import ray
 
+    from org_rdkit_lucene_ray.util import append_bucket_column
+
+    fold = functools.partial(_simhash_group_pairs, max_hamming=max_hamming)
     pairs_ds = _distinct_pairs(
         sig.map_batches(to_bands, batch_format="pyarrow")
-        .groupby(["band", "band_hash"])
-        .map_groups(functools.partial(_simhash_group_pairs,
-                                      max_hamming=max_hamming),
-                    batch_format="pyarrow"))
+        .map_batches(lambda t: append_bucket_column(t, "band_hash"),
+                     batch_format="pyarrow")
+        .groupby("_bkt")
+        .map_groups(lambda g: _per_band_segments(
+            g.drop_columns(["_bkt"]), fold), batch_format="pyarrow"))
     need = _candidate_ids(pairs_ds)
     logger.info("simhash: %d candidate docs in distinct pairs", len(need))
     empty = pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
