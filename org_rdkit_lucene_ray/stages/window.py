@@ -15,7 +15,46 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data as rd
-from ray.data.aggregate import Count, Max, Min, Sum
+
+
+def _window_bucket_combine(parts: rd.Dataset, key_col: str) -> rd.Dataset:
+    """Shared final combine for the window aggregates: the per-batch
+    partial rows ride a 64-int exchange bucketed on the COMPOSITE
+    (key, window) hash (windows of one key spread across buckets, so a
+    small key domain still parallelizes), with the real (key, window)
+    merge as an Arrow hash-aggregate inside map_groups — never a sort
+    over the keys x windows domain."""
+
+    def with_bucket(t: pa.Table) -> pa.Table:
+        from org_rdkit_lucene_ray.pipelines.build import stable_term_hash
+
+        keys = t[key_col].combine_chunks()
+        if pa.types.is_integer(keys.type):
+            kh = keys.to_numpy(zero_copy_only=False).astype(np.uint64)
+        else:
+            kh = stable_term_hash(keys)
+        w = t["window"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            b = ((kh ^ (w * np.uint64(0x9E3779B97F4A7C15)))
+                 % np.uint64(64)).astype(np.int64)
+        return t.append_column("_bkt", pa.array(b, pa.int64()))
+
+    def merge(g: pa.Table) -> pa.Table:
+        gg = g.drop_columns(["_bkt"]).group_by([key_col, "window"]).aggregate(
+            [("n_part", "sum"), ("sum_part", "sum"),
+             ("min_part", "min"), ("max_part", "max")])
+        return pa.table({
+            key_col: gg[key_col],
+            "window": gg["window"],
+            "n_events": pc.cast(gg["n_part_sum"], pa.int64()),
+            "sum_value": gg["sum_part_sum"],
+            "min_value": gg["min_part_min"],
+            "max_value": gg["max_part_max"],
+        })
+
+    return (parts.map_batches(with_bucket, batch_format="pyarrow")
+            .groupby("_bkt")
+            .map_groups(merge, batch_format="pyarrow"))
 
 
 def tumbling_window_agg(events: rd.Dataset, width_secs: int = 3600,
@@ -56,16 +95,8 @@ def tumbling_window_agg(events: rd.Dataset, width_secs: int = 3600,
             "max_part": g[f"{value_col}_max"],
         })
 
-    combined = (
-        events.map_batches(partial, batch_format="pyarrow")
-        .groupby([key_col, "window"])
-        .aggregate(
-            Sum("n_part", alias_name="n_events"),
-            Sum("sum_part", alias_name="sum_value"),
-            Min("min_part", alias_name="min_value"),
-            Max("max_part", alias_name="max_value"),
-        )
-    )
+    combined = _window_bucket_combine(
+        events.map_batches(partial, batch_format="pyarrow"), key_col)
 
     def finish(t: pa.Table) -> pa.Table:
         sums = t["sum_value"].to_numpy(zero_copy_only=False)
@@ -140,17 +171,9 @@ def hopping_window_agg(events: rd.Dataset, width_secs: int = 3600,
             "max_part": g[f"{value_col}_max"],
         })
 
-    combined = (
+    combined = _window_bucket_combine(
         events.select_columns([key_col, ts_col, value_col])
-        .map_batches(partial, batch_format="pyarrow")
-        .groupby([key_col, "window"])
-        .aggregate(
-            Sum("n_part", alias_name="n_events"),
-            Sum("sum_part", alias_name="sum_value"),
-            Min("min_part", alias_name="min_value"),
-            Max("max_part", alias_name="max_value"),
-        )
-    )
+        .map_batches(partial, batch_format="pyarrow"), key_col)
 
     def finish(t: pa.Table) -> pa.Table:
         sums = t["sum_value"].to_numpy(zero_copy_only=False)
