@@ -3892,6 +3892,38 @@ FROM d ORDER BY 1
 """
 
 
+REGEXP_QUERIES: list[tuple[int, str]] = [
+    (0, "ha.h"),          # hash
+    (1, "s.*n"),          # scan, session, ...
+    (2, "zz+x?"),         # matches nothing
+]
+
+
+def q_regexp_search(sf_dir: str) -> pa.Table:
+    """Lucene RegexpQuery analog (:meth:`Searcher.search_regexp`):
+    dictionary-expansion rewrite — vocab terms fully matching the RE2
+    pattern, SHOULD-union of their postings."""
+    s = _searcher(sf_dir)
+    qids, docs = [], []
+    for qid, pat in REGEXP_QUERIES:
+        hits = s.search_regexp(pat)
+        qids.extend([qid] * len(hits))
+        docs.extend(int(d) for d in hits)
+    return pa.table({"query_id": pa.array(qids, pa.int64()),
+                     "doc_id": pa.array(docs, pa.int64())})
+
+
+def _regexp_sql() -> str:
+    parts = []
+    for qid, pat in REGEXP_QUERIES:
+        parts.append(
+            f"SELECT DISTINCT {qid}::BIGINT AS query_id, doc_id FROM tok "
+            f"WHERE regexp_full_match(term, '{pat}')")
+    return (f"WITH docs AS (SELECT doc_id, {_TOKS} AS toks FROM documents),\n"
+            "tok AS (SELECT DISTINCT doc_id, unnest(toks) AS term FROM docs)\n"
+            + "\nUNION ".join(parts) + "\nORDER BY 1, 2")
+
+
 SUGGEST_PREFIXES: list[tuple[int, str, int]] = [   # (query_id, prefix, k)
     (0, "ha", 8),
     (1, "s", 8),
@@ -4515,6 +4547,7 @@ SELECT count(*)::BIGINT AS n_docs,
     "length_buckets": _length_buckets_sql(),
     "winnow_fingerprints": _winnow_sql(),
     "suggest_complete": _suggest_complete_sql(),
+    "regexp_search": _regexp_sql(),
     "eval_retrieval": _eval_retrieval_sql(),
     "highlight": _highlight_sql(),
     "pagerank": _pagerank_sql(),
@@ -4943,6 +4976,7 @@ QUERIES = {
     "length_buckets": q_length_buckets,
     "winnow_fingerprints": q_winnow_fingerprints,
     "suggest_complete": q_suggest_complete,
+    "regexp_search": q_regexp_search,
     "bm25_topk": q_bm25_topk,
     "term_df": q_term_df,
     "doc_lengths": q_doc_lengths,

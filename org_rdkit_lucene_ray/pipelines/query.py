@@ -915,6 +915,20 @@ class Searcher:
         return sorted(v.filter(
             pc.match_substring_regex(v, "^" + rx + "$")).to_pylist())
 
+    def regexp_terms(self, pattern: str) -> list[str]:
+        """RegexpQuery expansion (the 3.6-era contrib ``RegexQuery`` the
+        QueryParser family sits beside): vocabulary terms FULLY matching
+        the RE2 pattern, via one vectorized Arrow regex scan."""
+        v = self._vocab()
+        return sorted(v.filter(
+            pc.match_substring_regex(v, "^(?:" + pattern + ")$")).to_pylist())
+
+    def search_regexp(self, pattern: str,
+                      max_hits: int | None = None) -> np.ndarray:
+        """Docs holding any term matching ``pattern`` (SHOULD-union of the
+        expansions, like the other multi-term rewrites)."""
+        return self._union_docs(self.regexp_terms(pattern), max_hits)
+
     def range_terms(self, lo: str, hi: str, *, include_lo: bool = True,
                     include_hi: bool = True) -> list[str]:
         """TermRangeQuery expansion: lexicographic [lo, hi] over the vocab."""

@@ -897,3 +897,17 @@ def test_suggest_complete_ordering(searcher, oracle_index):
     assert searcher.suggest_complete("ba", 0) == []
     # fielded namespace terms are never suggested
     assert all(":" not in t for t, _ in searcher.suggest_complete("", 1000))
+
+
+def test_regexp_search_semantics(searcher):
+    """RegexpQuery: full-match only (no substring leakage); expansion
+    union equals running the expansions through search_or."""
+    terms = searcher.regexp_terms("ba.a")
+    assert terms and all(len(t) == 4 and t.startswith("ba") for t in terms)
+    hits = searcher.search_regexp("ba.a")
+    want = searcher.search_or(" ".join(terms))
+    assert np.array_equal(hits, want)
+    assert searcher.regexp_terms("zz+x?") == []
+    assert searcher.search_regexp("zz+x?").size == 0
+    # anchored: 'aba' must not match the 4-char terms via substring
+    assert all(len(t) == 3 for t in searcher.regexp_terms("a.a"))
