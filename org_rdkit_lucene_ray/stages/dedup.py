@@ -444,7 +444,12 @@ def _verify_pairs_distributed(sh_ds: rd.Dataset, pairs_ds: rd.Dataset,
     Row kinds share one schema (``key:int64, other:int64, sh:binary``);
     a SHINGLE row is identified by ``other IS NULL`` (its ``sh`` may be an
     EMPTY blob but is never null), a request row by ``other`` set. The
-    driver holds only the final verified pairs."""
+    driver holds only the final verified pairs.
+
+    Both exchanges ride the 64-int bucket sort (hash-partition by doc
+    key; whole keys land in one bucket group) and each bucket group
+    folds ALL its resident keys in one vectorized segmentation pass —
+    the doc-id domain never reaches a Ray sort."""
     def reqs_a(t: pa.Table) -> pa.Table:
         return pa.table({
             "key": pc.cast(t["a"], pa.int64()),
@@ -452,61 +457,92 @@ def _verify_pairs_distributed(sh_ds: rd.Dataset, pairs_ds: rd.Dataset,
             "sh": pa.nulls(t.num_rows, pa.large_binary()),
         }, schema=_ATTACH_SCHEMA)
 
-    def attach_a(g: pa.Table) -> pa.Table:
+    def _segment(g: pa.Table):
+        """-> (keys, is_sh, order, seg_id_sorted, sh_row_of_seg) over the
+        bucket group; sh_row is -1 for keys with no shingle row."""
+        keys = g["key"].to_numpy(zero_copy_only=False).astype(np.int64)
         is_sh = pc.is_null(g["other"]).to_numpy(zero_copy_only=False)
-        sh_i = np.flatnonzero(is_sh)
-        req_i = np.flatnonzero(~is_sh)
-        if req_i.size == 0:
+        order = np.argsort(keys, kind="stable")
+        keys_s = keys[order]
+        seg_start = np.concatenate([[True], keys_s[1:] != keys_s[:-1]])
+        seg_id = np.cumsum(seg_start) - 1
+        n_seg = int(seg_id[-1]) + 1 if seg_id.size else 0
+        sh_row = np.full(n_seg, -1, np.int64)
+        sh_pos = np.flatnonzero(is_sh[order])
+        sh_row[seg_id[sh_pos]] = order[sh_pos]
+        return is_sh, order, seg_id, sh_row
+
+    def attach_a(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
             return _ATTACH_SCHEMA.empty_table()
-        sh_a = g["sh"][int(sh_i[0])] if sh_i.size else pa.scalar(
-            None, pa.large_binary())
-        take = pa.array(req_i)
+        is_sh, order, seg_id, sh_row = _segment(g)
+        req_pos = np.flatnonzero(~is_sh[order])
+        if req_pos.size == 0:
+            return _ATTACH_SCHEMA.empty_table()
+        req_orig = order[req_pos]
+        src = sh_row[seg_id[req_pos]]
+        sh_a = g["sh"].take(pa.array(np.where(src >= 0, src, 0),
+                                     mask=src < 0))
+        take = pa.array(req_orig)
         # re-key by b; carry a in `other`, its shingles in `sh`
         return pa.table({
             "key": g["other"].take(take),
             "other": g["key"].take(take),
-            "sh": pa.array([sh_a.as_py()] * req_i.size, pa.large_binary()),
+            "sh": sh_a.cast(pa.large_binary()),
         }, schema=_ATTACH_SCHEMA)
 
     def finish_b(g: pa.Table) -> pa.Table:
-        is_sh = pc.is_null(g["other"]).to_numpy(zero_copy_only=False)
-        sh_i = np.flatnonzero(is_sh)
-        req_i = np.flatnonzero(~is_sh)
-        if req_i.size == 0:
+        if g.num_rows == 0:
             return _VERIFIED_SCHEMA.empty_table()
-        sb = None
-        if sh_i.size:
-            blob = g["sh"][int(sh_i[0])].as_py()
-            sb = np.frombuffer(blob, np.uint64) if blob is not None else None
-        b_id = int(g["key"][int(req_i[0])].as_py())
-        a_ids, jacs = [], []
-        for i in req_i:
-            blob = g["sh"][int(i)].as_py()
-            sa = np.frombuffer(blob, np.uint64) if blob is not None else None
+        is_sh, order, seg_id, sh_row = _segment(g)
+        req_pos = np.flatnonzero(~is_sh[order])
+        if req_pos.size == 0:
+            return _VERIFIED_SCHEMA.empty_table()
+        sh_list = g["sh"].to_pylist()        # blob gather once per group
+        keys = g["key"].to_numpy(zero_copy_only=False).astype(np.int64)
+        other = pc.fill_null(g["other"], -1).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        src = sh_row[seg_id[req_pos]]
+        req_orig = order[req_pos]
+        a_ids, b_ids, jacs = [], [], []
+        for i, s in zip(req_orig, src):
+            blob_a = sh_list[int(i)]
+            sa = np.frombuffer(blob_a, np.uint64) if blob_a is not None \
+                else None
+            blob_b = sh_list[int(s)] if s >= 0 else None
+            sb = np.frombuffer(blob_b, np.uint64) if blob_b is not None \
+                else None
             j = _pair_jaccard(sa, sb)
             if j >= threshold:
-                a_ids.append(int(g["other"][int(i)].as_py()))
+                a_ids.append(int(other[int(i)]))
+                b_ids.append(int(keys[int(i)]))
                 jacs.append(float(np.round(j, 6)))   # np.round: bit-parity
                 # with the broadcast path (Python round can differ 1 ulp)
         return pa.table({
             "a": pa.array(a_ids, pa.int64()),
-            "b": pa.array([b_id] * len(a_ids), pa.int64()),
+            "b": pa.array(b_ids, pa.int64()),
             "jaccard": pa.array(jacs, pa.float64()),
         }, schema=_VERIFIED_SCHEMA)
 
+    from org_rdkit_lucene_ray.util import append_bucket_column
+
+    def bucketed(ds: rd.Dataset, fold) -> rd.Dataset:
+        return (ds.map_batches(lambda t: append_bucket_column(t, "key"),
+                               batch_format="pyarrow")
+                .groupby("_bkt")
+                .map_groups(lambda g: fold(g.drop_columns(["_bkt"])),
+                            batch_format="pyarrow"))
+
     stage1 = (
-        sh_ds.union(pairs_ds.map_batches(reqs_a, batch_format="pyarrow"))
-        .groupby("key")
-        .map_groups(attach_a, batch_format="pyarrow")
+        bucketed(sh_ds.union(pairs_ds.map_batches(
+            reqs_a, batch_format="pyarrow")), attach_a)
         # barrier: stage 1 and stage 2 reuse sh_ds; materializing the small
         # (pair-count-bounded) intermediate avoids re-executing the shingle
         # scan twice AND the two-actor-chain starvation trap (r2 memory)
         .materialize()
     )
     return (
-        sh_ds.union(stage1)
-        .groupby("key")
-        .map_groups(finish_b, batch_format="pyarrow")
+        bucketed(sh_ds.union(stage1), finish_b)
         .take_all()
     )
 
