@@ -429,19 +429,47 @@ def embedding_dup_pairs_lsh(ds: rd.Dataset, *, threshold: float = 0.95,
         return pa.table({"a": pa.array(ids[ii], pa.int64()),
                          "b": pa.array(ids[jj], pa.int64())})
 
+    def pairs_of_bucket_groups(g: pa.Table) -> pa.Table:
+        # multi-(band, key) segmentation over one 64-way hash bucket
+        # group (the dedup._pairs_of_bucket_groups shape): the sign-key
+        # domain never reaches a Ray sort
+        empty = pa.table({"a": pa.array([], pa.int64()),
+                          "b": pa.array([], pa.int64())})
+        if g.num_rows == 0:
+            return empty
+        band = g["band"].to_numpy(zero_copy_only=False)
+        key = g["key"].to_numpy(zero_copy_only=False)
+        doc = g[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((doc, key, band))
+        band, key, doc = band[order], key[order], doc[order]
+        seg = np.concatenate(
+            [[True], (band[1:] != band[:-1]) | (key[1:] != key[:-1])])
+        bounds = np.concatenate([np.flatnonzero(seg), [doc.size]])
+        outs = [empty]
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            sub = pa.table({"band": pa.array(band[s:e]),
+                            "key": pa.array(key[s:e]),
+                            id_col: pa.array(doc[s:e])})
+            outs.append(pairs_in_bucket(sub))
+        return pa.concat_tables(outs)
+
+    from org_rdkit_lucene_ray.stages.dedup import _distinct_pairs
+    from org_rdkit_lucene_ray.util import append_bucket_column
+
     cand = (
         ds.map_batches(band_rows, batch_format="pyarrow",
                        concurrency=concurrency or auto_concurrency())
-        .groupby(["band", "key"])
-        .map_groups(pairs_in_bucket, batch_format="pyarrow")
+        .map_batches(lambda t: append_bucket_column(t, "key"),
+                     batch_format="pyarrow")
+        .groupby("_bkt")
+        .map_groups(lambda g: pairs_of_bucket_groups(
+            g.drop_columns(["_bkt"])), batch_format="pyarrow")
     )
 
-    def dedup(g: pa.Table) -> pa.Table:
-        return g.slice(0, 1)
-
     pairs = pa.concat_tables(_ray.get(
-        cand.groupby(["a", "b"]).map_groups(
-            dedup, batch_format="pyarrow").to_arrow_refs()))
+        _distinct_pairs(cand)
+        .map_batches(lambda t: t.select(["a", "b"]),
+                     batch_format="pyarrow").to_arrow_refs()))
     if pairs.num_rows == 0:
         return _pairs_table(pairs.to_pandas())
     # verify: fetch ONLY the candidate vectors (bounded by candidate

@@ -49,9 +49,17 @@ PR_SCALE = 1_000_000_000
 
 def _prep_edges(edges: rd.Dataset, num_partitions: int) -> rd.Dataset:
     """(src, dst, outdeg) with outdeg joined on once — iteration-invariant."""
-    from ray.data.aggregate import Count
+    from org_rdkit_lucene_ray.util import fold_grouped_counts
 
-    outdeg = edges.groupby("src").aggregate(Count(alias_name="outdeg"))
+    def deg_part(t: pa.Table) -> pa.Table:
+        uniq, counts = np.unique(t["src"].to_numpy(
+            zero_copy_only=False).astype(np.int64), return_counts=True)
+        return pa.table({"src": pa.array(uniq, pa.int64()),
+                         "outdeg": pa.array(counts.astype(np.int64))})
+
+    outdeg = fold_grouped_counts(
+        edges.map_batches(deg_part, batch_format="pyarrow"),
+        "src", ["outdeg"])
     return edges.join(outdeg, "inner", num_partitions, on=("src",)) \
         .map_batches(lambda t: pa.table({
             "src": pc.cast(t["src"], pa.int64()),
@@ -129,7 +137,7 @@ def _pagerank_broadcast(edges: rd.Dataset, n_nodes: int, n_iter: int,
 def _pagerank_join(edges: rd.Dataset, n_nodes: int, n_iter: int,
                    d_num: int, d_den: int, *,
                    num_partitions: int) -> rd.Dataset:
-    from ray.data.aggregate import Sum
+    from org_rdkit_lucene_ray.util import fold_grouped_counts
 
     base = ((d_den - d_num) * PR_SCALE) // (d_den * n_nodes)
     ej = _prep_edges(edges, num_partitions)
@@ -159,10 +167,16 @@ def _pagerank_join(edges: rd.Dataset, n_nodes: int, n_iter: int,
         })
 
     for _ in range(n_iter):
-        agg = (ej.join(ranks, "inner", num_partitions,
-                       on=("src",), right_on=("node",))
-               .map_batches(contrib, batch_format="pyarrow")
-               .groupby("dst").aggregate(Sum("contrib", alias_name="mass")))
+        # the per-sweep mass fold rides the 64-int bucket exchange (the
+        # dst vertex domain never reaches a Ray sort); partial sums are
+        # int64 so any combine order is exact
+        agg = fold_grouped_counts(
+            ej.join(ranks, "inner", num_partitions,
+                    on=("src",), right_on=("node",))
+            .map_batches(contrib, batch_format="pyarrow"),
+            "dst", ["contrib"]).map_batches(
+                lambda t: pa.table({"dst": t["dst"], "mass": t["contrib"]}),
+                batch_format="pyarrow")
         joined = nodes.join(agg, "left_outer", num_partitions,
                             on=("node",), right_on=("dst",))
         # materialize per sweep: ranks are the SMALL node-sized table, and
