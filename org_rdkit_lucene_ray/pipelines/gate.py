@@ -3892,6 +3892,24 @@ FROM d ORDER BY 1
 """
 
 
+def q_tumbling_distinct(sf_dir: str) -> rd.Dataset:
+    """Exact distinct-users-per-hour-per-type rollup
+    (:func:`stages.window.tumbling_distinct`): per-batch distinct
+    triples -> composite-bucket exchange -> in-bucket distinct count;
+    the streaming count-distinct companion to `tumbling_hourly`."""
+    from org_rdkit_lucene_ray.stages.window import tumbling_distinct
+
+    return tumbling_distinct(_events(sf_dir), width_secs=3600)
+
+
+_TUMBLING_DISTINCT_SQL = """
+SELECT event_type,
+       time_bucket(INTERVAL 1 HOUR, ts) AS window_start,
+       count(DISTINCT user_id)::BIGINT AS n_users
+FROM events GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 REGEXP_QUERIES: list[tuple[int, str]] = [
     (0, "ha.h"),          # hash
     (1, "s.*n"),          # scan, session, ...
@@ -4548,6 +4566,7 @@ SELECT count(*)::BIGINT AS n_docs,
     "winnow_fingerprints": _winnow_sql(),
     "suggest_complete": _suggest_complete_sql(),
     "regexp_search": _regexp_sql(),
+    "tumbling_distinct": _TUMBLING_DISTINCT_SQL,
     "eval_retrieval": _eval_retrieval_sql(),
     "highlight": _highlight_sql(),
     "pagerank": _pagerank_sql(),
@@ -4977,6 +4996,7 @@ QUERIES = {
     "winnow_fingerprints": q_winnow_fingerprints,
     "suggest_complete": q_suggest_complete,
     "regexp_search": q_regexp_search,
+    "tumbling_distinct": q_tumbling_distinct,
     "bm25_topk": q_bm25_topk,
     "term_df": q_term_df,
     "doc_lengths": q_doc_lengths,

@@ -365,3 +365,69 @@ def funnel_steps(events: rd.Dataset, steps: list[str], *,
             .groupby("_bkt")
             .map_groups(lambda g: fold(g.drop_columns(["_bkt"])),
                         batch_format="pyarrow"))
+
+
+def tumbling_distinct(events: rd.Dataset, width_secs: int = 3600,
+                      ts_col: str = "ts", key_col: str = "event_type",
+                      user_col: str = "user_id") -> rd.Dataset:
+    """EXACT distinct-actor counts per (key, window) — the streaming
+    "unique users per hour per type" rollup. Two cheap exchanges, both
+    bucket-sorted:
+
+    1. per-batch DISTINCT (key, window, user) triples (Arrow group_by
+       inside the batch) ride a 64-int exchange bucketed on the
+       composite hash; each bucket group re-distincts its residents —
+       after this pass each (key, window, user) triple exists exactly
+       once, and all of one (key, window)'s triples share a bucket.
+    2. the per-bucket distinct counts are final (a (key, window) lives
+       in exactly one bucket), so stage 2 is a plain vectorized segment
+       count inside the same map_groups — nothing user-sized leaves it.
+
+    Approximate-at-scale variant: :func:`stages.sketch.hll_distinct_by`
+    trades exactness for fixed-size registers when the per-window user
+    sets outgrow the bucket groups."""
+    width_us = width_secs * 1_000_000
+
+    def partial(t: pa.Table) -> pa.Table:
+        ts_us = pc.cast(pc.cast(t[ts_col], pa.timestamp("us")), pa.int64())
+        win = ts_us.to_numpy() // width_us
+        g = (pa.table({key_col: t[key_col],
+                       "window": pa.array(win.astype(np.int64)),
+                       "user": pc.cast(t[user_col], pa.int64())})
+             .group_by([key_col, "window", "user"]).aggregate([]))
+        return g
+
+    def with_bucket(t: pa.Table) -> pa.Table:
+        from org_rdkit_lucene_ray.pipelines.build import stable_term_hash
+
+        keys = t[key_col].combine_chunks()
+        if pa.types.is_integer(keys.type):
+            kh = keys.to_numpy(zero_copy_only=False).astype(np.uint64)
+        else:
+            kh = stable_term_hash(keys)
+        w = t["window"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            b = ((kh ^ (w * np.uint64(0x9E3779B97F4A7C15)))
+                 % np.uint64(64)).astype(np.int64)
+        return t.append_column("_bkt", pa.array(b, pa.int64()))
+
+    def count_distinct(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return pa.table({key_col: g[key_col],
+                             "window_start": pa.array([], pa.timestamp("us")),
+                             "n_users": pa.array([], pa.int64())})
+        gg = g.drop_columns(["_bkt"]).group_by(
+            [key_col, "window", "user"]).aggregate([])
+        gc = gg.group_by([key_col, "window"]).aggregate([("user", "count")])
+        return pa.table({
+            key_col: gc[key_col],
+            "window_start": pc.cast(pc.multiply(gc["window"], width_us),
+                                    pa.timestamp("us")),
+            "n_users": pc.cast(gc["user_count"], pa.int64()),
+        })
+
+    return (events.select_columns([key_col, ts_col, user_col])
+            .map_batches(partial, batch_format="pyarrow")
+            .map_batches(with_bucket, batch_format="pyarrow")
+            .groupby("_bkt")
+            .map_groups(count_distinct, batch_format="pyarrow"))

@@ -1925,3 +1925,31 @@ def test_winnow_fingerprints_guarantee_and_tie_rule(ray_session):
                                    for s in sets]
     # density: far fewer fingerprints than grams for doc 0
     assert out.loc[0, "n_fps"] <= out.loc[0, "n_grams"]
+
+
+def test_tumbling_distinct_matches_pandas(ray_session):
+    """Windowed exact count-distinct == a pandas nunique oracle,
+    partition-invariant (triples dedup across batches)."""
+    from org_rdkit_lucene_ray.stages.window import tumbling_distinct
+
+    n = 600
+    t = pa.table({
+        "event_type": pa.array([f"t{i % 3}" for i in range(n)]),
+        "ts": pa.array((1_700_000_000_000_000
+                        + np.arange(n, dtype=np.int64) * 37_000_000)
+                       .astype("datetime64[us]")),
+        "user_id": pa.array((np.arange(n, dtype=np.int64) * 7) % 40),
+    })
+    for nblocks in (2, 7):
+        got = tumbling_distinct(rd.from_arrow(t).repartition(nblocks),
+                                width_secs=3600).to_pandas()
+        got = got.sort_values(["event_type", "window_start"]).reset_index(
+            drop=True)
+        df = t.to_pandas()
+        df["window_start"] = df["ts"].dt.floor("h")
+        want = (df.groupby(["event_type", "window_start"])["user_id"]
+                .nunique().reset_index(name="n_users")
+                .sort_values(["event_type", "window_start"])
+                .reset_index(drop=True))
+        assert list(got["n_users"]) == list(want["n_users"])
+        assert list(got["event_type"]) == list(want["event_type"])
