@@ -3892,6 +3892,44 @@ FROM d ORDER BY 1
 """
 
 
+COLLOC_K, COLLOC_MIN_COUNT = 20, 5
+
+
+def q_collocation_topk(sf_dir: str) -> pa.Table:
+    """Collocation extraction (Church & Hanks PMI,
+    :func:`stages.lm.collocation_topk`): top adjacent pairs by pointwise
+    mutual information over the min-count floor; float32-cast rank
+    comparison."""
+    from org_rdkit_lucene_ray.stages.lm import collocation_topk
+
+    return collocation_topk(_docs(sf_dir, columns=["text"]),
+                            k=COLLOC_K, min_count=COLLOC_MIN_COUNT)
+
+
+def _collocation_sql() -> str:
+    return f"""
+WITH docs AS (SELECT {_TOKS} AS toks FROM documents),
+pr AS (SELECT unnest(list_slice(toks, 1, len(toks) - 1)) AS w1,
+              unnest(list_slice(toks, 2, len(toks))) AS w2
+       FROM docs WHERE len(toks) > 1),
+pc_ AS (SELECT w1, w2, count(*) AS c FROM pr GROUP BY 1, 2),
+uni AS (SELECT unnest(toks) AS w FROM docs),
+uc AS (SELECT w, count(*) AS c FROM uni GROUP BY 1),
+tot AS (SELECT (SELECT CAST(sum(c) AS BIGINT) FROM uc) AS t,
+               (SELECT CAST(sum(c) AS BIGINT) FROM pc_) AS p),
+pmi AS (SELECT p.w1 || ' ' || p.w2 AS pair, p.c,
+          ln((CAST(p.c AS DOUBLE) * tot.t * tot.t)
+             / (CAST(tot.p AS DOUBLE) * a.c * b.c)) AS pmi
+        FROM pc_ p JOIN uc a ON a.w = p.w1 JOIN uc b ON b.w = p.w2
+        CROSS JOIN tot WHERE p.c >= {COLLOC_MIN_COUNT}),
+ranked AS (SELECT pair, c,
+             row_number() OVER (ORDER BY CAST(pmi AS REAL) DESC,
+                                pair ASC) - 1 AS rank FROM pmi)
+SELECT rank::BIGINT AS rank, pair, c::BIGINT AS n FROM ranked
+WHERE rank < {COLLOC_K} ORDER BY 1
+"""
+
+
 def q_tumbling_distinct(sf_dir: str) -> rd.Dataset:
     """Exact distinct-users-per-hour-per-type rollup
     (:func:`stages.window.tumbling_distinct`): per-batch distinct
@@ -4567,6 +4605,7 @@ SELECT count(*)::BIGINT AS n_docs,
     "suggest_complete": _suggest_complete_sql(),
     "regexp_search": _regexp_sql(),
     "tumbling_distinct": _TUMBLING_DISTINCT_SQL,
+    "collocation_topk": _collocation_sql(),
     "eval_retrieval": _eval_retrieval_sql(),
     "highlight": _highlight_sql(),
     "pagerank": _pagerank_sql(),
@@ -4997,6 +5036,7 @@ QUERIES = {
     "suggest_complete": q_suggest_complete,
     "regexp_search": q_regexp_search,
     "tumbling_distinct": q_tumbling_distinct,
+    "collocation_topk": q_collocation_topk,
     "bm25_topk": q_bm25_topk,
     "term_df": q_term_df,
     "doc_lengths": q_doc_lengths,

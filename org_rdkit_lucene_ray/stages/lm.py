@@ -228,6 +228,42 @@ _PAIR_EXACT_DOC_LIMIT = 100_000   # auto: exact string groupby below this
 _PAIR_CAND_LIMIT = 65_536         # hashed path: candidate-set ceiling
 
 
+def _pair_partial(t: pa.Table, cfg, text_col: str) -> pa.Table:
+    """Per-batch (pair, c) adjacent-pair partials (exact strings path)."""
+    toks = tokenize_column(t[text_col].combine_chunks(), cfg)
+    flat = pc.list_flatten(toks)
+    counts = pc.list_value_length(toks).to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    n = len(flat)
+    if n < 2:
+        return _PAIR_SCHEMA.empty_table()
+    mask = np.ones(n, bool)
+    last = np.cumsum(counts)[counts > 0] - 1   # doc-final positions
+    mask[last] = False
+    idx = np.flatnonzero(mask)
+    if not idx.size:
+        return _PAIR_SCHEMA.empty_table()
+    t1 = flat.take(pa.array(idx, pa.int64()))
+    t2 = flat.take(pa.array(idx + 1, pa.int64()))
+    pair = pc.binary_join_element_wise(t1, t2, " ")
+    g = pa.table({"pair": pair}).group_by("pair").aggregate(
+        [("pair", "count")])
+    return pa.table({"pair": g["pair"],
+                     "c": pc.cast(g["pair_count"], pa.int64())})
+
+
+def _exact_pair_counts(docs: rd.Dataset, cfg, text_col: str) -> rd.Dataset:
+    """Global (pair, c) counts — per-batch partials through the shared
+    64-int bucket fold (never a sort over the pair-string domain)."""
+    from org_rdkit_lucene_ray.util import fold_grouped_counts
+
+    return fold_grouped_counts(
+        docs.map_batches(lambda t: _pair_partial(t, cfg, text_col),
+                         batch_format="pyarrow"),
+        "pair", ["c"])
+
+
+
 def top_adjacent_pairs(docs: rd.Dataset, *, k: int = 30,
                        text_col: str = "text", analyzer: str = "standard",
                        method: str = "auto") -> pa.Table:
@@ -265,34 +301,10 @@ def top_adjacent_pairs(docs: rd.Dataset, *, k: int = 30,
     if method == "hashed":
         return _top_adjacent_pairs_hashed(docs, k=k, text_col=text_col,
                                           analyzer=analyzer)
-    from ray.data.aggregate import Sum
-
     cfg = REGISTRY[analyzer]
-
-    def partial(t: pa.Table) -> pa.Table:
-        toks = tokenize_column(t[text_col].combine_chunks(), cfg)
-        flat = pc.list_flatten(toks)
-        counts = pc.list_value_length(toks).to_numpy(
-            zero_copy_only=False).astype(np.int64)
-        n = len(flat)
-        if n < 2:
-            return _PAIR_SCHEMA.empty_table()
-        mask = np.ones(n, bool)
-        last = np.cumsum(counts)[counts > 0] - 1   # doc-final positions
-        mask[last] = False
-        idx = np.flatnonzero(mask)
-        if not idx.size:
-            return _PAIR_SCHEMA.empty_table()
-        t1 = flat.take(pa.array(idx, pa.int64()))
-        t2 = flat.take(pa.array(idx + 1, pa.int64()))
-        pair = pc.binary_join_element_wise(t1, t2, " ")
-        g = pa.table({"pair": pair}).group_by("pair").aggregate(
-            [("pair", "count")])
-        return pa.table({"pair": g["pair"],
-                         "c": pc.cast(g["pair_count"], pa.int64())})
-
-    agg = (docs.map_batches(partial, batch_format="pyarrow")
-           .groupby("pair").aggregate(Sum("c", alias_name="n")))
+    agg = _exact_pair_counts(docs, cfg, text_col).map_batches(
+        lambda t: pa.table({"pair": t["pair"], "n": t["c"]}),
+        batch_format="pyarrow")
 
     def block_top(t: pa.Table) -> pa.Table:
         sel = pc.select_k_unstable(t, k=min(k, t.num_rows), sort_keys=[
@@ -401,4 +413,71 @@ def _top_adjacent_pairs_hashed(docs: rd.Dataset, *, k: int, text_col: str,
     return pa.table({
         "pair": pa.array([p for p, _ in out], pa.string()),
         "n": pa.array([n for _, n in out], pa.int64()),
+    })
+
+
+def collocation_topk(docs: rd.Dataset, *, k: int = 20, min_count: int = 5,
+                     text_col: str = "text",
+                     analyzer: str = "standard") -> pa.Table:
+    """Collocation extraction by pointwise mutual information (Church &
+    Hanks 1990): the ``k`` adjacent pairs with the highest
+    ``PMI = ln(c_ab * T * T / (P * c_a * c_b))`` among pairs seen at
+    least ``min_count`` times (the standard frequency floor — rare pairs
+    have degenerate PMI). ``T`` = total tokens, ``P`` = total adjacent
+    pairs.
+
+    Shape: pair counts through the shared bucket fold; the
+    vocabulary-sized unigram LUT broadcasts once; PMI + the min-count
+    filter + a partial top-k run inside the same pass. Rank comparator
+    (float32 PMI desc, pair asc) — the repo float-parity policy (the
+    PMI expression is the identical left-to-right double product on
+    the SQL side)."""
+    import ray as _ray
+
+    from org_rdkit_lucene_ray.stages.bpe import word_counts
+
+    cfg = REGISTRY[analyzer]
+    wc = word_counts(docs, text_column=text_col, analyzer=analyzer)
+    t_total = int(pc.sum(wc["n"]).as_py() or 0)
+    pairs = _exact_pair_counts(docs, cfg, text_col).materialize()
+    p_total = int(pairs.sum("c") or 0)
+    if p_total == 0:
+        return pa.table({"rank": pa.array([], pa.int64()),
+                         "pair": pa.array([], pa.string()),
+                         "n": pa.array([], pa.int64())})
+    lut_ref = _ray.put((wc["word"].combine_chunks(),
+                        wc["n"].to_numpy(zero_copy_only=False)
+                        .astype(np.int64)))
+
+    def pmi_top(t: pa.Table) -> pa.Table:
+        from org_rdkit_lucene_ray.stages.dedup import _bcast
+
+        words, ucounts = _bcast(lut_ref)
+        t = t.filter(pc.greater_equal(t["c"], min_count))
+        if t.num_rows == 0:
+            return pa.table({"pair": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64()),
+                             "pmi32": pa.array([], pa.float32())})
+        split = pc.split_pattern(t["pair"].combine_chunks(), " ")
+        flat = split.values
+        pos = pc.index_in(flat, value_set=words).to_numpy(
+            zero_copy_only=False).astype(np.int64).reshape(-1, 2)
+        ca = ucounts[pos[:, 0]].astype(np.float64)
+        cb = ucounts[pos[:, 1]].astype(np.float64)
+        cab = t["c"].to_numpy(zero_copy_only=False).astype(np.float64)
+        pmi = np.log((cab * t_total * t_total) / (float(p_total) * ca * cb))
+        probe = pa.table({"pair": t["pair"], "n": t["c"],
+                          "pmi32": pa.array(pmi.astype(np.float32))})
+        sel = pc.select_k_unstable(probe, k=min(k, probe.num_rows),
+                                   sort_keys=[("pmi32", "descending"),
+                                              ("pair", "ascending")])
+        return probe.take(sel)
+
+    rows = pairs.map_batches(pmi_top, batch_format="pyarrow").take_all()
+    rows.sort(key=lambda r: (-np.float32(r["pmi32"]), r["pair"]))
+    rows = rows[:k]
+    return pa.table({
+        "rank": pa.array(range(len(rows)), pa.int64()),
+        "pair": pa.array([r["pair"] for r in rows], pa.string()),
+        "n": pa.array([r["n"] for r in rows], pa.int64()),
     })

@@ -1953,3 +1953,32 @@ def test_tumbling_distinct_matches_pandas(ray_session):
                 .reset_index(drop=True))
         assert list(got["n_users"]) == list(want["n_users"])
         assert list(got["event_type"]) == list(want["event_type"])
+
+
+def test_collocation_topk_matches_python(docs_ds):
+    """PMI collocations == a Counter-based python oracle (same min-count
+    floor, same float32-rank tie rule)."""
+    from collections import Counter
+
+    from org_rdkit_lucene_ray.stages.lm import collocation_topk
+
+    K, MIN = 10, 3
+    got = collocation_topk(docs_ds, k=K, min_count=MIN)
+    uni: Counter = Counter()
+    pc_: Counter = Counter()
+    for text in _docs_table()["text"].to_pylist():
+        toks = analyze_text(text, REGISTRY["standard"])
+        uni.update(toks)
+        pc_.update(f"{a} {b}" for a, b in zip(toks, toks[1:]))
+    T, P = sum(uni.values()), sum(pc_.values())
+    cand = []
+    for pair, c in pc_.items():
+        if c < MIN:
+            continue
+        a, b = pair.split(" ")
+        pmi = np.float32(np.log((float(c) * T * T) / (float(P) * uni[a] * uni[b])))
+        cand.append((pair, c, pmi))
+    cand.sort(key=lambda r: (-r[2], r[0]))
+    want = cand[:K]
+    assert list(zip(got["pair"].to_pylist(), got["n"].to_pylist())) == \
+        [(p, c) for p, c, _ in want]
