@@ -3892,6 +3892,61 @@ FROM d ORDER BY 1
 """
 
 
+TEXTRANK_K, TEXTRANK_ITER = 20, 4
+
+
+def q_keyword_textrank(sf_dir: str) -> pa.Table:
+    """TextRank keywords (Mihalcea & Tarau 2004,
+    :func:`stages.graph.keyword_textrank`): integer-exact PageRank over
+    the word-adjacency graph, top terms by stationary mass — the graph
+    machinery composed with the tokenizer surface."""
+    from org_rdkit_lucene_ray.stages.graph import keyword_textrank
+
+    return keyword_textrank(_docs(sf_dir, columns=["text"]),
+                            k=TEXTRANK_K, n_iter=TEXTRANK_ITER)
+
+
+def _keyword_textrank_sql() -> str:
+    from org_rdkit_lucene_ray.stages.graph import PR_SCALE
+
+    head = f"""
+WITH docs AS (SELECT {_TOKS} AS toks FROM documents),
+vocab AS (SELECT term, row_number() OVER (ORDER BY term) - 1 AS id
+          FROM (SELECT DISTINCT unnest(toks) AS term FROM docs)),
+nn AS (SELECT count(*) AS n FROM vocab),
+pr AS (SELECT unnest(list_slice(toks, 1, len(toks) - 1)) AS w1,
+              unnest(list_slice(toks, 2, len(toks))) AS w2
+       FROM docs WHERE len(toks) > 1),
+ids AS (SELECT a.id AS x, b.id AS y
+        FROM (SELECT DISTINCT w1, w2 FROM pr) p
+        JOIN vocab a ON a.term = p.w1 JOIN vocab b ON b.term = p.w2
+        WHERE a.id <> b.id),
+edges AS (SELECT DISTINCT src, dst FROM (
+            SELECT x AS src, y AS dst FROM ids
+            UNION ALL SELECT y, x FROM ids)),
+outdeg AS (SELECT src, count(*) AS odeg FROM edges GROUP BY src),
+nodes AS (SELECT id AS node FROM vocab),
+r0 AS (SELECT node, CAST({PR_SCALE} // (SELECT n FROM nn) AS BIGINT) AS rank
+       FROM nodes)"""
+    sweeps = "".join(f""",
+r{j} AS (SELECT nd.node,
+         CAST((3 * CAST({PR_SCALE} AS BIGINT)) // (20 * (SELECT n FROM nn))
+              + COALESCE(c.s, 0) AS BIGINT) AS rank
+         FROM nodes nd LEFT JOIN (
+           SELECT e.dst AS jn, sum((r.rank * 17) // (20 * o.odeg)) AS s
+           FROM edges e JOIN r{j - 1} r ON r.node = e.src
+           JOIN outdeg o ON o.src = e.src GROUP BY e.dst) c ON c.jn = nd.node)"""
+        for j in range(1, TEXTRANK_ITER + 1))
+    return (head + sweeps + f""",
+ranked AS (SELECT v.term, r.rank AS score,
+             row_number() OVER (ORDER BY r.rank DESC, v.term ASC) - 1
+               AS rank
+           FROM r{TEXTRANK_ITER} r JOIN vocab v ON v.id = r.node)
+SELECT rank::BIGINT AS rank, term, score::BIGINT AS score FROM ranked
+WHERE rank < {TEXTRANK_K} ORDER BY 1
+""")
+
+
 COLLOC_K, COLLOC_MIN_COUNT = 20, 5
 
 
@@ -4606,6 +4661,7 @@ SELECT count(*)::BIGINT AS n_docs,
     "regexp_search": _regexp_sql(),
     "tumbling_distinct": _TUMBLING_DISTINCT_SQL,
     "collocation_topk": _collocation_sql(),
+    "keyword_textrank": _keyword_textrank_sql(),
     "eval_retrieval": _eval_retrieval_sql(),
     "highlight": _highlight_sql(),
     "pagerank": _pagerank_sql(),
@@ -5037,6 +5093,7 @@ QUERIES = {
     "regexp_search": q_regexp_search,
     "tumbling_distinct": q_tumbling_distinct,
     "collocation_topk": q_collocation_topk,
+    "keyword_textrank": q_keyword_textrank,
     "bm25_topk": q_bm25_topk,
     "term_df": q_term_df,
     "doc_lengths": q_doc_lengths,

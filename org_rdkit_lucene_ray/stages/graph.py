@@ -200,3 +200,73 @@ def pagerank_reference(edges_src: np.ndarray, edges_dst: np.ndarray,
         np.add.at(nxt, edges_dst, c)
         r = nxt
     return r
+
+
+def keyword_textrank(docs: rd.Dataset, *, k: int = 20, n_iter: int = 4,
+                     text_col: str = "text",
+                     analyzer: str = "standard") -> pa.Table:
+    """TextRank keyword extraction (Mihalcea & Tarau 2004): PageRank over
+    the word-adjacency graph — nodes = the corpus vocabulary (node id =
+    position in the SORTED vocab, so the SQL oracle can reproduce ids
+    with one row_number), edges = distinct adjacent-word pairs in BOTH
+    directions (the undirected co-occurrence graph as a symmetric
+    digraph), scored with the engine's integer-exact PageRank recurrence
+    (damping 17/20, :data:`PR_SCALE` fixed point — bit-reproducible
+    under any partitioning).
+
+    Scale shape: the graph is VOCABULARY-sized, not corpus-sized — pair
+    counts ride the shared bucket fold, edge dedup packs (src, dst) into
+    one int64 key through the same fold, and the rank sweeps are
+    :func:`pagerank`'s exchanges. Top-k = (rank desc, word asc) over the
+    node-sized rank table."""
+    import pyarrow.compute as _pc
+
+    from org_rdkit_lucene_ray.functions.analyze import REGISTRY
+    from org_rdkit_lucene_ray.stages.bpe import word_counts
+    from org_rdkit_lucene_ray.stages.lm import _exact_pair_counts
+    from org_rdkit_lucene_ray.util import fold_grouped_counts
+
+    wc = word_counts(docs, text_column=text_col, analyzer=analyzer)
+    vocab = wc["word"].combine_chunks()        # sorted by construction
+    n_nodes = len(vocab)
+    if n_nodes == 0:
+        return pa.table({"rank": pa.array([], pa.int64()),
+                         "term": pa.array([], pa.string()),
+                         "score": pa.array([], pa.int64())})
+    vocab_ref = ray.put(vocab)
+    cfg = REGISTRY[analyzer]
+
+    def edge_rows(t: pa.Table) -> pa.Table:
+        from org_rdkit_lucene_ray.stages.dedup import _bcast
+
+        v = _bcast(vocab_ref)
+        split = _pc.split_pattern(t["pair"].combine_chunks(), " ")
+        ids = _pc.index_in(split.values, value_set=v).to_numpy(
+            zero_copy_only=False).astype(np.int64).reshape(-1, 2)
+        m = ids[:, 0] != ids[:, 1]
+        a, b = ids[m, 0], ids[m, 1]
+        src = np.concatenate([a, b])
+        dst = np.concatenate([b, a])
+        packed = np.unique((src << 32) | dst)   # vocab ids < 2^31
+        return pa.table({"e": pa.array(packed),
+                         "one": pa.array(np.ones(packed.size, np.int64))})
+
+    edge_keys = fold_grouped_counts(
+        _exact_pair_counts(docs, cfg, text_col)
+        .map_batches(edge_rows, batch_format="pyarrow"), "e", ["one"])
+
+    def unpack(t: pa.Table) -> pa.Table:
+        e = t["e"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"src": pa.array(e >> 32),
+                         "dst": pa.array(e & 0xFFFFFFFF)})
+
+    edges = edge_keys.map_batches(unpack, batch_format="pyarrow")
+    ranks = pagerank(edges, n_nodes, n_iter=n_iter).take_all()
+    ranks.sort(key=lambda r: (-r["rank"], r["node"]))
+    # map node id -> word; tie-break = word asc == node asc (sorted vocab)
+    top = ranks[:k]
+    return pa.table({
+        "rank": pa.array(range(len(top)), pa.int64()),
+        "term": vocab.take(pa.array([r["node"] for r in top], pa.int64())),
+        "score": pa.array([int(r["rank"]) for r in top], pa.int64()),
+    })

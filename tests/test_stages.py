@@ -1982,3 +1982,29 @@ def test_collocation_topk_matches_python(docs_ds):
     want = cand[:K]
     assert list(zip(got["pair"].to_pylist(), got["n"].to_pylist())) == \
         [(p, c) for p, c, _ in want]
+
+
+def test_keyword_textrank_matches_reference(docs_ds):
+    """TextRank == the single-machine integer PageRank reference over the
+    same (sorted-vocab-id, symmetric distinct adjacency) graph."""
+    from org_rdkit_lucene_ray.stages.graph import (PR_SCALE,
+                                                   keyword_textrank,
+                                                   pagerank_reference)
+
+    got = keyword_textrank(docs_ds, k=8, n_iter=3)
+    vocab = sorted({w for txt in _docs_table()["text"].to_pylist()
+                    for w in analyze_text(txt, REGISTRY["standard"])})
+    idx = {w: i for i, w in enumerate(vocab)}
+    es = set()
+    for txt in _docs_table()["text"].to_pylist():
+        toks = analyze_text(txt, REGISTRY["standard"])
+        for a, b in zip(toks, toks[1:]):
+            if a != b:
+                es.add((idx[a], idx[b]))
+                es.add((idx[b], idx[a]))
+    src = np.array([a for a, _ in sorted(es)], np.int64)
+    dst = np.array([b for _, b in sorted(es)], np.int64)
+    r = pagerank_reference(src, dst, len(vocab), n_iter=3)
+    order = sorted(range(len(vocab)), key=lambda i: (-r[i], vocab[i]))[:8]
+    assert got["term"].to_pylist() == [vocab[i] for i in order]
+    assert got["score"].to_pylist() == [int(r[i]) for i in order]
