@@ -291,3 +291,36 @@ def test_chunk_job_end_to_end(ray_session, tmp_path):
     assert set(back["doc_id"]) == {i for i, t in enumerate(texts) if t}
     # partition dirs hold only their own ranges
     assert (back["doc_id"] // RANGE == back["id_range"].astype(int)).all()
+
+
+def test_dedup_job_end_to_end(ray_session, tmp_path):
+    """jobs/dedup_job.py logic smoke (in-process): exact keep-first ->
+    near-dedup components -> export; planted exact and near duplicates
+    are both dropped, keeping the lowest id of each group."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from org_rdkit_lucene_ray.stages.components import near_dedup
+    from org_rdkit_lucene_ray.stages.dedup import exact_dedup_groups
+
+    base = [f"doc {i} alpha beta gamma delta epsilon zeta {i}" +
+            " filler" * (i % 4) for i in range(40)]
+    texts = list(base)
+    texts[7] = texts[3]                       # exact dup of 3
+    texts[11] = base[5] + " tail"             # near dup of 5
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(40), pa.int64()),
+        "text": pa.array(texts)})).repartition(4)
+
+    keep = np.sort(np.concatenate(
+        [t["doc_id"].to_numpy(zero_copy_only=False)
+         for t in exact_dedup_groups(docs).iter_batches(
+             batch_format="pyarrow")]))
+    assert 3 in keep and 7 not in keep
+    survivors = docs.filter(lambda r: r["doc_id"] in set(keep.tolist()))
+    cleaned = near_dedup(survivors, method="minhash", threshold=0.5,
+                         shingle=2)
+    ids = set(cleaned.to_pandas()["doc_id"])
+    assert 5 in ids and 11 not in ids
+    assert 7 not in ids and len(ids) <= 38
