@@ -3892,6 +3892,67 @@ FROM d ORDER BY 1
 """
 
 
+VOCAB_GROWTH_NS = (50, 125, 250, 375, 500)
+
+
+def q_vocab_growth(sf_dir: str) -> pa.Table:
+    """Vocabulary-growth curve (Heaps' law measurement): distinct terms
+    among the first N docs (by doc id) for a ladder of N — ONE
+    distributed fold of (term -> min doc id) through the shared bucket
+    exchange, then a driver-side threshold count over the vocab-sized
+    result. The corpus-analysis statistic tokenizer/ dedup planning
+    reads first."""
+    from org_rdkit_lucene_ray.util import append_bucket_column
+
+    def partial(t: pa.Table) -> pa.Table:
+        toks = tokenize_column(t["text"].combine_chunks(),
+                               REGISTRY["standard"])
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        parents = np.repeat(np.arange(len(t)), np.diff(
+            toks.offsets.to_numpy(zero_copy_only=False)))
+        part = pa.table({"term": toks.values,
+                         "first_doc": pa.array(ids[parents])})
+        g = part.group_by("term").aggregate([("first_doc", "min")])
+        return pa.table({"term": g["term"],
+                         "first_doc": g["first_doc_min"]})
+
+    def merge(g: pa.Table) -> pa.Table:
+        gg = g.drop_columns(["_bkt"]).group_by("term").aggregate(
+            [("first_doc", "min")])
+        return pa.table({"term": gg["term"],
+                         "first_doc": gg["first_doc_min"]})
+
+    folded = (_docs(sf_dir, columns=["doc_id", "text"])
+              .map_batches(partial, batch_format="pyarrow")
+              .map_batches(lambda t: append_bucket_column(t, "term"),
+                           batch_format="pyarrow")
+              .groupby("_bkt")
+              .map_groups(merge, batch_format="pyarrow"))
+    firsts = np.concatenate(
+        [t["first_doc"].to_numpy(zero_copy_only=False).astype(np.int64)
+         for t in folded.iter_batches(batch_format="pyarrow")] or
+        [np.zeros(0, np.int64)])
+    firsts.sort()
+    ns = np.array(VOCAB_GROWTH_NS, np.int64)
+    counts = np.searchsorted(firsts, ns, side="left")
+    return pa.table({"n_docs": pa.array(ns),
+                     "n_terms": pa.array(counts.astype(np.int64))})
+
+
+def _vocab_growth_sql() -> str:
+    n_vals = ", ".join(f"({n})" for n in VOCAB_GROWTH_NS)
+    return f"""
+WITH docs AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+tok AS (SELECT doc_id, unnest(toks) AS term FROM docs),
+m AS (SELECT term, min(doc_id) AS first_doc FROM tok GROUP BY 1),
+ns(n_docs) AS (VALUES {n_vals})
+SELECT ns.n_docs::BIGINT AS n_docs,
+       (SELECT count(*) FROM m WHERE m.first_doc < ns.n_docs)::BIGINT
+         AS n_terms
+FROM ns ORDER BY 1
+"""
+
+
 TEXTRANK_K, TEXTRANK_ITER = 20, 4
 
 
@@ -4662,6 +4723,7 @@ SELECT count(*)::BIGINT AS n_docs,
     "tumbling_distinct": _TUMBLING_DISTINCT_SQL,
     "collocation_topk": _collocation_sql(),
     "keyword_textrank": _keyword_textrank_sql(),
+    "vocab_growth": _vocab_growth_sql(),
     "eval_retrieval": _eval_retrieval_sql(),
     "highlight": _highlight_sql(),
     "pagerank": _pagerank_sql(),
@@ -5094,6 +5156,7 @@ QUERIES = {
     "tumbling_distinct": q_tumbling_distinct,
     "collocation_topk": q_collocation_topk,
     "keyword_textrank": q_keyword_textrank,
+    "vocab_growth": q_vocab_growth,
     "bm25_topk": q_bm25_topk,
     "term_df": q_term_df,
     "doc_lengths": q_doc_lengths,
