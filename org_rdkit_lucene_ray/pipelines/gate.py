@@ -5142,6 +5142,9 @@ QUERIES = {
     "bpe_pair_counts": q_bpe_pair_counts,
     "bloom_novel_docs": q_bloom_novel_docs,
     "eval_retrieval": q_eval_retrieval,
+    "bm25_topk": q_bm25_topk,
+    "term_df": q_term_df,
+    "exact_dedup": q_exact_dedup,
     "min_should_match": q_min_should_match,
     "dismax_topk": q_dismax_topk,
     "chunk_stats": q_chunk_stats,
@@ -5157,10 +5160,7 @@ QUERIES = {
     "collocation_topk": q_collocation_topk,
     "keyword_textrank": q_keyword_textrank,
     "vocab_growth": q_vocab_growth,
-    "bm25_topk": q_bm25_topk,
-    "term_df": q_term_df,
     "doc_lengths": q_doc_lengths,
-    "exact_dedup": q_exact_dedup,
     "point_lookup": q_point_lookup,
     "search_exact": q_search_exact,
     "index_stats": q_index_stats,
