@@ -71,11 +71,13 @@ def main() -> None:
 
     def keep_exact(t: pa.Table) -> pa.Table:
         ks = _bcast(keep_ref)
+        if ks.size == 0:
+            return t.slice(0, 0)
         ids = t[args.id_column].to_numpy(
             zero_copy_only=False).astype(np.int64)
         loc = np.searchsorted(ks, ids)
-        loc_c = np.minimum(loc, max(ks.size - 1, 0))
-        return t.filter(pa.array((ks.size > 0) & (ks[loc_c] == ids)))
+        loc_c = np.minimum(loc, ks.size - 1)
+        return t.filter(pa.array(ks[loc_c] == ids))
 
     exact_kept = docs.map_batches(keep_exact, batch_format="pyarrow")
 

@@ -3664,16 +3664,13 @@ def q_bloom_novel_docs(sf_dir: str) -> pa.Table:
 QREL_MOD = 23     # relevance rule: (doc_id + query_id) % QREL_MOD == 0
 
 
-def q_eval_retrieval(sf_dir: str) -> pa.Table:
-    """TREC-style retrieval evaluation
-    (:func:`stages.evalmetrics.retrieval_metrics`): the reference BM25
-    query set's ranked top-k vs a deterministic binary qrels relation
-    ((doc_id + query_id) % QREL_MOD == 0), per-query
-    (n_rel, precision@k numerator, first relevant rank, reciprocal
-    rank). The qrels side streams distributed; the oracle reproduces
-    the ranking through the SAME bm25 CTE the `bm25_topk` gate pins."""
+def _bm25_results_and_qrels(sf_dir: str):
+    """Shared scaffolding for the retrieval-eval family: the reference
+    query set's ranked BM25 results (one run_queries pass) and the
+    deterministic qrels stream ((doc_id + query_id) % QREL_MOD == 0) —
+    one definition so `eval_retrieval` and `hard_negatives` can never
+    drift."""
     from org_rdkit_lucene_ray.pipelines.query import run_queries
-    from org_rdkit_lucene_ray.stages.evalmetrics import retrieval_metrics
 
     queries = pa.table({
         "query_id": pa.array([q[0] for q in BM25_QUERIES], pa.int32()),
@@ -3702,6 +3699,20 @@ def q_eval_retrieval(sf_dir: str) -> pa.Table:
 
     qrels = _docs(sf_dir, columns=["doc_id"]).map_batches(
         qrel_rows, batch_format="pyarrow")
+    return results, qrels
+
+
+def q_eval_retrieval(sf_dir: str) -> pa.Table:
+    """TREC-style retrieval evaluation
+    (:func:`stages.evalmetrics.retrieval_metrics`): the reference BM25
+    query set's ranked top-k vs a deterministic binary qrels relation
+    ((doc_id + query_id) % QREL_MOD == 0), per-query
+    (n_rel, precision@k numerator, first relevant rank, reciprocal
+    rank). The qrels side streams distributed; the oracle reproduces
+    the ranking through the SAME bm25 CTE the `bm25_topk` gate pins."""
+    from org_rdkit_lucene_ray.stages.evalmetrics import retrieval_metrics
+
+    results, qrels = _bm25_results_and_qrels(sf_dir)
     return retrieval_metrics(results, qrels,
                              query_ids=[q[0] for q in BM25_QUERIES])
 
@@ -3713,38 +3724,11 @@ def q_hard_negatives(sf_dir: str) -> pa.Table:
     """Hard-negative mining (DPR recipe,
     :func:`stages.evalmetrics.hard_negatives`): per reference query, the
     highest-BM25-ranked docs NOT in the qrels relation — the training
-    pairs a dense-retriever fine-tune consumes. Shares the qrels rule and
-    the bm25 ranked CTE with `eval_retrieval`."""
-    from org_rdkit_lucene_ray.pipelines.query import run_queries
+    pairs a dense-retriever fine-tune consumes. Shares the results/qrels
+    scaffolding and the bm25 ranked CTE with `eval_retrieval`."""
     from org_rdkit_lucene_ray.stages.evalmetrics import hard_negatives
 
-    queries = pa.table({
-        "query_id": pa.array([q[0] for q in BM25_QUERIES], pa.int32()),
-        "query": pa.array([q[1] for q in BM25_QUERIES], pa.string()),
-        "k": pa.array([q[2] for q in BM25_QUERIES], pa.int32()),
-    })
-    res = run_queries(gate_index(sf_dir), queries, mode="bmw",
-                      resolve_urls=False, concurrency=2).to_pandas()
-    results = pa.table({
-        "query_id": pa.array(res["query_id"].astype(np.int64)),
-        "rank": pa.array(res["rank"].astype(np.int64)),
-        "doc_id": pa.array(res["doc_id"].astype(np.int64)),
-    })
-    qid_arr = np.array([q[0] for q in BM25_QUERIES], np.int64)
-    qid_ref = __import__("ray").put(qid_arr)
-
-    def qrel_rows(t: pa.Table) -> pa.Table:
-        from org_rdkit_lucene_ray.stages.dedup import _bcast
-
-        qids = _bcast(qid_ref)
-        d = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        rel = (d[:, None] + qids[None, :]) % QREL_MOD == 0
-        di, qi = np.nonzero(rel)
-        return pa.table({"query_id": pa.array(qids[qi], pa.int64()),
-                         "doc_id": pa.array(d[di], pa.int64())})
-
-    qrels = _docs(sf_dir, columns=["doc_id"]).map_batches(
-        qrel_rows, batch_format="pyarrow")
+    results, qrels = _bm25_results_and_qrels(sf_dir)
     return hard_negatives(results, qrels, n_per_query=HARDNEG_PER_QUERY)
 
 

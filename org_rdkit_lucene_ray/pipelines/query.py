@@ -882,9 +882,18 @@ class Searcher:
     # then SHOULD-union the expansions' posting lists. Pre-4.0 Lucene
     # rewrites all of these by enumerating the dictionary; ours is the df
     # table (bounded vocabulary), scanned with vectorized Arrow kernels.
+    def _dfs(self) -> pa.Table | None:
+        """The concatenated (term, df) table, read once per Searcher —
+        shared by the multi-term rewrites (vocab scans) and the
+        suggester (df weights), so the per-bucket df Parquet files are
+        scanned exactly once."""
+        if not hasattr(self, "_dfs_cache"):
+            self._dfs_cache = self._read_df_tables()
+        return self._dfs_cache
+
     def _vocab(self) -> pa.Array:
         if not hasattr(self, "_vocab_cache"):
-            dfs = self._read_df_tables()
+            dfs = self._dfs()
             self._vocab_cache = (dfs["term"].combine_chunks()
                                  if dfs is not None else pa.array([], pa.string()))
         return self._vocab_cache
@@ -999,9 +1008,7 @@ class Searcher:
         ``select_k`` — the df table doubles as the suggester's
         weight-bearing FST input. Fielded ``lang:de`` namespace terms are
         excluded (completions come from the text vocabulary)."""
-        if not hasattr(self, "_dfs_cache"):
-            self._dfs_cache = self._read_df_tables()
-        dfs = self._dfs_cache
+        dfs = self._dfs()
         if dfs is None or k <= 0:
             return []
         terms = dfs["term"].combine_chunks()

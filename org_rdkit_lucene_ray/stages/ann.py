@@ -429,31 +429,8 @@ def embedding_dup_pairs_lsh(ds: rd.Dataset, *, threshold: float = 0.95,
         return pa.table({"a": pa.array(ids[ii], pa.int64()),
                          "b": pa.array(ids[jj], pa.int64())})
 
-    def pairs_of_bucket_groups(g: pa.Table) -> pa.Table:
-        # multi-(band, key) segmentation over one 64-way hash bucket
-        # group (the dedup._pairs_of_bucket_groups shape): the sign-key
-        # domain never reaches a Ray sort
-        empty = pa.table({"a": pa.array([], pa.int64()),
-                          "b": pa.array([], pa.int64())})
-        if g.num_rows == 0:
-            return empty
-        band = g["band"].to_numpy(zero_copy_only=False)
-        key = g["key"].to_numpy(zero_copy_only=False)
-        doc = g[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
-        order = np.lexsort((doc, key, band))
-        band, key, doc = band[order], key[order], doc[order]
-        seg = np.concatenate(
-            [[True], (band[1:] != band[:-1]) | (key[1:] != key[:-1])])
-        bounds = np.concatenate([np.flatnonzero(seg), [doc.size]])
-        outs = [empty]
-        for s, e in zip(bounds[:-1], bounds[1:]):
-            sub = pa.table({"band": pa.array(band[s:e]),
-                            "key": pa.array(key[s:e]),
-                            id_col: pa.array(doc[s:e])})
-            outs.append(pairs_in_bucket(sub))
-        return pa.concat_tables(outs)
-
-    from org_rdkit_lucene_ray.stages.dedup import _distinct_pairs
+    from org_rdkit_lucene_ray.stages.dedup import (_distinct_pairs,
+                                                   _per_band_segments)
     from org_rdkit_lucene_ray.util import append_bucket_column
 
     cand = (
@@ -462,8 +439,11 @@ def embedding_dup_pairs_lsh(ds: rd.Dataset, *, threshold: float = 0.95,
         .map_batches(lambda t: append_bucket_column(t, "key"),
                      batch_format="pyarrow")
         .groupby("_bkt")
-        .map_groups(lambda g: pairs_of_bucket_groups(
-            g.drop_columns(["_bkt"])), batch_format="pyarrow")
+        # composite (band, sign-key) segmentation via the shared LSH
+        # dispatcher; the sign-key domain never reaches a Ray sort
+        .map_groups(lambda g: _per_band_segments(
+            g.drop_columns(["_bkt"]), pairs_in_bucket, hash_col="key"),
+            batch_format="pyarrow")
     )
 
     pairs = pa.concat_tables(_ray.get(

@@ -162,6 +162,8 @@ def bpe_encode(ds: rd.Dataset, merges: list[tuple[str, str]], *,
         from org_rdkit_lucene_ray.stages.dedup import _bcast
 
         ranks = _bcast(ref)
+        if memo_key not in _BPE_MEMO:
+            _BPE_MEMO.clear()      # one namespace per worker: drop stale
         memo = _BPE_MEMO.setdefault(memo_key, {})
         toks = tokenize_column(t[text_column], cfg)
         offs = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)

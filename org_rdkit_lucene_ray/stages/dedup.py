@@ -701,19 +701,20 @@ class SimHashStage:
         return batch.append_column("simhash", pa.array(out.astype(np.int64), pa.int64()))
 
 
-def _per_band_segments(g: pa.Table, fold) -> pa.Table:
-    """Run a single-(band, band_hash)-bucket fold over every LSH bucket
+def _per_band_segments(g: pa.Table, fold, *,
+                       hash_col: str = "band_hash") -> pa.Table:
+    """Run a single-(band, hash)-bucket fold over every LSH bucket
     resident in one 64-way hash bucket group: sort once by the composite
     key, slice per segment, concat the folds' (schema-stable) outputs.
-    Lets complex per-bucket folds (simhash star-compression) ride the
-    64-int exchange unchanged."""
+    Lets complex per-bucket folds (simhash star-compression, the
+    embedding-LSH pair generator) ride the 64-int exchange unchanged."""
     if g.num_rows == 0:
         return fold(g)
     order = pc.sort_indices(g, sort_keys=[("band", "ascending"),
-                                          ("band_hash", "ascending")])
+                                          (hash_col, "ascending")])
     g = g.take(order)
     band = g["band"].to_numpy(zero_copy_only=False).astype(np.int64)
-    bh = g["band_hash"].to_numpy(zero_copy_only=False).astype(np.int64)
+    bh = g[hash_col].to_numpy(zero_copy_only=False).astype(np.int64)
     seg = np.concatenate(
         [[True], (band[1:] != band[:-1]) | (bh[1:] != bh[:-1])])
     bounds = np.concatenate([np.flatnonzero(seg), [g.num_rows]])
@@ -741,6 +742,9 @@ def _simhash_group_pairs(group: pa.Table, *, max_hamming: int,
        ``max_hamming + 1`` sub-bands pigeonholes one clean sub-band —
        refinement finds every qualifying representative pair; distinct
        values guarantee the recursion makes progress."""
+    if group.num_rows == 0:
+        return pa.table({"a": pa.array([], pa.int64()),
+                         "b": pa.array([], pa.int64())})
     ids = group["doc_id"].to_numpy()
     h = group["simhash"].to_numpy().astype(np.uint64)
     band = int(group["band"][0].as_py())

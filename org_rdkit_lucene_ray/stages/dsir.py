@@ -12,7 +12,13 @@ Scale shape (two streaming passes, one vocabulary-sized exchange):
    whose input is already collapsed to per-batch distinct features. With
    ``n_buckets`` set, features are FNV-hashed into a fixed-size bucket
    space (the paper's hashed n-gram trick) so the exchange and the LUT are
-   O(n_buckets) regardless of corpus vocabulary — the 100 TB path.
+   O(n_buckets) regardless of corpus vocabulary — the 100 TB path. NOTE on
+   cross-corpus scoring: the exact path scores tokens unseen at fit time
+   as 0 (no feature), while the hashed path cannot distinguish OOV from a
+   never-hit bucket and charges the smoothed unseen-bucket estimate
+   ln((t_raw+V)/(t_tgt+V)) — the paper's own behavior for hashed
+   features. Same-corpus scoring (the fit==score gate regime) is
+   identical on both paths.
 2. **LUT broadcast + scoring** — the add-one-smoothed log-ratio vector
    rides ``ray.put`` once; a second ``map_batches`` pass maps tokens to
    features (``pc.index_in`` against the sorted feature dictionary, or a
@@ -45,7 +51,9 @@ def _count_partials(t: pa.Table, *, text_column: str, target_col: str,
     parents = np.repeat(
         np.arange(len(t)),
         np.diff(toks.offsets.to_numpy(zero_copy_only=False)))
-    is_tgt = pc.equal(t[target_col].combine_chunks(), target_value)
+    # null target values count as non-target (pc.equal propagates nulls)
+    is_tgt = pc.equal(t[target_col].combine_chunks(), target_value) \
+        .fill_null(False)
     tgt_rows = is_tgt.to_numpy(zero_copy_only=False)
     tok_tgt = tgt_rows[parents].astype(np.int64)
     if n_buckets is not None:

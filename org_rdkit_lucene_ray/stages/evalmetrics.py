@@ -137,12 +137,14 @@ def hard_negatives(results: pa.Table, qrels: rd.Dataset, *,
         from org_rdkit_lucene_ray.stages.dedup import _bcast
 
         sp = _bcast(ref)
+        if sp.size == 0:          # no results at all -> no slot can match
+            return pa.table({"slot": pa.array([], pa.int64())})
         q = t[query_col].to_numpy().astype(np.int64)
         d = t[doc_col].to_numpy().astype(np.int64)
         keys = _void16(np.stack([q, d], axis=1))
         loc = np.searchsorted(sp, keys)
-        loc_c = np.minimum(loc, max(sp.size - 1, 0))
-        hit = (sp.size > 0) & (sp[loc_c] == keys)
+        loc_c = np.minimum(loc, sp.size - 1)
+        hit = sp[loc_c] == keys
         return pa.table({"slot": pa.array(np.unique(loc_c[hit]), pa.int64())})
 
     hit_rows = qrels.map_batches(slot_hits, batch_format="pyarrow").take_all()

@@ -17,6 +17,25 @@ import pyarrow.compute as pc
 import ray.data as rd
 
 
+def _composite_window_bucket(t: pa.Table, key_col: str,
+                             n_buckets: int = 64) -> pa.Table:
+    """Append _bkt = hash(key) ^ window * phi mod n_buckets — the shared
+    composite bucketing for every windowed exchange (windows of one key
+    spread across buckets, so a small key domain still parallelizes)."""
+    from org_rdkit_lucene_ray.pipelines.build import stable_term_hash
+
+    keys = t[key_col].combine_chunks()
+    if pa.types.is_integer(keys.type):
+        kh = keys.to_numpy(zero_copy_only=False).astype(np.uint64)
+    else:
+        kh = stable_term_hash(keys)
+    w = t["window"].to_numpy(zero_copy_only=False).astype(np.uint64)
+    with np.errstate(over="ignore"):
+        b = ((kh ^ (w * np.uint64(0x9E3779B97F4A7C15)))
+             % np.uint64(n_buckets)).astype(np.int64)
+    return t.append_column("_bkt", pa.array(b, pa.int64()))
+
+
 def _window_bucket_combine(parts: rd.Dataset, key_col: str) -> rd.Dataset:
     """Shared final combine for the window aggregates: the per-batch
     partial rows ride a 64-int exchange bucketed on the COMPOSITE
@@ -26,18 +45,7 @@ def _window_bucket_combine(parts: rd.Dataset, key_col: str) -> rd.Dataset:
     over the keys x windows domain."""
 
     def with_bucket(t: pa.Table) -> pa.Table:
-        from org_rdkit_lucene_ray.pipelines.build import stable_term_hash
-
-        keys = t[key_col].combine_chunks()
-        if pa.types.is_integer(keys.type):
-            kh = keys.to_numpy(zero_copy_only=False).astype(np.uint64)
-        else:
-            kh = stable_term_hash(keys)
-        w = t["window"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        with np.errstate(over="ignore"):
-            b = ((kh ^ (w * np.uint64(0x9E3779B97F4A7C15)))
-                 % np.uint64(64)).astype(np.int64)
-        return t.append_column("_bkt", pa.array(b, pa.int64()))
+        return _composite_window_bucket(t, key_col)
 
     def merge(g: pa.Table) -> pa.Table:
         gg = g.drop_columns(["_bkt"]).group_by([key_col, "window"]).aggregate(
@@ -398,18 +406,7 @@ def tumbling_distinct(events: rd.Dataset, width_secs: int = 3600,
         return g
 
     def with_bucket(t: pa.Table) -> pa.Table:
-        from org_rdkit_lucene_ray.pipelines.build import stable_term_hash
-
-        keys = t[key_col].combine_chunks()
-        if pa.types.is_integer(keys.type):
-            kh = keys.to_numpy(zero_copy_only=False).astype(np.uint64)
-        else:
-            kh = stable_term_hash(keys)
-        w = t["window"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        with np.errstate(over="ignore"):
-            b = ((kh ^ (w * np.uint64(0x9E3779B97F4A7C15)))
-                 % np.uint64(64)).astype(np.int64)
-        return t.append_column("_bkt", pa.array(b, pa.int64()))
+        return _composite_window_bucket(t, key_col)
 
     def count_distinct(g: pa.Table) -> pa.Table:
         if g.num_rows == 0:

@@ -2008,3 +2008,36 @@ def test_keyword_textrank_matches_reference(docs_ds):
     order = sorted(range(len(vocab)), key=lambda i: (-r[i], vocab[i]))[:8]
     assert got["term"].to_pylist() == [vocab[i] for i in order]
     assert got["score"].to_pylist() == [int(r[i]) for i in order]
+
+
+def test_review_fix_empty_edge_cases(ray_session):
+    """Review-fix regressions: empty ranked results, null target langs,
+    and empty LSH groups must not crash (r4c self-review findings)."""
+    from org_rdkit_lucene_ray.stages.dedup import _simhash_group_pairs
+    from org_rdkit_lucene_ray.stages.dsir import dsir_topk
+    from org_rdkit_lucene_ray.stages.evalmetrics import hard_negatives
+
+    empty_results = pa.table({
+        "query_id": pa.array([], pa.int64()),
+        "rank": pa.array([], pa.int64()),
+        "doc_id": pa.array([], pa.int64())})
+    qrels = rd.from_arrow(pa.table({
+        "query_id": pa.array([0, 1], pa.int64()),
+        "doc_id": pa.array([5, 6], pa.int64())}))
+    out = hard_negatives(empty_results, qrels, n_per_query=3)
+    assert out.num_rows == 0
+
+    t = pa.table({"doc_id": pa.array([0, 1, 2], pa.int64()),
+                  "lang": pa.array(["en", None, "de"]),
+                  "text": pa.array(["alpha beta", "beta gamma",
+                                    "gamma delta"])})
+    top = dsir_topk(rd.from_arrow(t), target_col="lang",
+                    target_value="en", n=3)
+    assert len(top) == 3          # null lang counted as non-target, no crash
+
+    empty_band = pa.table({
+        "band": pa.array([], pa.int32()),
+        "band_hash": pa.array([], pa.int64()),
+        "doc_id": pa.array([], pa.int64()),
+        "simhash": pa.array([], pa.int64())})
+    assert _simhash_group_pairs(empty_band, max_hamming=3).num_rows == 0
