@@ -5089,12 +5089,65 @@ SELECT {EMB_PLANT_N}::BIGINT AS n_planted, {EMB_PLANT_N}::BIGINT AS n_found,
 #   31-50  flagship gates re-verified on each round's head;
 #   51+    gates with green driver rows from r1-r3, in their prior order.
 # Rotate never-verified entries to the front whenever the surface grows.
+# Driver-window rotation (round 5): the driver checks the FIRST 50 entries
+# each round. Slots 1-4 are the r4-session gates that never got a driver
+# row, 5-25 are every gate whose last green row is r2, 26-50 are the north
+# stars + every gate touched by round-5 changes + the oldest-r3 fill.
+# After r5 every oracled gate has a driver-green row dated r3 or later.
 QUERIES = {
+    "tumbling_distinct": q_tumbling_distinct,
+    "collocation_topk": q_collocation_topk,
+    "keyword_textrank": q_keyword_textrank,
+    "vocab_growth": q_vocab_growth,
+    "point_lookup": q_point_lookup,
+    "search_exact": q_search_exact,
+    "index_stats": q_index_stats,
+    "orders_by_segment": q_orders_by_segment,
+    "search_after_page2": q_search_after_page2,
+    "screen_verify": q_screen_verify,
+    "search_and": q_search_and,
+    "fielded_search": q_fielded_search,
+    "fp_search": q_fp_search,
+    "boolean_query": q_boolean_query,
+    "search_or": q_search_or,
+    "fielded_list_search": q_fielded_list_search,
+    "capped_search": q_capped_search,
+    "tumbling_hourly": q_tumbling_hourly,
+    "sessionize": q_sessionize,
+    "grouped_topn": q_grouped_topn,
+    "events_type_stats": q_events_type_stats,
+    "ann_topk": q_ann_topk,
+    "ann_threshold": q_ann_threshold,
+    "embedding_dup_pairs": q_embedding_dup_pairs,
+    "media_features": q_media_features,
+    "bm25_topk": q_bm25_topk,
+    "term_df": q_term_df,
+    "exact_dedup": q_exact_dedup,
+    "pagerank": q_pagerank,
+    "price_quantiles": q_price_quantiles,
+    "perplexity_topk": q_perplexity_topk,
+    "regexp_search": q_regexp_search,
+    "eval_retrieval": q_eval_retrieval,
+    "dsir_topk": q_dsir_topk,
+    "bpe_roundtrip": q_bpe_roundtrip,
+    "bpe_pair_counts": q_bpe_pair_counts,
+    "phrase_search": q_phrase_search,
+    "phrase_topk": q_phrase_topk,
+    "doc_lengths": q_doc_lengths,
+    "minhash_recall": q_minhash_recall,
+    "simhash_complete": q_simhash_complete,
+    "tfidf_topk": q_tfidf_topk,
+    "quality_scores": q_quality_scores,
+    "dedup_clusters": q_dedup_clusters,
+    "semantic_dedup": q_semantic_dedup,
+    "paragraph_dedup": q_paragraph_dedup,
+    "duplicate_spans": q_duplicate_spans,
+    "url_dedup": q_url_dedup,
+    "funnel": q_funnel,
+    "token_budget_cut": q_token_budget_cut,
     "sequence_packing": q_sequence_packing,
     "delete_by_query": q_delete_by_query,
     "highlight": q_highlight,
-    "pagerank": q_pagerank,
-    "perplexity_topk": q_perplexity_topk,
     "percolate": q_percolate,
     "blockjoin_search": q_blockjoin_search,
     "hybrid_rrf": q_hybrid_rrf,
@@ -5105,10 +5158,7 @@ QUERIES = {
     "wildcard_search": q_wildcard_search,
     "range_search": q_range_search,
     "parser_query": q_parser_query,
-    "phrase_search": q_phrase_search,
-    "phrase_topk": q_phrase_topk,
     "hopping_window": q_hopping_window,
-    "price_quantiles": q_price_quantiles,
     "price_quantiles_by_flag": q_price_quantiles_by_flag,
     "order_revenue": q_order_revenue,
     "asof_view_attribution": q_asof_view_attribution,
@@ -5123,44 +5173,16 @@ QUERIES = {
     "record_roundtrip": q_record_roundtrip,
     "kmeans_assign": q_kmeans_assign,
     "kmeans_fit": q_kmeans_fit,
-    "bpe_pair_counts": q_bpe_pair_counts,
     "bloom_novel_docs": q_bloom_novel_docs,
-    "eval_retrieval": q_eval_retrieval,
-    "bm25_topk": q_bm25_topk,
-    "term_df": q_term_df,
-    "exact_dedup": q_exact_dedup,
     "min_should_match": q_min_should_match,
     "dismax_topk": q_dismax_topk,
     "chunk_stats": q_chunk_stats,
-    "dsir_topk": q_dsir_topk,
     "hard_negatives": q_hard_negatives,
-    "bpe_roundtrip": q_bpe_roundtrip,
     "group_sample": q_group_sample,
     "length_buckets": q_length_buckets,
     "winnow_fingerprints": q_winnow_fingerprints,
     "suggest_complete": q_suggest_complete,
-    "regexp_search": q_regexp_search,
-    "tumbling_distinct": q_tumbling_distinct,
-    "collocation_topk": q_collocation_topk,
-    "keyword_textrank": q_keyword_textrank,
-    "vocab_growth": q_vocab_growth,
-    "doc_lengths": q_doc_lengths,
-    "point_lookup": q_point_lookup,
-    "search_exact": q_search_exact,
-    "index_stats": q_index_stats,
-    "orders_by_segment": q_orders_by_segment,
-    "minhash_recall": q_minhash_recall,
-    "simhash_complete": q_simhash_complete,
-    "search_after_page2": q_search_after_page2,
-    "tfidf_topk": q_tfidf_topk,
-    "quality_scores": q_quality_scores,
-    "dedup_clusters": q_dedup_clusters,
-    "semantic_dedup": q_semantic_dedup,
-    "paragraph_dedup": q_paragraph_dedup,
-    "token_budget_cut": q_token_budget_cut,
-    "funnel": q_funnel,
     "snapshot_diff": q_snapshot_diff,
-    "screen_verify": q_screen_verify,
     "token_counts": q_token_counts,
     "distinct_terms_hll": q_distinct_terms_hll,
     "lang_distinct_hll": q_lang_distinct_hll,
@@ -5174,7 +5196,6 @@ QUERIES = {
     "quality_filter": q_quality_filter,
     "doc_fingerprints": q_doc_fingerprints,
     "gopher_rules": q_gopher_rules,
-    "url_dedup": q_url_dedup,
     "stratified_sample": q_stratified_sample,
     "mixture_sample": q_mixture_sample,
     "epoch_mix": q_epoch_mix,
@@ -5182,7 +5203,6 @@ QUERIES = {
     "doc_top_terms": q_doc_top_terms,
     "spell_suggest": q_spell_suggest,
     "pii_scrub": q_pii_scrub,
-    "duplicate_spans": q_duplicate_spans,
     "decontaminate": q_decontaminate,
     "langid": q_langid,
     "row_range_filter": q_row_range_filter,
@@ -5198,21 +5218,6 @@ QUERIES = {
     "boosted_query": q_boosted_query,
     "minhash_pairs": q_minhash_pairs,
     "simhash_pairs": q_simhash_pairs,
-    "search_and": q_search_and,
-    "fielded_search": q_fielded_search,
-    "fp_search": q_fp_search,
-    "boolean_query": q_boolean_query,
-    "search_or": q_search_or,
-    "fielded_list_search": q_fielded_list_search,
-    "capped_search": q_capped_search,
-    "tumbling_hourly": q_tumbling_hourly,
-    "sessionize": q_sessionize,
-    "grouped_topn": q_grouped_topn,
-    "events_type_stats": q_events_type_stats,
-    "ann_topk": q_ann_topk,
-    "ann_threshold": q_ann_threshold,
     "ivf_topk": q_ivf_topk,
-    "embedding_dup_pairs": q_embedding_dup_pairs,
     "embedding_dup_pairs_ivf": q_embedding_dup_pairs_ivf,
-    "media_features": q_media_features,
 }
