@@ -41,9 +41,33 @@ import math
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
+import ray
 import ray.data as rd
 
 _SIGN = np.uint64(0x8000000000000000)
+
+
+@ray.remote
+def _block_pass(fn, block: pa.Table, kwargs: dict) -> pa.Table:
+    return fn(block, **kwargs)
+
+
+def _pass_tables(blocks: list, fn, **kwargs) -> list[pa.Table]:
+    """Apply a per-batch histogram/gather closure to every cached block as
+    a raw Ray task. The descent runs 2-4 passes over the SAME materialized
+    single-column projection; as ``map_batches``+``take_all`` Dataset
+    executions each pass paid ~0.4 s fixed executor overhead (the r4
+    ``price_quantiles`` bench wobble) — as task fan-outs over
+    ``to_arrow_refs`` blocks they cost dispatch only. ``fn`` is
+    cloudpickled per task (bytes-sized closures)."""
+    return ray.get([_block_pass.remote(fn, b, kwargs) for b in blocks])
+
+
+def _pass_rows(blocks: list, fn, **kwargs) -> list[dict]:
+    rows: list[dict] = []
+    for t in _pass_tables(blocks, fn, **kwargs):
+        rows.extend(t.to_pylist())
+    return rows
 
 
 def _f64_to_key(vals: np.ndarray) -> np.ndarray:
@@ -89,6 +113,7 @@ def exact_quantiles(ds: rd.Dataset, col: str, qs: list[float], *,
         return pa.table({"q": pa.array([], pa.float64()),
                          "value": pa.array([], pa.float64())})
     proj = ds.select_columns([col]).materialize()
+    blocks = proj.to_arrow_refs()
     bits = log2_buckets
     n_b = 1 << bits
 
@@ -109,9 +134,7 @@ def exact_quantiles(ds: rd.Dataset, col: str, qs: list[float], *,
 
     # pass 1: total count + top-level histogram
     shift = 64 - bits
-    rows = proj.map_batches(
-        _hist, fn_kwargs=dict(shift=shift, prefixes=[0]),
-        batch_format="pyarrow").take_all()
+    rows = _pass_rows(blocks, _hist, shift=shift, prefixes=[0])
     n = sum(int(r["n"]) for r in rows)
     if n == 0:
         return pa.table({"q": pa.array(sorted(qs), pa.float64()),
@@ -141,9 +164,7 @@ def exact_quantiles(ds: rd.Dataset, col: str, qs: list[float], *,
             break
         shift -= bits
         prefixes = sorted({s[1] for s in unresolved})
-        rows = proj.map_batches(
-            _hist, fn_kwargs=dict(shift=shift, prefixes=prefixes),
-            batch_format="pyarrow").take_all()
+        rows = _pass_rows(blocks, _hist, shift=shift, prefixes=prefixes)
         hists = np.zeros((len(prefixes), n_b), np.int64)
         for r in rows:
             hists += np.frombuffer(r["h"], np.int64).reshape(len(prefixes), n_b)
@@ -178,9 +199,8 @@ def exact_quantiles(ds: rd.Dataset, col: str, qs: list[float], *,
             return pa.table({"k": pa.array(keys[m].view(np.int64),
                                            pa.int64())})
 
-        parts = [b["k"].to_numpy().view(np.uint64)
-                 for b in proj.map_batches(_gather, batch_format="pyarrow")
-                 .iter_batches(batch_format="pyarrow")]
+        parts = [t["k"].to_numpy().view(np.uint64)
+                 for t in _pass_tables(blocks, _gather) if t.num_rows]
         keys = np.sort(np.concatenate(parts)) if parts else \
             np.zeros(0, np.uint64)
         for q, p, ps, lr, _cnt in gather:
@@ -219,6 +239,7 @@ def exact_quantiles_by(ds: rd.Dataset, col: str, by: str, qs: list[float], *,
                          "q": pa.array([], pa.float64()),
                          "value": pa.array([], pa.float64())})
     proj = ds.select_columns([col, by]).materialize()
+    blocks = proj.to_arrow_refs()
     bits = log2_buckets
     n_b = 1 << bits
 
@@ -281,9 +302,7 @@ def exact_quantiles_by(ds: rd.Dataset, col: str, by: str, qs: list[float], *,
         return acc
 
     shift = 64 - bits
-    folded = _fold(proj.map_batches(
-        _hist_by, fn_kwargs=dict(shift=shift, targets=None),
-        batch_format="pyarrow").take_all())
+    folded = _fold(_pass_rows(blocks, _hist_by, shift=shift, targets=None))
     if len(folded) > max_groups:
         raise ValueError(
             f"exact_quantiles_by: {len(folded)} groups exceeds max_groups="
@@ -308,9 +327,8 @@ def exact_quantiles_by(ds: rd.Dataset, col: str, by: str, qs: list[float], *,
             break
         shift -= bits
         targets = sorted({(g, s[0]) for (g, _q), s in unresolved.items()})
-        folded_p = _fold(proj.map_batches(
-            _hist_by, fn_kwargs=dict(shift=shift, targets=targets),
-            batch_format="pyarrow").take_all())
+        folded_p = _fold(_pass_rows(blocks, _hist_by, shift=shift,
+                                    targets=targets))
         for (g, q), (p, ps, lr, cnt) in state.items():
             if cnt <= gather_limit or ps == 0:
                 continue
@@ -349,8 +367,9 @@ def exact_quantiles_by(ds: rd.Dataset, col: str, by: str, qs: list[float], *,
                              "k": pa.array(flat, pa.int64())})
 
         per_group: dict[str, list[np.ndarray]] = {}
-        for b in proj.map_batches(_gather, batch_format="pyarrow") \
-                .iter_batches(batch_format="pyarrow"):
+        for b in _pass_tables(blocks, _gather):
+            if not b.num_rows:
+                continue
             ga = np.asarray(b["g"].to_pylist(), dtype=object)
             ks = b["k"].to_numpy(zero_copy_only=False).view(np.uint64)
             for gname in np.unique(ga):
@@ -391,6 +410,7 @@ def exact_weighted_quantiles(ds: rd.Dataset, col: str, weight_col: str,
         return pa.table({"q": pa.array([], pa.float64()),
                          "value": pa.array([], pa.float64())})
     proj = ds.select_columns([col, weight_col]).materialize()
+    blocks = proj.to_arrow_refs()
     bits = log2_buckets
     n_b = 1 << bits
 
@@ -424,9 +444,7 @@ def exact_weighted_quantiles(ds: rd.Dataset, col: str, weight_col: str,
                          "n": pa.array([int(w.sum())], pa.int64())})
 
     shift = 64 - bits
-    rows = proj.map_batches(
-        _hist, fn_kwargs=dict(shift=shift, prefixes=[0]),
-        batch_format="pyarrow").take_all()
+    rows = _pass_rows(blocks, _hist, shift=shift, prefixes=[0])
     W = sum(int(r["n"]) for r in rows)
     if W == 0:
         return pa.table({"q": pa.array(sorted(qs), pa.float64()),
@@ -453,9 +471,7 @@ def exact_weighted_quantiles(ds: rd.Dataset, col: str, weight_col: str,
             break
         shift -= bits
         prefixes = sorted({s[1] for s in unresolved})
-        rows = proj.map_batches(
-            _hist, fn_kwargs=dict(shift=shift, prefixes=prefixes),
-            batch_format="pyarrow").take_all()
+        rows = _pass_rows(blocks, _hist, shift=shift, prefixes=prefixes)
         hists = np.zeros((len(prefixes), n_b), np.int64)
         for r in rows:
             hists += np.frombuffer(r["h"], np.int64).reshape(len(prefixes), n_b)
@@ -488,8 +504,9 @@ def exact_weighted_quantiles(ds: rd.Dataset, col: str, weight_col: str,
                              "w": pa.array(w[m], pa.int64())})
 
         ks, ws = [], []
-        for b in proj.map_batches(_gather, batch_format="pyarrow") \
-                .iter_batches(batch_format="pyarrow"):
+        for b in _pass_tables(blocks, _gather):
+            if not b.num_rows:
+                continue
             ks.append(b["k"].to_numpy().view(np.uint64))
             ws.append(b["w"].to_numpy())
         keys = np.concatenate(ks) if ks else np.zeros(0, np.uint64)
