@@ -1201,7 +1201,7 @@ def paragraph_dedup_stats(docs: rd.Dataset, *, text_col: str = "text",
 # -------------------------------------------------- duplicate-substring spans
 def duplicate_span_stats(docs: rd.Dataset, *, k: int = 5,
                          text_col: str = "text", id_col: str = "doc_id",
-                         n_buckets: int = 64) -> rd.Dataset:
+                         n_buckets: int | None = None) -> rd.Dataset:
     """Duplicate-substring detection — the k-gram approximation of
     suffix-array substring dedup (Lee et al. 2021, "Deduplicating Training
     Data Makes Language Models Better"): a token position is *duplicated*
@@ -1227,7 +1227,9 @@ def duplicate_span_stats(docs: rd.Dataset, *, k: int = 5,
     """
     from org_rdkit_lucene_ray.functions.analyze import _list_counts_offsets
     from org_rdkit_lucene_ray.pipelines.build import stable_term_hash
+    from org_rdkit_lucene_ray.util import fold_buckets
 
+    n_buckets = fold_buckets(n_buckets)
     cfg = REGISTRY["standard"]
     out_schema = pa.schema([(id_col, pa.int64()), ("n_tokens", pa.int64()),
                             ("dup_grams", pa.int64()),

@@ -47,7 +47,7 @@ def _bucket_of(keys: np.ndarray, bits: int) -> np.ndarray:
 def asof_join(left: rd.Dataset, right: rd.Dataset, *, on: str, ts: str,
               left_cols: list[str], right_cols: list[str],
               right_suffix: str = "_r", strict: bool = False,
-              num_buckets: int = 64) -> rd.Dataset:
+              num_buckets: int | None = None) -> rd.Dataset:
     """Backward as-of join of ``left`` to ``right`` on ``on`` within ``ts``.
 
     Returns ``left_cols`` + ``ts`` as-is plus each of ``right_cols`` and
@@ -59,7 +59,9 @@ def asof_join(left: rd.Dataset, right: rd.Dataset, *, on: str, ts: str,
     column in BOTH inputs; payload column name collisions between the two
     sides are resolved by suffixing the right side.
     """
-    bits = max(1, int(num_buckets - 1).bit_length())
+    from org_rdkit_lucene_ray.util import fold_buckets
+
+    bits = max(1, int(fold_buckets(num_buckets) - 1).bit_length())
 
     def _ts_i64(arr: pa.ChunkedArray) -> np.ndarray:
         a = arr.combine_chunks()

@@ -18,11 +18,16 @@ import ray.data as rd
 
 
 def _composite_window_bucket(t: pa.Table, key_col: str,
-                             n_buckets: int = 64) -> pa.Table:
+                             n_buckets: int | None = None) -> pa.Table:
     """Append _bkt = hash(key) ^ window * phi mod n_buckets — the shared
     composite bucketing for every windowed exchange (windows of one key
-    spread across buckets, so a small key domain still parallelizes)."""
+    spread across buckets, so a small key domain still parallelizes).
+    ``n_buckets`` defaults to :func:`util.fold_buckets` (64 on one node,
+    2x CPUs on a cluster)."""
     from org_rdkit_lucene_ray.pipelines.build import stable_term_hash
+    from org_rdkit_lucene_ray.util import fold_buckets
+
+    n_buckets = fold_buckets(n_buckets)
 
     keys = t[key_col].combine_chunks()
     if pa.types.is_integer(keys.type):
@@ -38,7 +43,7 @@ def _composite_window_bucket(t: pa.Table, key_col: str,
 
 def _window_bucket_combine(parts: rd.Dataset, key_col: str) -> rd.Dataset:
     """Shared final combine for the window aggregates: the per-batch
-    partial rows ride a 64-int exchange bucketed on the COMPOSITE
+    partial rows ride a fold_buckets-int exchange bucketed on the COMPOSITE
     (key, window) hash (windows of one key spread across buckets, so a
     small key domain still parallelizes), with the real (key, window)
     merge as an Arrow hash-aggregate inside map_groups — never a sort

@@ -110,14 +110,48 @@ def md5_digest64_column(arr) -> "np.ndarray":
     return np.frombuffer(digs, np.int64).reshape(-1, 2)
 
 
-def append_bucket_column(t, key_col: str, n_buckets: int = 64,
+def fold_buckets(n_buckets=None) -> int:
+    """Resolve the bucket count for a hash-bucket fold exchange.
+
+    An explicit ``n_buckets`` wins; otherwise ``ORL_FOLD_BUCKETS`` (env),
+    otherwise ``max(64, 2 x cluster CPUs)``. A fixed 64 was the r1-r4
+    default everywhere, which caps a fold at 64 ``map_groups`` tasks and
+    makes each task materialize ~1/64 of the whole exchange as one Arrow
+    table — fine on one 32-cpu node (where this resolves to exactly 64,
+    keeping bench numbers comparable), a parallelism and per-task-memory
+    ceiling on a 256-node cluster (ADVICE r4). Per-bucket memory bound =
+    total exchange bytes / n_buckets: at 2x cluster CPUs each core folds
+    ~2 tasks and a 100 TB-scale exchange of B bytes needs
+    B / (2 x CPUs) <= worker heap, so raise ORL_FOLD_BUCKETS further for
+    very large exchanges on small clusters."""
+    if n_buckets:
+        return int(n_buckets)
+    import os
+
+    env = os.environ.get("ORL_FOLD_BUCKETS")
+    if env:
+        return int(env)
+    try:
+        import ray
+
+        cpus = int(ray.cluster_resources().get("CPU", 0)) \
+            if ray.is_initialized() else 0
+    except Exception:
+        cpus = 0
+    return max(64, 2 * cpus)
+
+
+def append_bucket_column(t, key_col: str, n_buckets: int | None = None,
                          out_col: str = "_bkt"):
     """Append an int64 hash-bucket column over ``key_col`` (FNV for
     strings, identity-mod for integers) — the shared front half of every
-    bucket-fold exchange: sort-shuffle on 64 ints instead of the key
-    domain, real work inside ``map_groups``."""
+    bucket-fold exchange: sort-shuffle on a few-dozen-to-few-thousand int
+    bucket domain (:func:`fold_buckets`) instead of the key domain, real
+    work inside ``map_groups``."""
     import numpy as np
     import pyarrow as pa
+
+    n_buckets = fold_buckets(n_buckets)
 
     keys = t[key_col].combine_chunks() if hasattr(t[key_col], "combine_chunks") \
         else t[key_col]
@@ -131,7 +165,7 @@ def append_bucket_column(t, key_col: str, n_buckets: int = 64,
 
 
 def fold_grouped_counts(parts, key_col: str, count_cols: list[str],
-                        n_buckets: int = 64):
+                        n_buckets: int | None = None):
     """Global sum of per-batch partial count rows WITHOUT a sort-based
     key shuffle: bucket each row by a hash of its key (FNV for string
     keys, identity-mod for integers), ``groupby(bucket)`` over the tiny
@@ -141,8 +175,9 @@ def fold_grouped_counts(parts, key_col: str, count_cols: list[str],
     Ray's ``groupby(key).sum`` is a sort-based shuffle over every
     partial row — measured ~10x the cost of this bucket fold on this
     repo's vocabulary-sized exchanges (BASELINE r3); the bucket sort key
-    is 64 ints regardless of vocabulary size. Output: one (key,
-    *count_cols) row per distinct key, bucket-partitioned.
+    domain is :func:`fold_buckets` ints regardless of vocabulary size.
+    Output: one (key, *count_cols) row per distinct key,
+    bucket-partitioned.
     """
     import pyarrow as pa
 
