@@ -927,10 +927,14 @@ class Searcher:
     def regexp_terms(self, pattern: str) -> list[str]:
         """RegexpQuery expansion (the 3.6-era contrib ``RegexQuery`` the
         QueryParser family sits beside): vocabulary terms FULLY matching
-        the RE2 pattern, via one vectorized Arrow regex scan."""
+        the RE2 pattern, via one vectorized Arrow regex scan. Fielded
+        ``field:value`` namespace terms are excluded — the expansion
+        domain is the text-token vocabulary, matching suggest_complete
+        (a pattern like ``la.*`` must not union ``lang:de`` postings)."""
         v = self._vocab()
-        return sorted(v.filter(
-            pc.match_substring_regex(v, "^(?:" + pattern + ")$")).to_pylist())
+        m = pc.and_(pc.match_substring_regex(v, "^(?:" + pattern + ")$"),
+                    pc.invert(pc.match_substring(v, pattern=":")))
+        return sorted(v.filter(m).to_pylist())
 
     def search_regexp(self, pattern: str,
                       max_hits: int | None = None) -> np.ndarray:

@@ -162,8 +162,12 @@ def bpe_encode(ds: rd.Dataset, merges: list[tuple[str, str]], *,
         from org_rdkit_lucene_ray.stages.dedup import _bcast
 
         ranks = _bcast(ref)
-        if memo_key not in _BPE_MEMO:
-            _BPE_MEMO.clear()      # one namespace per worker: drop stale
+        # One memo per merge table (keyed by its object ref), kept
+        # side-by-side so two concurrent bpe_encode pipelines with
+        # different merges on the same worker don't evict each other.
+        # Bounded: evict oldest namespaces beyond a small cap.
+        while memo_key not in _BPE_MEMO and len(_BPE_MEMO) >= 4:
+            _BPE_MEMO.pop(next(iter(_BPE_MEMO)))
         memo = _BPE_MEMO.setdefault(memo_key, {})
         toks = tokenize_column(t[text_column], cfg)
         offs = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)

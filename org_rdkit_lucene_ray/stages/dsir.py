@@ -92,7 +92,14 @@ def unigram_logratio_lut(ds: rd.Dataset, *, target_col: str,
                                       n_buckets=n_buckets),
             batch_format="pyarrow"),
         "feature", ["c_tgt", "c_raw"])
-    tbl = pa.Table.from_pylist(agg.take_all())
+    rows = agg.take_all()
+    if not rows:                        # empty / all-empty-text corpus
+        if n_buckets is not None:
+            return {"features": None, "lr": np.zeros(n_buckets, np.float64),
+                    "n_buckets": n_buckets}
+        return {"features": pa.array([], pa.string()),
+                "lr": np.zeros(0, np.float64), "n_buckets": None}
+    tbl = pa.Table.from_pylist(rows)
     c_tgt = tbl["c_tgt"].to_numpy(zero_copy_only=False).astype(np.int64)
     c_raw = tbl["c_raw"].to_numpy(zero_copy_only=False).astype(np.int64)
     t_tgt = int(c_tgt.sum())

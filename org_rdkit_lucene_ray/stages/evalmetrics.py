@@ -41,6 +41,10 @@ def retrieval_metrics(results: pa.Table, qrels: rd.Dataset, *,
       the searcher emits; (query, doc) pairs must be unique.
     - ``qrels``: Dataset of RELEVANT (query_id, doc_id) rows (binary
       relevance; graded judgments reduce to this per threshold).
+      Duplicate pairs within a block are deduped in the partial;
+      pairs duplicated ACROSS blocks must be removed upstream (TREC
+      qrels are distinct by construction — run them through
+      ``stages.dedup.exact_dedup`` first if provenance is unclear).
     - ``query_ids``: the query universe — pass explicitly so queries
       with zero result rows (no matching terms) still get a metrics row.
 
@@ -66,10 +70,15 @@ def retrieval_metrics(results: pa.Table, qrels: rd.Dataset, *,
         st = _bcast(ref)
         q = t[query_col].to_numpy().astype(np.int64)
         d = t[doc_col].to_numpy().astype(np.int64)
+        # Dedup (query, doc) pairs WITHIN the block so repeated qrels
+        # rows don't inflate n_rel while hit slots stay set-deduped.
+        # Cross-block duplicates must be removed upstream (see docstring).
+        keys, kidx = np.unique(_void16(np.stack([q, d], axis=1)),
+                               return_index=True)
+        q, d = q[kidx], d[kidx]
         # per-query relevant-count partials (qid rows, slot = -1)
         uq, cnt = np.unique(q, return_counts=True)
         # which broadcast result slots this batch's qrels hit
-        keys = _void16(np.stack([q, d], axis=1))
         loc = np.searchsorted(st["pairs"], keys)
         loc_c = np.minimum(loc, max(st["pairs"].size - 1, 0))
         hit = (st["pairs"].size > 0) & (st["pairs"][loc_c] == keys)

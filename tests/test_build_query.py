@@ -911,3 +911,7 @@ def test_regexp_search_semantics(searcher):
     assert searcher.search_regexp("zz+x?").size == 0
     # anchored: 'aba' must not match the 4-char terms via substring
     assert all(len(t) == 3 for t in searcher.regexp_terms("a.a"))
+    # catch-all expansion stays in the text-token domain (the fielded
+    # exclusion itself is exercised in test_sources.test_fielded_search)
+    allt = searcher.regexp_terms(".*")
+    assert allt and all(":" not in t for t in allt)

@@ -90,6 +90,11 @@ def test_fielded_search(ray_session, pages_dir, tmp_path_factory):
     assert hits and all(d in set(fwd["doc_id"].to_pylist()) for d, _ in hits)
     # unknown field prefix falls back to plain analysis (no crash)
     assert isinstance(s.search_or("nofield:xx baba").tolist(), list)
+    # regexp expansion excludes fielded namespace terms (same contract
+    # as suggest_complete): 'la.*' must not union lang:de postings
+    assert any(":" in t for t in s._vocab().to_pylist())
+    assert all(":" not in t for t in s.regexp_terms("la.*"))
+    assert all(":" not in t for t in s.regexp_terms(".*"))
 
 def test_benchmark_config_reader(tmp_path):
     """S4 ini analog: defaults layering + %key%/%time% substitution."""

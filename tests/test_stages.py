@@ -1628,6 +1628,31 @@ def test_retrieval_metrics_hand_computed(ray_session):
         assert out["n_rel_topk"].tolist() == [2, 0, 0]
         assert out["first_rel_rank"].tolist() == [2, 0, 0]
         assert out["rr"].tolist() == [0.5, 0.0, 0.0]
+    # duplicate (query, doc) qrels rows within a block are deduped in
+    # the partial: n_rel must not double-count
+    dup = pa.concat_tables([qrels_t, qrels_t])
+    out = retrieval_metrics(results, rd.from_arrow(dup),
+                            query_ids=[1, 2, 3]).to_pandas()
+    assert out["n_rel"].tolist() == [3, 1, 1]
+    assert out["n_rel_topk"].tolist() == [2, 0, 0]
+
+
+def test_dsir_lut_empty_corpus(ray_session):
+    """unigram_logratio_lut on an all-empty-text corpus returns an empty
+    (or all-zero bucketed) LUT instead of raising."""
+    from org_rdkit_lucene_ray.stages.dsir import unigram_logratio_lut
+
+    empty = rd.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2], pa.int64()),
+        "text": pa.array(["", ""], pa.string()),
+        "lang": pa.array(["en", "de"], pa.string()),
+    }))
+    lut = unigram_logratio_lut(empty, target_col="lang", target_value="en")
+    assert len(lut["features"]) == 0 and lut["lr"].size == 0
+    lut_b = unigram_logratio_lut(empty, target_col="lang",
+                                 target_value="en", n_buckets=128)
+    assert lut_b["features"] is None
+    assert lut_b["lr"].size == 128 and (lut_b["lr"] == 0.0).all()
 
 
 def test_chunk_documents_matches_python(docs_ds):
