@@ -48,10 +48,15 @@ EOW = "</w>"     # end-of-word marker carried by a word's last symbol
 _BPE_MEMO: dict[str, dict[str, tuple[str, ...]]] = {}
 
 
-def word_counts(ds: rd.Dataset, *, text_column: str = "text",
-                analyzer: str = "standard") -> pa.Table:
-    """Distributed (word, n) frequency table — per-batch Arrow group_by
-    partials, one vocabulary-sized ``groupby(word).sum`` fold."""
+def word_counts_ds(ds: rd.Dataset, *, text_column: str = "text",
+                   analyzer: str = "standard") -> rd.Dataset:
+    """Distributed (word, n) frequency Dataset — per-batch Arrow group_by
+    partials folded through the shared bucket exchange. Stays distributed
+    (vocabulary-sized, never driver-sized): consumers that need the full
+    LUT on the driver go through :func:`word_counts`, which enforces no
+    ceiling itself — callers with web-scale vocabularies must count this
+    Dataset first and refuse/hash above their budget (keyword_textrank,
+    collocation_topk do)."""
     cfg = REGISTRY[analyzer]
 
     def partial(t: pa.Table) -> pa.Table:
@@ -63,9 +68,16 @@ def word_counts(ds: rd.Dataset, *, text_column: str = "text",
 
     from org_rdkit_lucene_ray.util import fold_grouped_counts
 
-    agg = fold_grouped_counts(
+    return fold_grouped_counts(
         ds.map_batches(partial, batch_format="pyarrow"), "word", ["n"])
-    rows = agg.take_all()
+
+
+def word_counts(ds: rd.Dataset, *, text_column: str = "text",
+                analyzer: str = "standard") -> pa.Table:
+    """:func:`word_counts_ds` gathered to one driver-side table sorted by
+    word — for vocabularies that fit the driver (BPE training corpora)."""
+    rows = word_counts_ds(ds, text_column=text_column,
+                          analyzer=analyzer).take_all()
     words = pa.array([r["word"] for r in rows], pa.string())
     ns = pa.array([int(r["n"]) for r in rows], pa.int64())
     t = pa.table({"word": words, "n": ns})

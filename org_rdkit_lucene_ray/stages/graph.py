@@ -242,8 +242,8 @@ def pagerank_reference(edges_src: np.ndarray, edges_dst: np.ndarray,
 
 
 def keyword_textrank(docs: rd.Dataset, *, k: int = 20, n_iter: int = 4,
-                     text_col: str = "text",
-                     analyzer: str = "standard") -> pa.Table:
+                     text_col: str = "text", analyzer: str = "standard",
+                     max_vocab: int = 50_000_000) -> pa.Table:
     """TextRank keyword extraction (Mihalcea & Tarau 2004): PageRank over
     the word-adjacency graph — nodes = the corpus vocabulary (node id =
     position in the SORTED vocab, so the SQL oracle can reproduce ids
@@ -256,22 +256,38 @@ def keyword_textrank(docs: rd.Dataset, *, k: int = 20, n_iter: int = 4,
     Scale shape: the graph is VOCABULARY-sized, not corpus-sized — pair
     counts ride the shared bucket fold, edge dedup packs (src, dst) into
     one int64 key through the same fold, and the rank sweeps are
-    :func:`pagerank`'s exchanges. Top-k = (rank desc, word asc) over the
-    node-sized rank table."""
+    :func:`pagerank`'s exchanges. Top-k = (rank desc, word asc) as a
+    per-block ``select_k`` partial over the node-sized rank Dataset; the
+    driver merges ≤ k·n_blocks candidate rows, never the full table.
+
+    The node id space (= sorted-vocab position) and the id→term mapping
+    are intrinsically vocabulary-sized and live on the driver, so the
+    operator REFUSES above ``max_vocab`` distinct words (checked on the
+    distributed fold before anything vocab-sized is gathered). Web-scale
+    corpora (1e9+ unique tokens) must prune candidates first — e.g. a
+    document-frequency floor via the df table, the standard TextRank
+    candidate filter — rather than rank raw typo/hapax noise."""
     import pyarrow.compute as _pc
 
     from org_rdkit_lucene_ray.functions.analyze import REGISTRY
-    from org_rdkit_lucene_ray.stages.bpe import word_counts
+    from org_rdkit_lucene_ray.stages.bpe import word_counts_ds
     from org_rdkit_lucene_ray.stages.lm import _exact_pair_counts
     from org_rdkit_lucene_ray.util import fold_grouped_counts
 
-    wc = word_counts(docs, text_column=text_col, analyzer=analyzer)
-    vocab = wc["word"].combine_chunks()        # sorted by construction
-    n_nodes = len(vocab)
+    wc_ds = word_counts_ds(docs, text_column=text_col,
+                           analyzer=analyzer).materialize()
+    n_nodes = wc_ds.count()
+    if n_nodes > max_vocab:
+        raise ValueError(
+            f"keyword_textrank: {n_nodes} distinct words exceed max_vocab "
+            f"{max_vocab} — the TextRank node space is vocabulary-sized; "
+            "prune candidates (df/min-count floor) or raise max_vocab")
     if n_nodes == 0:
         return pa.table({"rank": pa.array([], pa.int64()),
                          "term": pa.array([], pa.string()),
                          "score": pa.array([], pa.int64())})
+    words = pa.array([r["word"] for r in wc_ds.take_all()], pa.string())
+    vocab = words.take(_pc.array_sort_indices(words))
     vocab_ref = ray.put(vocab)
     cfg = REGISTRY[analyzer]
 
@@ -300,7 +316,14 @@ def keyword_textrank(docs: rd.Dataset, *, k: int = 20, n_iter: int = 4,
                          "dst": pa.array(e & 0xFFFFFFFF)})
 
     edges = edge_keys.map_batches(unpack, batch_format="pyarrow")
-    ranks = pagerank(edges, n_nodes, n_iter=n_iter).take_all()
+
+    def block_top(t: pa.Table) -> pa.Table:
+        sel = _pc.select_k_unstable(t, k=min(k, t.num_rows), sort_keys=[
+            ("rank", "descending"), ("node", "ascending")])
+        return t.take(sel)
+
+    ranks = (pagerank(edges, n_nodes, n_iter=n_iter)
+             .map_batches(block_top, batch_format="pyarrow").take_all())
     ranks.sort(key=lambda r: (-r["rank"], r["node"]))
     # map node id -> word; tie-break = word asc == node asc (sorted vocab)
     top = ranks[:k]

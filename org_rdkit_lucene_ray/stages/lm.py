@@ -416,9 +416,67 @@ def _top_adjacent_pairs_hashed(docs: rd.Dataset, *, k: int, text_col: str,
     })
 
 
+def _hashed_unigram_lut(wc_ds: rd.Dataset) -> tuple[np.ndarray, np.ndarray]:
+    """(sorted uint64 word-hash, int64 count) arrays from a distributed
+    (word, n) Dataset — the DSIR-style hashed LUT for vocabularies too
+    large to gather as strings (16 B/entry vs ~60 B+ for Arrow strings +
+    Python row overhead). Words are globally distinct by construction,
+    so a duplicate hash IS a 64-bit collision — detected in the fold and
+    refused loudly (odds ~V^2 / 2^65, the lm.py hash contract)."""
+    shift = np.uint64(64 - int(np.log2(_FOLD_BUCKETS)))
+
+    def partial(t: pa.Table) -> pa.Table:
+        from org_rdkit_lucene_ray.pipelines.build import stable_term_hash
+
+        h = stable_term_hash(t["word"].combine_chunks())
+        n = t["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(h, kind="stable")
+        h, n = h[order], n[order]
+        edges = np.searchsorted((h >> shift).astype(np.int64),
+                                np.arange(_FOLD_BUCKETS + 1))
+        bkeys, hs, ns = [], [], []
+        for b in range(_FOLD_BUCKETS):
+            lo, hi = int(edges[b]), int(edges[b + 1])
+            if hi > lo:
+                bkeys.append(b)
+                hs.append(h[lo:hi].tobytes())
+                ns.append(n[lo:hi].tobytes())
+        return pa.table({"bkey": pa.array(bkeys, pa.int64()),
+                         "h": pa.array(hs, pa.large_binary()),
+                         "n": pa.array(ns, pa.large_binary())})
+
+    def fold(g: pa.Table) -> pa.Table:
+        hh = np.concatenate([np.frombuffer(x.as_py(), np.uint64)
+                             for x in g["h"]])
+        nn = np.concatenate([np.frombuffer(x.as_py(), np.int64)
+                             for x in g["n"]])
+        order = np.argsort(hh, kind="stable")
+        sh = hh[order]
+        if sh.size > 1 and (sh[1:] == sh[:-1]).any():
+            raise ValueError(
+                "hashed unigram LUT: 64-bit hash collision between two "
+                "distinct words — use the exact (string) LUT path")
+        return pa.table({
+            "bkey": pa.array([g["bkey"][0].as_py()], pa.int64()),
+            "h": pa.array([sh.tobytes()], pa.large_binary()),
+            "n": pa.array([nn[order].tobytes()], pa.large_binary())})
+
+    rows = (wc_ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("bkey").map_groups(fold, batch_format="pyarrow")
+            .take_all())
+    rows.sort(key=lambda r: r["bkey"])
+    if not rows:
+        return np.zeros(0, np.uint64), np.zeros(0, np.int64)
+    return (np.concatenate([np.frombuffer(r["h"], np.uint64)
+                            for r in rows]),
+            np.concatenate([np.frombuffer(r["n"], np.int64)
+                            for r in rows]))
+
+
 def collocation_topk(docs: rd.Dataset, *, k: int = 20, min_count: int = 5,
-                     text_col: str = "text",
-                     analyzer: str = "standard") -> pa.Table:
+                     text_col: str = "text", analyzer: str = "standard",
+                     method: str = "auto",
+                     max_vocab: int = MODEL_LIMIT) -> pa.Table:
     """Collocation extraction by pointwise mutual information (Church &
     Hanks 1990): the ``k`` adjacent pairs with the highest
     ``PMI = ln(c_ab * T * T / (P * c_a * c_b))`` among pairs seen at
@@ -431,23 +489,40 @@ def collocation_topk(docs: rd.Dataset, *, k: int = 20, min_count: int = 5,
     filter + a partial top-k run inside the same pass. Rank comparator
     (float32 PMI desc, pair asc) — the repo float-parity policy (the
     PMI expression is the identical left-to-right double product on
-    the SQL side)."""
+    the SQL side).
+
+    ``method``: ``"exact"`` gathers the (word, count) LUT as strings on
+    the driver; ``"hashed"`` broadcasts (sorted word-hash, count) arrays
+    instead — identical output (collisions are detected and refused),
+    16 B/entry, for web-scale vocabularies past what a driver should
+    hold as strings. ``"auto"`` switches to hashed above ``max_vocab``
+    distinct words (the vocabulary count is taken on the DISTRIBUTED
+    fold before anything vocabulary-sized reaches the driver)."""
     import ray as _ray
 
-    from org_rdkit_lucene_ray.stages.bpe import word_counts
+    from org_rdkit_lucene_ray.stages.bpe import word_counts_ds
 
     cfg = REGISTRY[analyzer]
-    wc = word_counts(docs, text_column=text_col, analyzer=analyzer)
-    t_total = int(pc.sum(wc["n"]).as_py() or 0)
+    wc_ds = word_counts_ds(docs, text_column=text_col,
+                           analyzer=analyzer).materialize()
+    t_total = int(wc_ds.sum("n") or 0)
+    if method == "auto":
+        method = "exact" if wc_ds.count() <= max_vocab else "hashed"
     pairs = _exact_pair_counts(docs, cfg, text_col).materialize()
     p_total = int(pairs.sum("c") or 0)
     if p_total == 0:
         return pa.table({"rank": pa.array([], pa.int64()),
                          "pair": pa.array([], pa.string()),
                          "n": pa.array([], pa.int64())})
-    lut_ref = _ray.put((wc["word"].combine_chunks(),
-                        wc["n"].to_numpy(zero_copy_only=False)
-                        .astype(np.int64)))
+    if method == "hashed":
+        lut_ref = _ray.put(_hashed_unigram_lut(wc_ds))
+    else:
+        rows_wc = wc_ds.take_all()
+        words = pa.array([r["word"] for r in rows_wc], pa.string())
+        srt = pc.array_sort_indices(words)
+        ucounts_arr = np.array([int(r["n"]) for r in rows_wc], np.int64)
+        lut_ref = _ray.put((words.take(srt),
+                            ucounts_arr[srt.to_numpy(zero_copy_only=False)]))
 
     def pmi_top(t: pa.Table) -> pa.Table:
         from org_rdkit_lucene_ray.stages.dedup import _bcast
@@ -460,10 +535,19 @@ def collocation_topk(docs: rd.Dataset, *, k: int = 20, min_count: int = 5,
                              "pmi32": pa.array([], pa.float32())})
         split = pc.split_pattern(t["pair"].combine_chunks(), " ")
         flat = split.values
-        pos = pc.index_in(flat, value_set=words).to_numpy(
-            zero_copy_only=False).astype(np.int64).reshape(-1, 2)
-        ca = ucounts[pos[:, 0]].astype(np.float64)
-        cb = ucounts[pos[:, 1]].astype(np.float64)
+        if method == "hashed":
+            from org_rdkit_lucene_ray.pipelines.build import \
+                stable_term_hash
+
+            keys = stable_term_hash(flat)
+            pos = np.searchsorted(words, keys).reshape(-1, 2)
+            ca = ucounts[pos[:, 0]].astype(np.float64)
+            cb = ucounts[pos[:, 1]].astype(np.float64)
+        else:
+            pos = pc.index_in(flat, value_set=words).to_numpy(
+                zero_copy_only=False).astype(np.int64).reshape(-1, 2)
+            ca = ucounts[pos[:, 0]].astype(np.float64)
+            cb = ucounts[pos[:, 1]].astype(np.float64)
         cab = t["c"].to_numpy(zero_copy_only=False).astype(np.float64)
         pmi = np.log((cab * t_total * t_total) / (float(p_total) * ca * cb))
         probe = pa.table({"pair": t["pair"], "n": t["c"],

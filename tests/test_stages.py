@@ -2007,6 +2007,22 @@ def test_collocation_topk_matches_python(docs_ds):
     want = cand[:K]
     assert list(zip(got["pair"].to_pylist(), got["n"].to_pylist())) == \
         [(p, c) for p, c, _ in want]
+    # the hashed unigram-LUT fallback (web-scale vocab path) is
+    # output-identical to the exact string LUT
+    hashed = collocation_topk(docs_ds, k=K, min_count=MIN, method="hashed")
+    assert hashed.equals(got)
+    # auto switches to hashed above the max_vocab ceiling — same output
+    auto_h = collocation_topk(docs_ds, k=K, min_count=MIN, max_vocab=2)
+    assert auto_h.equals(got)
+
+
+def test_keyword_textrank_vocab_ceiling(docs_ds):
+    """TextRank refuses above max_vocab (the node space is intrinsically
+    vocabulary-sized) instead of silently gathering a web-scale vocab."""
+    from org_rdkit_lucene_ray.stages.graph import keyword_textrank
+
+    with pytest.raises(ValueError, match="max_vocab"):
+        keyword_textrank(docs_ds, k=5, max_vocab=3)
 
 
 def test_keyword_textrank_matches_reference(docs_ds):
