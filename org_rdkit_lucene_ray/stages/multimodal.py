@@ -3,10 +3,13 @@
 Opaque ``binary`` payload columns ride next to typed metadata columns
 (mime, width/height or sample-rate, byte length). The Ray-side plumbing —
 schema contract, actor-pool stage signature, bounded batch sizes for large
-payloads, output layout — is real and tested; the *codec* itself is stubbed
-(this container ships no image/audio libraries) behind either a clearly
-marked :class:`NotImplementedError` (``decoder="real"``) or a deterministic
-fake (``decoder="fake"``) whose output shape matches a real decoder's.
+payloads, output layout — is real and tested. The codec seam has two
+implementations per stage: ``decoder="real"`` dispatches by mime to the
+pure-python PNG/WAV codecs in :mod:`..functions.media_codec` (stdlib
+zlib/wave — 8-bit grey/RGB/RGBA PNG, 16-bit PCM WAV; unsupported formats
+raise loudly, never fake), and ``decoder="fake"`` is a deterministic
+stand-in for determinism/plumbing tests. Video decode stays a marked
+:class:`NotImplementedError` (no honest pure-python video codec exists).
 
 Reference analog: the reference treats molecules as opaque native handles
 decoded by a per-worker library loaded once (T1, ``bin/RDKit.activate``);
@@ -65,24 +68,47 @@ def _fake_decode(payload: bytes, dim: int) -> np.ndarray:
 class MediaFeatureStage:
     """Actor-pool stage: MEDIA_SCHEMA batch -> features batch.
 
-    ``__init__`` loads the decoder ONCE per actor (the real implementation
-    would import/initialize the codec + model here); ``__call__`` decodes and
-    embeds a batch. Output: ``media_id:int64, n_bytes:int64,
-    feature:list<float32>[FEATURE_DIM]``.
+    ``__init__`` loads the decoder ONCE per actor (``decoder="real"``
+    builds the mime -> decode+feature dispatch from the pure-python
+    codecs; a model-based embedder would load its weights here too);
+    ``__call__`` decodes and embeds a batch. Output: ``media_id:int64,
+    n_bytes:int64, feature:list<float32>[FEATURE_DIM]``. Real features:
+    luminance histogram for ``image/png``, amplitude histogram for
+    ``audio/wav`` — deterministic functions of the decoded CONTENT.
+    Unknown mimes raise ``NotImplementedError`` (the honest seam).
     """
 
     def __init__(self, decoder: str = "fake", dim: int = FEATURE_DIM):
-        if decoder == "real":
-            raise NotImplementedError(
-                "real image/audio codecs are not available in this environment; "
-                "plug a decode+embed callable here (loaded once per actor)"
-            )
         self.dim = dim
+        self.decoder = decoder
+        if decoder == "real":
+            from org_rdkit_lucene_ray.functions import media_codec as mc
+
+            self._dispatch = {
+                "image/png": lambda p: mc.image_feature(
+                    mc.png_decode(p), self.dim),
+                "audio/wav": lambda p: mc.audio_feature(
+                    mc.wav_decode(p)[0], self.dim),
+                "audio/x-wav": lambda p: mc.audio_feature(
+                    mc.wav_decode(p)[0], self.dim),
+            }
+
+    def _decode_one(self, mime: str, payload: bytes) -> np.ndarray:
+        if self.decoder != "real":
+            return _fake_decode(payload, self.dim)
+        fn = self._dispatch.get(mime)
+        if fn is None:
+            raise NotImplementedError(
+                f"MediaFeatureStage(real): no pure-python codec for "
+                f"{mime!r} (image/png and audio/wav are supported)")
+        return fn(payload)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         payloads = batch["payload"].to_pylist()
-        feats = np.stack([_fake_decode(p or b"", self.dim) for p in payloads]) \
-            if payloads else np.zeros((0, self.dim), np.float32)
+        mimes = batch["mime"].to_pylist()
+        feats = (np.stack([self._decode_one(m, p or b"")
+                           for m, p in zip(mimes, payloads)])
+                 if payloads else np.zeros((0, self.dim), np.float32))
         return pa.table({
             "media_id": pc.cast(batch["media_id"], pa.int64()),
             "n_bytes": pc.cast(batch["n_bytes"], pa.int64()),
@@ -93,30 +119,42 @@ class MediaFeatureStage:
 
 class ResizeStage:
     """Actor-pool stage: image payload -> fixed (width x height x channels)
-    payload. The real decode→resize→encode chain is stubbed (no codec libs
-    in this container); the fake emits a deterministic byte surface of
-    EXACTLY ``width*height*channels`` bytes (the input bytes tiled/cut via
+    payload. ``decoder="real"`` runs the full PNG decode -> nearest-
+    neighbour resize -> PNG re-encode chain from
+    :mod:`..functions.media_codec` (non-PNG mimes raise loudly); the fake
+    emits a deterministic byte surface of EXACTLY
+    ``width*height*channels`` bytes (the input bytes tiled/cut via
     ``np.resize``), so downstream stages exercise real-shaped data and the
     object-store sizing is faithful. Output keeps MEDIA_SCHEMA with the
     resized payload + ``width``/``height`` metadata columns."""
 
     def __init__(self, width: int = 64, height: int = 64, channels: int = 3,
                  decoder: str = "fake"):
-        if decoder == "real":
-            raise NotImplementedError(
-                "real image codecs are not available in this environment; "
-                "plug a decode+resize+encode callable here (loaded once per "
-                "actor)")
         self.width = width
         self.height = height
         self.channels = channels
+        self.decoder = decoder
+
+    def _resize_real(self, mime: str, p: bytes) -> bytes:
+        from org_rdkit_lucene_ray.functions import media_codec as mc
+
+        if mime != "image/png":
+            raise NotImplementedError(
+                f"ResizeStage(real): no pure-python codec for {mime!r} "
+                "(image/png is supported)")
+        return mc.png_encode(mc.resize_nearest(
+            mc.png_decode(p), self.width, self.height, self.channels))
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         n_out = self.width * self.height * self.channels
         payloads = []
-        for p in batch["payload"].to_pylist():
-            src = np.frombuffer(p or b"\x00", dtype=np.uint8)
-            payloads.append(np.resize(src, n_out).tobytes())
+        for mime, p in zip(batch["mime"].to_pylist(),
+                           batch["payload"].to_pylist()):
+            if self.decoder == "real":
+                payloads.append(self._resize_real(mime, p or b""))
+            else:
+                src = np.frombuffer(p or b"\x00", dtype=np.uint8)
+                payloads.append(np.resize(src, n_out).tobytes())
         out = pa.array(payloads, pa.binary())
         return pa.table({
             "media_id": pc.cast(batch["media_id"], pa.int64()),

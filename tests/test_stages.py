@@ -293,9 +293,10 @@ def test_media_feature_plumbing(ray_session):
     f = feats.set_index("media_id")
     np.testing.assert_array_equal(np.asarray(f.loc[3, "feature"]),
                                   np.asarray(f.loc[10, "feature"]))
-    # real decoder is an explicit stub
+    # real decoder refuses mimes it has no pure-python codec for
+    # (full real-path coverage lives in test_media_codec.py)
     with pytest.raises(NotImplementedError):
-        MediaFeatureStage(decoder="real")
+        MediaFeatureStage(decoder="real")(tbl.slice(0, 1))
     frames = FrameSampleStage(n_frames=3)(tbl)
     assert frames.schema.names == ["media_id", "frame_idx", "frame"]
     # frames of one item concatenate back to the payload
@@ -410,8 +411,8 @@ def test_resize_stage_plumbing(ray_session):
     again = ResizeStage(width=8, height=4, channels=3)(media)
     assert out["payload"].to_pylist() == again["payload"].to_pylist()
     import pytest as _pt
-    with _pt.raises(NotImplementedError):
-        ResizeStage(decoder="real")
+    with _pt.raises(NotImplementedError):     # image/fake mime, real path
+        ResizeStage(decoder="real")(media.slice(0, 1))
 
 
 def test_batch_shingles_match_per_doc():
