@@ -392,3 +392,32 @@ def test_crash_resume_byte_identical_positional_ipc(ray_session, pages_dir,
     m2b = build_index(pages_dir, idx2, cfg=cfg)
     assert m2b["stats"]["n_postings"] == m1["stats"]["n_postings"]
     assert tree_hashes(os.path.join(gdir2, "segments")) == control
+
+
+def test_phrase_hits_sharded_identity(pos_index, pages_dir):
+    """Sharded phrase execution (contiguous segment ranges) returns the
+    EXACT single-searcher hit set per query — union of disjoint shards."""
+    from org_rdkit_lucene_ray.pipelines.query import phrase_hits_sharded
+
+    idx, manifest = pos_index
+    assert manifest["stats"]["n_segments"] >= 2
+    s = Searcher(idx)
+    _, toks = _corpus_tokens(pages_dir, s.query_cfg)
+    cases = _phrases_from_corpus(toks)
+    queries = pa.table({
+        "query_id": pa.array(range(len(cases)), pa.int64()),
+        "query": pa.array([" ".join(p) for p, _ in cases], pa.string()),
+        "slop": pa.array([sl for _, sl in cases], pa.int64()),
+    })
+    got = phrase_hits_sharded(idx, queries, n_shards=2).to_pandas()
+    n_hits = 0
+    for qid, (ptoks, slop) in enumerate(cases):
+        want = np.sort(s.phrase_hits(ptoks, slop))
+        mine = np.sort(got[got["query_id"] == qid]["doc_id"].to_numpy())
+        assert np.array_equal(mine, want), (ptoks, slop)
+        n_hits += want.size
+    assert n_hits > 0
+    # 3-shard split agrees too (uneven segment counts per shard)
+    got3 = phrase_hits_sharded(idx, queries, n_shards=3).to_pandas()
+    assert sorted(map(tuple, got3.values.tolist())) == \
+        sorted(map(tuple, got.values.tolist()))
