@@ -256,6 +256,8 @@ def embedding_dup_pairs(ds: rd.Dataset, *, threshold: float = 0.95,
 
     @ray.remote
     def tile(ta: pa.Table, tb: pa.Table, diagonal: bool) -> pa.Table:
+        if id_col not in ta.column_names or id_col not in tb.column_names:
+            return empty              # zero-column empty block
         ids_a = ta[id_col].to_numpy()
         A = _normalize(_emb_matrix(ta, emb_col))
         if diagonal:
@@ -446,10 +448,15 @@ def embedding_dup_pairs_lsh(ds: rd.Dataset, *, threshold: float = 0.95,
             batch_format="pyarrow")
     )
 
-    pairs = pa.concat_tables(_ray.get(
+    # drop the zero-column blocks Ray map_groups emits for empty sort
+    # splits (the candidate set is fold-backed) before concat
+    pair_tabs = [t for t in _ray.get(
         _distinct_pairs(cand)
         .map_batches(lambda t: t.select(["a", "b"]),
-                     batch_format="pyarrow").to_arrow_refs()))
+                     batch_format="pyarrow").to_arrow_refs())
+        if t.num_columns]
+    pairs = pa.concat_tables(pair_tabs) if pair_tabs else pa.table(
+        {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())})
     if pairs.num_rows == 0:
         return _pairs_table(pairs.to_pandas())
     # verify: fetch ONLY the candidate vectors (bounded by candidate
@@ -464,8 +471,9 @@ def embedding_dup_pairs_lsh(ds: rd.Dataset, *, threshold: float = 0.95,
         m = np.isin(ids, nd)
         return t.filter(pa.array(m)).select([id_col, emb_col])
 
-    sub = pa.concat_tables(_ray.get(
-        ds.map_batches(pick, batch_format="pyarrow").to_arrow_refs()))
+    sub = pa.concat_tables([t for t in _ray.get(
+        ds.map_batches(pick, batch_format="pyarrow").to_arrow_refs())
+        if t.num_columns])
     ids = sub[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
     E = _normalize(_emb_matrix(sub, emb_col))
     pos = {int(i): k for k, i in enumerate(ids)}

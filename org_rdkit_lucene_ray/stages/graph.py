@@ -96,8 +96,16 @@ def pagerank(edges: rd.Dataset, n_nodes: int, *, n_iter: int = 5,
 _DRIVER_FOLD_FANIN = 64
 
 
+_EMPTY_SPARSE = (np.empty(0, np.int64), np.empty(0, np.int64))
+
+
 @ray.remote
 def _deg_task(block: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+    # Ray map_groups emits zero-column blocks for empty sort splits;
+    # fold-backed edge datasets (keyword_textrank) carry them through
+    # to_arrow_refs, so raw per-block tasks must tolerate them.
+    if block.num_rows == 0 or "src" not in block.column_names:
+        return _EMPTY_SPARSE
     src = block["src"].to_numpy()
     uniq, counts = np.unique(src, return_counts=True)
     return uniq.astype(np.int64), counts.astype(np.int64)
@@ -106,6 +114,8 @@ def _deg_task(block: pa.Table) -> tuple[np.ndarray, np.ndarray]:
 @ray.remote
 def _contrib_task(block: pa.Table, state, d_num: int,
                   d_den: int) -> tuple[np.ndarray, np.ndarray]:
+    if block.num_rows == 0 or "src" not in block.column_names:
+        return _EMPTY_SPARSE
     ranks, outdeg = state            # zero-copy readonly views from plasma
     src = block["src"].to_numpy()
     dst = block["dst"].to_numpy()

@@ -88,6 +88,8 @@ def _key_to_f64(key: int) -> float:
 
 
 def _valid_keys(t: pa.Table, col: str) -> np.ndarray:
+    if col not in t.column_names:     # zero-column empty block (map_groups
+        return np.empty(0, np.uint64)  # emits them for empty sort splits)
     arr = t[col].combine_chunks()
     if arr.type != pa.float64():
         arr = pc.cast(arr, pa.float64())
@@ -248,6 +250,8 @@ def exact_quantiles_by(ds: rd.Dataset, col: str, by: str, qs: list[float], *,
         null/NaN measures dropped (null group values become 'None'-less:
         rows with a null group are dropped too, matching SQL GROUP BY
         over non-null dimensions; the testdata has none)."""
+        if by not in t.column_names:   # zero-column empty block
+            return (np.empty(0, np.uint64), [], np.empty(0, np.int64))
         g = t[by].combine_chunks().cast(pa.string())
         v = t[col].combine_chunks()
         if v.type != pa.float64():
@@ -415,6 +419,8 @@ def exact_weighted_quantiles(ds: rd.Dataset, col: str, weight_col: str,
     n_b = 1 << bits
 
     def _pairs(t: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+        if col not in t.column_names:  # zero-column empty block
+            return np.empty(0, np.uint64), np.empty(0, np.int64)
         arr = t[col].combine_chunks()
         if arr.type != pa.float64():
             arr = pc.cast(arr, pa.float64())

@@ -937,6 +937,48 @@ def test_pagerank_both_paths_exact(ray_session):
         pagerank(edges, 0)
 
 
+def test_pagerank_tolerates_zero_column_blocks(ray_session):
+    """Ray map_groups emits zero-COLUMN empty blocks for empty sort
+    splits; fold-backed edge datasets (keyword_textrank at sf0.01) carry
+    them through to_arrow_refs into the broadcast path's raw tasks, which
+    crashed with KeyError('src') before the r5 guard. Reproduce with an
+    explicit zero-column block unioned into the edge dataset."""
+    import pyarrow as pa
+
+    from org_rdkit_lucene_ray.stages.graph import pagerank, pagerank_reference
+
+    src = np.array([0, 1, 2, 2], np.int64)
+    dst = np.array([1, 2, 0, 1], np.int64)
+    edges = rd.from_arrow(pa.table({"src": src, "dst": dst})).union(
+        rd.from_arrow(pa.table({})))
+    want = pagerank_reference(src, dst, 3, n_iter=3)
+    got = {r["node"]: r["rank"] for r in pagerank(edges, 3, n_iter=3).take_all()}
+    assert got == {n: want[n] for n in range(3)}
+
+
+def test_quantiles_tolerate_zero_column_blocks(ray_session):
+    """Same empty-split class for the quantile descent's raw block tasks
+    (exact/grouped/weighted all route through the guarded key helpers)."""
+    import pyarrow as pa
+
+    from org_rdkit_lucene_ray.stages.quantile import (
+        exact_quantiles,
+        exact_quantiles_by,
+        exact_weighted_quantiles,
+    )
+
+    vals = np.arange(1, 101, dtype=np.float64)
+    base = pa.table({"v": vals, "g": ["a" if i % 2 else "b" for i in range(100)],
+                     "w": np.ones(100, np.int64)})
+    ds = rd.from_arrow(base).union(rd.from_arrow(pa.table({})))
+    q = exact_quantiles(ds, "v", [0.5])
+    assert q["value"][0].as_py() == 50.0
+    gq = exact_quantiles_by(ds, "v", "g", [0.5])
+    assert gq.num_rows == 2
+    wq = exact_weighted_quantiles(ds, "v", "w", [0.5])
+    assert wq["value"][0].as_py() == 50.0
+
+
 # ------------------------------------------------------------ perplexity LM
 def test_bigram_lm_hand_computed(ray_session):
     """Counts and smoothed NLL against a hand-computed corpus: verifies
