@@ -2089,6 +2089,20 @@ class ShardSearcherStage:
         })
 
 
+def _n_segments(index_dir: str, generation: str | None = None) -> int:
+    """Driver-side segment count (manifest + dir listing only, no data read).
+
+    Segment = the shard granularity of ``topk_sharded`` /
+    ``phrase_hits_sharded``: a doc lives in exactly one segment, so shards
+    beyond the segment count would be empty actors (measured at soak scale:
+    a 1.54M-doc index at the default ``docs_per_segment=1M`` has only 2
+    segments, so ``n_shards=4`` left two eager-residency actors idle)."""
+    manifest = read_manifest(index_dir, generation)
+    gdirs = [os.path.join(index_dir, g)
+             for g in manifest.get("includes", [manifest["generation"]])]
+    return len({s for gd in gdirs for s in list_segment_ids(gd)})
+
+
 def topk_sharded(
     index_dir: str,
     queries: pa.Table | rd.Dataset,
@@ -2105,6 +2119,7 @@ def topk_sharded(
     On a multi-node cluster each shard actor holds ~1/n of the index.
     """
     ds = rd.from_arrow(queries) if isinstance(queries, pa.Table) else queries
+    n_shards = max(1, min(n_shards, _n_segments(index_dir)))
     shards = [
         ds.map_batches(
             ShardSearcherStage,
@@ -2188,6 +2203,7 @@ def phrase_hits_sharded(
     ``(query_id, doc_id)`` (unordered — phrase hits are a membership
     set, same contract as :class:`SetSearcherStage`)."""
     ds = rd.from_arrow(queries) if isinstance(queries, pa.Table) else queries
+    n_shards = max(1, min(n_shards, _n_segments(index_dir)))
     shards = [
         ds.map_batches(
             PhraseShardStage,

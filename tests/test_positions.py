@@ -421,3 +421,28 @@ def test_phrase_hits_sharded_identity(pos_index, pages_dir):
     got3 = phrase_hits_sharded(idx, queries, n_shards=3).to_pandas()
     assert sorted(map(tuple, got3.values.tolist())) == \
         sorted(map(tuple, got.values.tolist()))
+
+
+def test_sharded_nshards_clamped_to_segments(pos_index, pages_dir):
+    """n_shards beyond the segment count is clamped (shard granularity IS
+    the segment — requesting more would spawn empty eager actors; soak
+    finding, round 5), and the result is still the exact hit set."""
+    from org_rdkit_lucene_ray.pipelines.query import (
+        _n_segments, phrase_hits_sharded)
+
+    idx, manifest = pos_index
+    n_seg = manifest["stats"]["n_segments"]
+    assert _n_segments(idx) == n_seg
+    s = Searcher(idx)
+    _, toks = _corpus_tokens(pages_dir, s.query_cfg)
+    cases = _phrases_from_corpus(toks)[:2]
+    queries = pa.table({
+        "query_id": pa.array(range(len(cases)), pa.int64()),
+        "query": pa.array([" ".join(p) for p, _ in cases], pa.string()),
+        "slop": pa.array([sl for _, sl in cases], pa.int64()),
+    })
+    got = phrase_hits_sharded(idx, queries, n_shards=n_seg + 5).to_pandas()
+    for qid, (ptoks, slop) in enumerate(cases):
+        want = np.sort(s.phrase_hits(ptoks, slop))
+        mine = np.sort(got[got["query_id"] == qid]["doc_id"].to_numpy())
+        assert np.array_equal(mine, want), (ptoks, slop)
