@@ -271,6 +271,14 @@ def test_chained_deltas_three_generations(ray_session, pages_dir, tmp_path_facto
     m2 = add_documents(idx, frag(d2, "chain_d2"))
     assert m2["includes"] == ["gen-000000", "gen-000001", "gen-000002"]
 
+    # sharded fan-out clamps against segments across ALL included
+    # generations, not just the newest one
+    from org_rdkit_lucene_ray.pipelines.query import _n_segments
+    from org_rdkit_lucene_ray.state.segment import list_segment_ids
+    want_segs = {sid for g in m2["includes"]
+                 for sid in list_segment_ids(os.path.join(idx, g))}
+    assert _n_segments(idx) == len(want_segs) > 0
+
     s = Searcher(idx)
     # every upserted url resolves to exactly ONE live doc (the newest)
     for u in [base_urls[0], base_urls[50], u2[1]]:
